@@ -2,22 +2,33 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.util.control.NonFatal
+
 /** Benchmark main. Runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE machine-parseable JSON line (also written to
   * `bench_out.json` as a belt-and-braces copy — round-1's number was lost
   * to sbt log decoration).
   *
-  * Methodology (fixes round-1 defects called out in VERDICT.md):
+  * Methodology (round-3 revision, per VERDICT.md round 2):
   *   - one untimed warm-up pass first, so JVM/codegen/datasource init cost
   *     is not attributed to whichever query happens to run first;
   *   - queries run in stable (sorted-by-name) order;
-  *   - each query is timed `iters` times and the MEDIAN is reported;
+  *   - each query is timed `iters` (default 5) times and the MIN is
+  *     reported: this sandbox injects intermittent multi-ten-second stalls
+  *     (round-2 verdict measured q1 at {9.8,2.0,1.6,68.3,5.6,2.0}s for an
+  *     identical plan), so median-of-3 frequently lands on a spike; min-of-k
+  *     is the standard robust statistic for noisy environments. ALL samples
+  *     are emitted per query so spikes stay visible;
   *   - the action is a noop-format write, not count(): count() lets
   *     Catalyst prune every computed column, turning projection-heavy
   *     queries into dead code. The noop sink materializes every row and
   *     column without disk cost;
-  *   - a failing query is reported as `"failed":[...]` and flips the exit
-  *     code — it can never be mistaken for a fast timing.
+  *   - a failing query is reported as `null` in the queries map (never a
+  *     sentinel a naive consumer could sum) plus an entry in `"failed"`,
+  *     and flips the exit code;
+  *   - only NonFatal errors are swallowed per-query: a fatal JVM error
+  *     (OOM etc.) aborts the whole run rather than "timing" later queries
+  *     in a degraded JVM.
   */
 object Bench {
 
@@ -28,8 +39,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,28 +56,34 @@ object Bench {
     // Warm-up: one full untimed pass (JIT, codegen cache, FS metadata).
     names.foreach { n =>
       try runOnce(spark, sfDir, n)
-      catch { case _: Throwable => () } // recorded on the timed pass
+      catch { case NonFatal(_) => () } // recorded on the timed pass
     }
 
-    val timings: Seq[(String, Double)] = names.map { n =>
+    val results: Seq[(String, Seq[Double])] = names.map { n =>
       val samples = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { runOnce(spark, sfDir, n); Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case NonFatal(e) =>
           System.err.println(s"[bench] $n failed: ${e.getMessage}")
           None
         }
       }
-      if (samples.isEmpty) { failed += n; n -> -1.0 }
-      else n -> samples.sorted.apply(samples.size / 2)
+      if (samples.isEmpty) failed += n
+      n -> samples
     }
 
-    val ok = timings.filter(_._2 >= 0)
-    val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val fs = failed.map(f => s""""$f"""").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
+    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, ss) =>
+      val v = if (ss.isEmpty) "null" else f(ss.min)
+      s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    val samplesJson = results.map { case (k, ss) =>
+      s""""$k":[${ss.map(f).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val fs = failed.map(x => s""""$x"""").mkString("[", ",", "]")
+    val total = results.flatMap { case (_, ss) => ss.minOption }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$fs,"iters":$iters,"stat":"min","sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     spark.stop()

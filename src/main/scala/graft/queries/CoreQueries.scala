@@ -112,11 +112,15 @@ object CoreQueries {
     // J3 left-anti join (ref: step_5:107-111 delta-load pattern)
     QueryDef(
       "q5_customers_without_orders",
-      "left-anti join: the reference's incremental-load NOT EXISTS primitive (broadcast the probe-side keys at scale)",
+      "left-anti join: the reference's incremental-load NOT EXISTS primitive. Filtered to one order status so the anti case is non-vacuous (round-2 verdict: the unfiltered variant returned 0 rows on both engines). At scale, shrink the build side to distinct keys before the anti-join.",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin) { (s, dir) =>
       val c = Tables.customer(s, dir)
+      // Build side pre-shrunk to the distinct key set: at 100 TB the
+      // anti-join then builds on |distinct keys|, not |orders|.
       val o = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "P")
+        .select("o_custkey").distinct()
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     },

@@ -42,7 +42,9 @@ for name in sorted(oracle):
         a, b = got[c], exp[c]
         try:
             if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
-                eq = pd.to_datetime(a).equals(pd.to_datetime(b))
+                # normalize unit (us vs ns) — .equals is dtype-sensitive
+                eq = (pd.to_datetime(a).astype("datetime64[ns]")
+                      .equals(pd.to_datetime(b).astype("datetime64[ns]")))
             elif a.dtype.kind in "fc" or b.dtype.kind in "fc":
                 eq = ((a.astype(float) == b.astype(float)) | (a.isna() & b.isna())).all()
             else:
