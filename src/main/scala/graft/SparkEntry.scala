@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, QueryDef}
+import graft.queries.{CoreQueries, DedupQueries, MultimodalQueries, QueryDef, RelationalExtras, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,10 @@ import graft.queries.{CoreQueries, QueryDef}
 object SparkEntry {
 
   /** All declared capabilities, grouped by module. */
-  def registry: Seq[QueryDef] = CoreQueries.all
+  def registry: Seq[QueryDef] =
+    CoreQueries.all ++ RelationalExtras.all ++
+      TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic building blocks for the LLM-data-pipeline
+  * operators (dedup, similarity, text analysis).
+  *
+  * Every oracle-checked query needs bit-identical results from Spark and
+  * DuckDB. These helpers pin down the three places engines normally
+  * diverge:
+  *
+  *   - **String hashing**: neither engine exposes the other's native hash
+  *     (Spark xxhash64 vs DuckDB hash), but both compute identical md5
+  *     hex. We take the first 12 hex chars as a 48-bit integer:
+  *     Spark `conv(substring(md5(x),1,12),16,10)` ==
+  *     DuckDB `('0x' || substr(md5(x),1,12))::BIGINT` (verified).
+  *   - **Floating-point reductions**: SUM() order is engine-dependent, so
+  *     dot products use an explicit sequential left-fold over the array
+  *     — Spark `aggregate(zip_with(a,b,*), 0.0, +)` performs the same
+  *     IEEE double operations in the same order as DuckDB
+  *     `list_reduce(list_prepend(0.0, list_transform(list_zip(a,b), ...)))`
+  *     (verified bit-identical against a Python reference fold).
+  *   - **Modular arithmetic**: all hash mixing stays below 2^63 with
+  *     positive operands so `%` agrees across engines.
+  */
+object CrossEngine {
+
+  /** Mersenne prime 2^31-1: keeps (a*h + b) % P products < 2^63. */
+  final val P: Long = 2147483647L
+
+  // ---------------------------------------------------------------- Spark
+
+  /** 48-bit integer from the md5 hex prefix of a string column. */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** md5Hash48 reduced mod P — the token-hash domain for minhash/simhash. */
+  def tokenHash(c: Column): Column = md5Hash48(c) % P
+
+  /** Universal-hash family member i: h_i(x) = (a_i*x + b_i) mod P. */
+  def permHash(h: Column, i: Int): Column =
+    (h * lit(permA(i)) + lit(permB(i))) % P
+  def permA(i: Int): Long = (1000003L * (i + 1)) % P
+  def permB(i: Int): Long = (7777777L * (i + 1)) % P
+
+  /** Whitespace tokens (single-space-joined corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: space-joined sliding windows of `n` tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
+  }
+
+  /** Sequential-fold dot product of two array<double> columns — the order
+    * of additions is the array order, matching the DuckDB fold exactly. */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity via three sequential folds (deterministic). */
+  def cosine(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+
+  // --------------------------------------------------------------- DuckDB
+  // SQL-text generators for the oracle side. Each mirrors the Spark
+  // helper above operation-for-operation.
+
+  def sqlMd5Hash48(x: String): String =
+    s"('0x' || substr(md5($x),1,12))::BIGINT"
+
+  def sqlTokenHash(x: String): String = s"(${sqlMd5Hash48(x)} % $P)"
+
+  def sqlPermHash(h: String, i: Int): String =
+    s"(($h * ${permA(i)} + ${permB(i)}) % $P)"
+
+  /** DuckDB lists are 1-indexed; Spark arrays 0-indexed — both produce
+    * len(tokens)-n+1 shingles in the same order. */
+  def sqlShingles(tokensExpr: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($tokensExpr) - ${n - 2}), i -> $parts)"
+  }
+
+  def sqlDotFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDotFold(a, b)} / (sqrt(${sqlDotFold(a, a)}) * sqrt(${sqlDotFold(b, b)})))"
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossEngine._
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` — the first of the four
+  * LLM-data-pipeline families (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard). Every variant is bucketed/blocked: no stage ever forms the
+  * all-pairs product, so each plan survives a 100x scale-up — candidate
+  * generation is always (hash-groupBy | band-groupBy | inverted-index
+  * join), never crossJoin.
+  *
+  * The sf0.01 corpus plants 25 near-duplicate pairs at Jaccard >= 0.8
+  * (verified by probe), so the LSH / verify stages are non-vacuous.
+  */
+object DedupQueries {
+
+  private val ShingleN = 3
+  private val NumPerms = 12 // 6 bands x 2 rows
+  private val Bands = 6
+  private val RowsPerBand = NumPerms / Bands
+  private val JaccardThreshold = "0.8"
+  private val DfCut = 50 // inverted-index document-frequency cut
+
+  /** (doc_id, sg): distinct word-3-gram shingles per document. */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= ShingleN)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("t")) - ShingleN),
+          i => concat_ws(" ",
+            (0 until ShingleN).map(k => element_at(col("t"), i + k + 1)): _*)))
+          .as("sg"))
+      .distinct()
+
+  private val sqlShingleCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+       |         WHERE len(string_split(text, ' ')) >= $ShingleN),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(${sqlShingles("t", ShingleN)}) AS sg FROM toks)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Exact dedup: hash-groupBy on the md5 digest. The corpus has no
+    // exact duplicates, so the input is doubled (self-union with shifted
+    // ids) to exercise the collapse non-vacuously: 1000 rows -> 500
+    // groups of 2. At 100 TB the digest (32 bytes) is the shuffle key —
+    // the document bodies never move.
+    QueryDef(
+      "q23_dedup_exact",
+      "exact dedup via md5-digest hash-groupBy over a doubled corpus; keeps min doc_id as canonical, counts copies — text never enters the shuffle",
+      """SELECT md5(text) AS text_md5,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      d.union(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH near-dup: shingle -> 12-perm minhash signature ->
+    // 6 bands of 2 -> band-bucket join for candidates -> exact Jaccard
+    // verify on candidates only. The band groupBy is the blocking stage:
+    // candidate count is sum of bucket-size-choose-2, never n^2.
+    QueryDef(
+      "q24_minhash_lsh",
+      s"MinHash($NumPerms perms)+LSH($Bands bands x $RowsPerBand) near-dup detection with exact-Jaccard verification of band-bucket candidates only; threshold $JaccardThreshold",
+      {
+        val sigCols = (0 until NumPerms)
+          .map(i => s"min(${sqlPermHash("h", i)}) AS m$i").mkString(",\n  ")
+        val bandSelects = (0 until Bands).map { b =>
+          val key = (0 until RowsPerBand)
+            .map(r => s"m${b * RowsPerBand + r}::VARCHAR").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $sqlShingleCte,
+           |h AS (SELECT doc_id, ${sqlTokenHash("sg")} AS h FROM sh),
+           |sig AS (SELECT doc_id,
+           |  $sigCols
+           |FROM h GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |common AS (SELECT da, db, count(*) AS c
+           |  FROM cand JOIN sh x ON x.doc_id = da
+           |            JOIN sh y ON y.doc_id = db AND y.sg = x.sg
+           |  GROUP BY da, db)
+           |SELECT da AS doc_a, db AS doc_b,
+           |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+           |FROM common JOIN cnt xa ON xa.doc_id = da
+           |            JOIN cnt yb ON yb.doc_id = db
+           |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
+      }) { (s, dir) =>
+      val sh = shingleDf(s, dir)
+      val h = sh.select(col("doc_id"), tokenHash(col("sg")).as("h"))
+      val sig = h.groupBy("doc_id")
+        .agg(min(permHash(col("h"), 0)).as("m0"),
+          (1 until NumPerms).map(i => min(permHash(col("h"), i)).as(s"m$i")): _*)
+      val bandCols: Seq[Column] = (0 until Bands).map { b =>
+        concat_ws("_", (0 until RowsPerBand)
+          .map(r => col(s"m${b * RowsPerBand + r}")): _*)
+      }
+      val bands = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      val a = bands.as("a"); val b = bands.as("b")
+      val cand = a.join(b,
+          col("a.band_idx") === col("b.band_idx")
+            && col("a.band_key") === col("b.band_key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = sh.select(col("doc_id").as("xd"), col("sg"))
+      val y = sh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
+      val common = cand
+        .join(x, col("xd") === col("da"))
+        .join(y, col("yd") === col("db") && col("ysg") === col("sg"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+      common
+        .join(cnt.select(col("doc_id").as("xd2"), col("n").as("xn")), col("xd2") === col("da"))
+        .join(cnt.select(col("doc_id").as("yd2"), col("n").as("yn")), col("yd2") === col("db"))
+        .filter(jac >= JaccardThreshold.toDouble)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), jac.as("jaccard"))
+    },
+
+    // ------------------------------------------------------------------
+    // SimHash: 48-bit bit-voting fingerprint over token hashes. Near-dup
+    // docs land within small Hamming distance; here the declared output
+    // is the fingerprint itself (deterministic integer arithmetic).
+    QueryDef(
+      "q25_simhash",
+      "48-bit SimHash via bit-voting over md5 token hashes: explode bits, sum +/-1 votes, assemble sign bits — pure integer ops, exact on both engines",
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |th AS (SELECT doc_id, ${sqlTokenHash("w")} AS h FROM tok),
+         |bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(48)) AS b) bb
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+        .distinct()
+        .select(col("doc_id"), tokenHash(col("w")).as("h"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0L), lit(47L))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(expr("(shiftright(h, CAST(b AS INT)) & CAST(1 AS BIGINT)) * 2 - 1")).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .cast("long").as("simhash"))
+    },
+
+    // ------------------------------------------------------------------
+    // n-gram Jaccard via inverted-index join: pairs are generated only
+    // through shared shingles (after a document-frequency cut that drops
+    // stop-shingles), then scored. The df-cut both bounds the join
+    // fan-out at scale and is applied identically to the counts, so the
+    // score is self-consistent.
+    QueryDef(
+      "q26_ngram_jaccard",
+      s"word-3-gram Jaccard similarity through an inverted-index self-join with df<=$DfCut shingle cut; emits pairs >= 0.3 — no all-pairs stage",
+      s"""WITH $sqlShingleCte,
+         |hot AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) <= $DfCut),
+         |fsh AS (SELECT sh.doc_id, sh.sg FROM sh JOIN hot USING (sg)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |  FROM fsh a JOIN fsh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  GROUP BY da, db)
+         |SELECT da AS doc_a, db AS doc_b, c AS n_common,
+         |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+         |FROM pairs JOIN cnt xa ON xa.doc_id = da
+         |           JOIN cnt yb ON yb.doc_id = db
+         |WHERE c::DOUBLE / (xa.n + yb.n - c) >= 0.3""".stripMargin) { (s, dir) =>
+      val sh = shingleDf(s, dir)
+      val hot = sh.groupBy("sg").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCut).select("sg")
+      val fsh = sh.join(hot, "sg")
+      val cnt = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = fsh.select(col("doc_id").as("da"), col("sg"))
+      val b = fsh.select(col("doc_id").as("db"), col("sg").as("bsg"))
+      val pairs = a.join(b, col("sg") === col("bsg") && col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+      pairs
+        .join(cnt.select(col("doc_id").as("xd"), col("n").as("xn")), col("xd") === col("da"))
+        .join(cnt.select(col("doc_id").as("yd"), col("n").as("yn")), col("yd") === col("db"))
+        .filter(jac >= 0.3)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("c").as("n_common"), jac.as("jaccard"))
+    })
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.CrossEngine._
+import graft.sources.Tables
+
+/** Multimodal-column operators: opaque binary payloads carried alongside
+  * typed metadata, joined to the embedding corpus.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake (see `FakeDecode`) — the Spark-side
+  * plumbing (binary column, schema, partition-parallel typed decode,
+  * batch shape) is real and tested.
+  */
+object MultimodalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Binary payload + metadata join: documents.text re-encoded as the
+    // opaque binary column (UTF-8), joined 1:1 to its embedding row.
+    QueryDef(
+      "q29_multimodal_join",
+      "binary payload column with typed metadata joined to the embedding corpus (doc_id = vec_id); byte length + first byte from the blob, L2 norm from the vector",
+      s"""SELECT doc_id, lang, label,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+         |  sqrt(${sqlDotFold("v", "v")}) AS l2_norm
+         |FROM documents
+         |JOIN (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+         |  ON vec_id = doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          col("text").cast("binary").as("payload"), col("text"))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).cast(LongType).as("first_byte"),
+          sqrt(dotFold(col("v"), col("v"))).as("l2_norm"))
+    },
+
+    // ------------------------------------------------------------------
+    // Partition-parallel typed decode over the binary column. Rows-only
+    // check: mapPartitions semantics aren't ANSI-SQL-expressible.
+    QueryDef.rowsOnly(
+      "q30_multimodal_decode",
+      "typed mapPartitions decode of binary payloads -> (width, height, feature vector) rows; the decode itself is a deterministic FAKE (no codecs in-container), the batch plumbing is real") { (s, dir) =>
+      import s.implicits._
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      // FAKE DECODE: stands in for an image/audio codec. Deterministic
+      // features derived from the payload bytes so tests are stable;
+      // swap the body for a real codec without touching the plumbing:
+      // the operator shape (per-partition batch iteration, typed output
+      // schema, no driver round-trip) is exactly what a real decoder
+      // needs.
+      src.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val width = 16 + (bytes.length % 16)
+          val height = 16 + (bytes.headOption.getOrElse(0: Byte).toInt & 15)
+          val features = Array.tabulate(8) { k =>
+            var acc = 0L
+            var i = k
+            while (i < bytes.length) { acc = (acc * 131 + (bytes(i) & 255)) % 1000003L; i += 8 }
+            acc.toDouble / 1000003.0
+          }
+          (id, width, height, features)
+        }
+      }.toDF("doc_id", "width", "height", "features")
+    })
+}

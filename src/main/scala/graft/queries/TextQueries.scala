@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.CrossEngine._
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table. All vectorized built-ins / higher-order
+  * functions — no per-row UDFs, so every expression stays inside
+  * whole-stage codegen and the scan prunes to the columns used.
+  *
+  * (The reference pipeline has no text operators — these are the
+  * north-star extensions the brief requires alongside SURVEY.md §2.)
+  */
+object TextQueries {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "is", "in")
+  private val stopFr = Seq("le", "la", "de", "et", "un", "les")
+  private val stopDe = Seq("der", "die", "das", "und", "ein", "ist")
+  private val stopEs = Seq("el", "la", "de", "y", "un", "los")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+    * the same pattern compiles identically under Java regex and RE2. */
+  private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // Quality scoring: length/token/stopword stats per document.
+    QueryDef(
+      "q19_text_stats",
+      "per-document quality stats: char/token counts, mean token length, stopword ratio, composite quality score — all codegen'd builtins, no UDFs",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE / len(string_split(text, ' ')) AS mean_token_len,
+         |  len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(stopEn)})))::DOUBLE / len(string_split(text, ' ')) AS stop_ratio,
+         |  CASE WHEN len(string_split(text, ' ')) >= 10
+         |        AND len(list_filter(string_split(text, ' '), t -> t IN (${sqlList(stopEn)}))) > 0
+         |       THEN 1 ELSE 0 END AS quality_pass
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val stopArr = array(stopEn.map(lit): _*)
+      val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(toks).cast(LongType).as("n_tokens"),
+        // chars minus the (n_tokens-1) separating spaces, per token:
+        ((length(col("text")) - size(toks) + 1).cast("double") / size(toks))
+          .as("mean_token_len"),
+        (nStop.cast("double") / size(toks)).as("stop_ratio"),
+        when(size(toks) >= 10 && nStop > 0, 1).otherwise(0)
+          .cast(LongType).as("quality_pass"))
+    },
+
+    // ------------------------------------------------------------------
+    // Language ID: n-gram/stopword-score heuristic with a deterministic
+    // argmax. (The synthetic `lang` labels are uncorrelated with the
+    // generated text, so the declared semantics are the deterministic
+    // scoring function itself, oracle-checked — not label recovery.)
+    QueryDef(
+      "q20_lang_id",
+      "stopword-profile language scoring + deterministic argmax (en>fr>de>es tiebreak); the standard n-gram-heuristic shape, vectorized",
+      s"""SELECT doc_id, lang AS labeled_lang, s_en, s_fr, s_de, s_es,
+         |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         |       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_de >= s_es THEN 'de'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM (SELECT doc_id, lang,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN (${sqlList(stopEn)}))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN (${sqlList(stopFr)}))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN (${sqlList(stopDe)}))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t IN (${sqlList(stopEs)}))) AS BIGINT) AS s_es
+         |FROM documents)""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      def score(ws: Seq[String]) = {
+        val arr = array(ws.map(lit): _*)
+        size(filter(toks, t => array_contains(arr, t))).cast(LongType)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          score(stopEn).as("s_en"), score(stopFr).as("s_fr"),
+          score(stopDe).as("s_de"), score(stopEs).as("s_es"))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          col("s_en"), col("s_fr"), col("s_de"), col("s_es"),
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_es"), "en")
+            .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
+            .when(col("s_de") >= col("s_es"), "de")
+            .otherwise("es").as("predicted_lang"))
+    },
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace vs BPE-ish regex pre-tokenization.
+    QueryDef(
+      "q21_token_count",
+      "token counting two ways: whitespace split and a BPE-style regex pre-tokenizer (letter runs / digit runs / punctuation); regex chosen to mean the same under Java regex and RE2",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$bpeish')) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+          .cast(LongType).as("bpe_tokens"))
+    },
+
+    // ------------------------------------------------------------------
+    // Document fingerprinting: order-sensitive rolling hash over token
+    // hashes — a content-defined fingerprint two permuted documents do
+    // NOT share (unlike bag-of-words hashes).
+    QueryDef(
+      "q22_fingerprint",
+      "rolling polynomial fingerprint: sequential fold acc*131 + md5-token-hash mod P over the token stream; order-sensitive, cross-engine-exact integer arithmetic",
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})),
+         |    (acc, h) -> (acc * 131 + h) % $P) AS fingerprint
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        aggregate(
+          transform(tokens(col("text")), t => tokenHash(t)),
+          lit(0L),
+          (acc, h) => (acc * 131 + h) % P).as("fingerprint"))
+    })
+}
