@@ -1,0 +1,85 @@
+package graft.consume
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.keys.SurrogateKeys
+import graft.sinks.TableSink
+
+/** Sales fact assembly (ref: step_5_curated_to_consumption.py:480-587):
+  * the unioned curated sales stream joined to all six dims on their
+  * natural keys, projected to FK + measure columns, sequence-keyed,
+  * appended.
+  *
+  * Scale shape: every dim is broadcast (dims are bounded: calendar days,
+  * product catalog, countries, payment methods — none grow with fact
+  * volume; customer_dim is the largest and still dwarfed by the fact
+  * stream), so the fact side flows through six broadcast-hash joins with
+  * ZERO shuffles before the write. The NA-fill on promotion_code happens
+  * before the promo join so null codes hit the 'NA' dim row (ref:
+  * step_5:543-546).
+  */
+object FactBuilder {
+
+  def assemble(spark: SparkSession, allSales: DataFrame): DataFrame = {
+    def dim(table: String, cols: String*): DataFrame =
+      broadcast(spark.table(table).select(cols.map(col): _*))
+
+    val dateDim = dim("consumption.date_dim", "date_id_pk", "order_dt")
+    val customerDim = dim("consumption.customer_dim",
+      "customer_id_pk", "customer_name", "country", "region")
+    val paymentDim = dim("consumption.payment_dim",
+      "payment_id_pk", "payment_method", "payment_provider", "country", "region")
+    val productDim = dim("consumption.product_dim", "product_id_pk", "mobile_key")
+    val promoDim = dim("consumption.promo_code_dim",
+      "promo_code_id_pk", "promotion_code", "country", "region")
+    val regionDim = dim("consumption.region_dim", "region_id_pk", "country", "region")
+
+    allSales
+      .withColumn("promotion_code", coalesce(col("promotion_code"), lit("NA")))
+      .join(dateDim, Seq("order_dt"))
+      .join(customerDim, Seq("customer_name", "region", "country"))
+      .join(paymentDim, Seq("payment_method", "payment_provider", "country", "region"))
+      .join(productDim, Seq("mobile_key"))
+      .join(promoDim, Seq("promotion_code", "country", "region"))
+      .join(regionDim, Seq("country", "region"))
+      .select(
+        col("order_id").as("order_code"),
+        col("date_id_pk").as("date_id_fk"),
+        col("region_id_pk").as("region_id_fk"),
+        col("customer_id_pk").as("customer_id_fk"),
+        col("payment_id_pk").as("payment_id_fk"),
+        col("product_id_pk").as("product_id_fk"),
+        col("promo_code_id_pk").as("promo_code_id_fk"),
+        col("order_quantity"),
+        col("local_total_order_amt"),
+        col("local_tax_amt"),
+        col("exchange_rate"),
+        col("us_total_order_amt"),
+        col("usd_tax_amt"))
+  }
+
+  /** Key + append; returns rows appended. */
+  def build(spark: SparkSession, allSales: DataFrame): Long = {
+    TableSink.ensureDatabases(spark)
+    val table = "consumption.sales_fact"
+    val fact = assemble(spark, allSales)
+
+    val offset =
+      if (TableSink.exists(spark, table))
+        spark.table(table).agg(coalesce(max(col("order_id_pk")), lit(0L)))
+          .first().getLong(0)
+      else 0L
+
+    val keyed = SurrogateKeys
+      .dense(fact, Seq(col("order_code"), col("date_id_fk")), "order_id_pk", offset)
+      .select("order_id_pk", "order_code", "date_id_fk", "region_id_fk",
+        "customer_id_fk", "payment_id_fk", "product_id_fk",
+        "promo_code_id_fk", "order_quantity", "local_total_order_amt",
+        "local_tax_amt", "exchange_rate", "us_total_order_amt", "usd_tax_amt")
+
+    if (TableSink.appendIfNonEmpty(keyed, table))
+      spark.table(table).count() - offset
+    else 0L
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.functions.CrossEngine
+
+/** Operator invariants over generated data (SURVEY §5 item 1):
+  * dedup idempotence, union-distinct semantics, minhash containment,
+  * simhash locality-ish sanity. */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  private def randomDocs(seed: Long, n: Int) = {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val gen = Gen.listOfN(30, Gen.oneOf(words))
+    (0 until n).map { i =>
+      val toks = gen.apply(Gen.Parameters.default, Seed(seed + i)).get
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val docs = randomDocs(7L, 200)
+    val doubled = docs.union(docs)
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(md5(col("text").cast("binary")).as("k"))
+        .agg(min("doc_id").as("doc_id"))
+    val once = dedup(doubled.select(col("doc_id"), col("text")))
+    val joined = once.join(docs, "doc_id").select("doc_id", "text")
+    val twice = dedup(joined)
+    assert(once.count() == twice.count())
+    assert(once.count() == docs.select("text").distinct().count())
+  }
+
+  test("union-distinct == ANSI UNION semantics (Snowpark union parity)") {
+    import spark.implicits._
+    val a = Seq(1, 2, 2, 3).toDF("x")
+    val b = Seq(3, 4, 4).toDF("x")
+    val unionDistinct = a.union(b).distinct().as[Int].collect().sorted
+    assert(unionDistinct.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("minhash signature of identical docs is identical; of disjoint docs differs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"), // identical
+      (3L, "q r s t u v w x") // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), explode(CrossEngine.shingles(col("text"), 3)).as("sg"))
+      .select(col("doc_id"), CrossEngine.tokenHash(col("sg")).as("h"))
+    val sig = sh.groupBy("doc_id")
+      .agg(min(CrossEngine.permHash(col("h"), 0)).as("m0"),
+        min(CrossEngine.permHash(col("h"), 1)).as("m1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("rank-dedup keeps exactly one row per key under a total order") {
+    import spark.implicits._
+    val revs = (0 until 500).map { i =>
+      (s"order${i % 50}", i / 50, s"payload$i") // 50 keys x 10 revisions
+    }.toDF("order_id", "rev", "payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("order_id").orderBy(col("rev").desc, col("payload").desc)
+    val latest = revs.withColumn("rk", rank().over(w)).filter(col("rk") === 1)
+    assert(latest.count() == 50)
+    assert(latest.filter(col("rev") =!= 9).count() == 0)
+  }
+}
