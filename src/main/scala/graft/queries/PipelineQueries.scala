@@ -88,6 +88,13 @@ object PipelineQueries {
         |FROM orders WHERE o_orderstatus IN ('P', 'F')
         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
+      s.sql("DROP TABLE IF EXISTS graft_tmp.roundtrip_orders")
+      // a previous JVM's in-memory catalog may have left the physical
+      // dir behind without metadata -> CREATE would hit
+      // LOCATION_ALREADY_EXISTS; clear the orphan first.
+      val loc = new org.apache.hadoop.fs.Path("/tmp/graft_tmp_db/roundtrip_orders")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       val o = Tables.orders(s, dir)
       o.filter(col("o_orderstatus") === "P")
         .write.format("parquet").mode("overwrite")

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Declared queries over the `events` table: Structured Streaming runs
+  * (drained with Trigger.AvailableNow so a batch oracle can check them
+  * exactly) plus the equivalent batch sessionization.
+  *
+  * Timestamp discipline: events.ts has nanosecond precision in parquet;
+  * Spark reads microseconds, DuckDB nanoseconds. Every output timestamp
+  * is therefore ms-truncated on BOTH engines, and gap logic runs on
+  * epoch milliseconds.
+  */
+object StreamingQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q34_stream_hourly",
+      "Structured Streaming tumbling-window aggregate: readStream -> watermark -> 1h window groupBy -> memory sink, drained with Trigger.AvailableNow; exact vs the batch oracle",
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      StreamingOps.hourlyCounts(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q35_sessionization",
+      "batch sessionization (30-min gap): lag -> new-session flag -> running sum session id -> per-session aggregate; one shuffle on user_id",
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('millisecond', ts) AS ts, event_type FROM events),
+        |lagged AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+        |sess AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"),
+        date_trunc("millisecond", col("ts")).as("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_type"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)) > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    },
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q36_stream_sessions",
+      "stateful streaming sessionization via flatMapGroupsWithState (custom per-key state), drained bounded; hash-matches the SQL sessionization oracle",
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('millisecond', ts) AS ts, event_type FROM events),
+        |lagged AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+        |sess AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      StreamingOps.sessionize(s, dir)
+    })
+}

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish star schema plus the
   * LLM-data-pipeline tables (`documents`, `embeddings`, `events`).
@@ -27,7 +29,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader
+    * normalizes the nano count to an ms-truncated TimestampType — the
+    * highest precision the DuckDB oracle and Spark can agree on
+    * bit-for-bit (DuckDB keeps ns, Spark µs). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** Shared by the batch loader and the streaming reader (which must
+    * declare the RAW schema — ts as nano-long — then normalize). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+    else raw.withColumn("ts", date_trunc("millisecond", col("ts")))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.sources.Tables
+
+/** Row types for the stateful sessionization path. Top-level (not nested
+  * in the object) so the generated encoder projection code can reach the
+  * accessors. */
+case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+/** Structured Streaming operators over the `events` table.
+  *
+  * The reference is batch-only (SURVEY §2.9) — these are the
+  * north-star streaming extensions: the same file data processed through
+  * `readStream` with `Trigger.AvailableNow`, so each call drains the
+  * source as one bounded run and the result is comparable to a batch
+  * oracle. At scale the identical code runs continuously against an
+  * arriving-file or Kafka source; only the trigger changes.
+  */
+object StreamingOps {
+
+  /** Bounded file stream over `events.parquet`, ts normalized to an
+    * ms-truncated TimestampType exactly as the batch loader does.
+    *
+    * Two pieces of plumbing the flat-file test layout forces:
+    *  - FileStreamSource hard-sets `basePath` to the source path itself,
+    *    and requires it to be a directory — a bare `events.parquet` file
+    *    can never stream. Real streaming sources ARE directories of
+    *    arriving files, so we stage the file into a per-sf temp dir once
+    *    and stream the directory.
+    *  - The stream must declare the RAW parquet schema (ts arrives as a
+    *    nano-count long under `nanosAsLong`); declaring the normalized
+    *    schema would misread the file. So probe the raw schema with a
+    *    one-off batch read, then [[Tables.normalizeEventTs]] the stream. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val stageDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_src_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(stageDir)
+    val staged = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged) ||
+        java.nio.file.Files.size(staged) != java.nio.file.Files.size(src))
+      java.nio.file.Files.copy(src, staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    val rawSchema = spark.read.parquet(staged.toString).schema
+    Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(stageDir.toString))
+  }
+
+  /** Hourly tumbling-window counts per event type via readStream +
+    * watermark + windowed groupBy. Returns the materialized result. */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+    val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Complete()) // bounded drain -> complete is exact
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** Stateful sessionization (30-min inactivity gap) with
+    * flatMapGroupsWithState — the KeyValueGroupedDataset custom-state
+    * path. Under AvailableNow each user's events arrive as one group;
+    * the handler sorts them and splits on gaps, which is exactly the
+    * batch sessionization semantics (and therefore SQL-oracle-checkable).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventStream(spark, dir)
+
+    val gapMs = 30L * 60 * 1000
+    // ms truncation: the parquet timestamps carry nanoseconds, which
+    // Spark truncates to microseconds while the DuckDB oracle keeps —
+    // session boundaries must come from a precision both engines share.
+    val sessions = stream
+      .select(col("user_id"),
+        date_trunc("millisecond", col("ts")).as("ts"), col("event_type")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[Ev]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ evs.toList)
+            .sortBy(e => (e.ts.getTime, e.event_type))
+          state.update(Nil)
+          if (all.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ListBuffer[SessionRow]()
+            var start = all.head.ts; var prev = all.head.ts; var n = 1L
+            all.tail.foreach { e =>
+              if (e.ts.getTime - prev.getTime > gapMs) {
+                out += SessionRow(uid, start, prev, n)
+                start = e.ts; n = 0L
+              }
+              prev = e.ts; n += 1
+            }
+            out += SessionRow(uid, start, prev, n)
+            out.iterator
+          }
+      }
+
+    val sink = s"graft_sessions_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+}

@@ -18,6 +18,7 @@ object TestSession {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", warehouse)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
