@@ -27,6 +27,8 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumPlanes = 8
   private val Dim = 64
+  private val PlanesPerBand = 4
+  private val NearDupThreshold = "0.38"
 
   /** Deterministic integer-valued hyperplanes: component (j,i) =
     * ((i*31 + j*17) mod 7) - 3. Integer-exact in double on both engines;
@@ -108,5 +110,69 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("q_id", "vec_id", "cosine", "rk")
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup (the dedup-family variant of LSH): every
+    // vector is a query. Banded OR-construction — 2 bands of 4
+    // hyperplanes each — for recall; candidates come from a band-exploded
+    // EQUI-join (band_idx, band_key), never an OR-join (Spark would
+    // execute `b0=b0 OR b1=b1` as a nested-loop cross product). At
+    // sf0.01 this blocks 124,750 possible pairs down to ~19k candidates
+    // and 38 survivors at cosine >= 0.38 — non-vacuous by construction.
+    // At 100 TB: more planes per band shrinks buckets (candidate count is
+    // sum of bucket-size-choose-2), and the distinct() on pairs keeps the
+    // verify stage linear in candidates.
+    QueryDef(
+      "q37_embedding_neardup",
+      s"embedding-cosine near-dup: banded hyperplane LSH (2 bands x 4 planes) -> distinct candidate pairs via band-bucket equi-join -> exact cosine verify >= $NearDupThreshold",
+      {
+        def bucketSql(band: Int) = (0 until PlanesPerBand).map { j =>
+          val arr = plane(band * PlanesPerBand + j).map(d => s"$d").mkString(", ")
+          s"CASE WHEN ${sqlDotFold("v", s"[$arr]::DOUBLE[]")} > 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" +\n      ")
+        s"""WITH e AS ($sqlVecs),
+           |b AS (SELECT vec_id, v,
+           |    ${bucketSql(0)} AS b0,
+           |    ${bucketSql(1)} AS b1
+           |  FROM e),
+           |bands AS (
+           |  SELECT vec_id, 0 AS band_idx, b0 AS band_key FROM b
+           |  UNION ALL
+           |  SELECT vec_id, 1 AS band_idx, b1 AS band_key FROM b),
+           |cand AS (SELECT DISTINCT a.vec_id AS a_id, y.vec_id AS b_id
+           |  FROM bands a JOIN bands y
+           |    ON a.band_idx = y.band_idx AND a.band_key = y.band_key
+           |   AND a.vec_id < y.vec_id)
+           |SELECT a_id, b_id, cosine FROM (
+           |  SELECT a_id, b_id,
+           |    ${sqlCosine("x.v", "y.v")} AS cosine
+           |  FROM cand JOIN e x ON x.vec_id = a_id
+           |            JOIN e y ON y.vec_id = b_id)
+           |WHERE cosine >= $NearDupThreshold""".stripMargin
+      }) { (s, dir) =>
+      val e = vecs(s, dir)
+      def bucket(band: Int): Column = (0 until PlanesPerBand).map { j =>
+        val h = array(plane(band * PlanesPerBand + j).map(lit): _*)
+        when(dotFold(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val bands = e
+        .withColumn("b0", bucket(0)).withColumn("b1", bucket(1))
+        .select(col("vec_id"),
+          posexplode(array(col("b0"), col("b1"))).as(Seq("band_idx", "band_key")))
+      val a = bands.as("a"); val y = bands.as("y")
+      val cand = a.join(y,
+          col("a.band_idx") === col("y.band_idx")
+            && col("a.band_key") === col("y.band_key")
+            && col("a.vec_id") < col("y.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val x2 = e.select(col("vec_id").as("xid"), col("v").as("xv"))
+      val y2 = e.select(col("vec_id").as("yid"), col("v").as("yv"))
+      cand
+        .join(x2, col("xid") === col("a_id"))
+        .join(y2, col("yid") === col("b_id"))
+        .select(col("a_id"), col("b_id"), cosine(col("xv"), col("yv")).as("cosine"))
+        .filter(col("cosine") >= NearDupThreshold)
     })
 }

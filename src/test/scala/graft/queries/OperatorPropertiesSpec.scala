@@ -62,6 +62,23 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("embedding near-dup emits ordered pairs above threshold only") {
+    val nd = graft.SparkEntry.queries("q37_embedding_neardup")(spark, sfDir)
+    assert(nd.filter(col("a_id") >= col("b_id")).count() == 0)
+    assert(nd.filter(col("cosine") < 0.38).count() == 0)
+    // identical vectors always share every band bucket -> a duplicated
+    // corpus must surface each planted duplicate pair at cosine ~ 1
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val dup = e.union(e.select(col("vec_id") + lit(1000000L), col("embedding")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    dup.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val found = graft.SparkEntry.queries("q37_embedding_neardup")(spark, tmp)
+      .filter(col("b_id") === col("a_id") + 1000000L && col("cosine") > 0.999999)
+    assert(found.count() == n)
+  }
+
   test("rank-dedup keeps exactly one row per key under a total order") {
     import spark.implicits._
     val revs = (0 until 500).map { i =>
