@@ -64,6 +64,10 @@ object CrossEngine {
   def cosine(a: Column, b: Column): Column =
     dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
 
+  /** Squared L2 distance as a sequential fold (deterministic). */
+  def sqDistFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   // --------------------------------------------------------------- DuckDB
   // SQL-text generators for the oracle side. Each mirrors the Spark
   // helper above operation-for-operation.
@@ -89,4 +93,8 @@ object CrossEngine {
 
   def sqlCosine(a: String, b: String): String =
     s"(${sqlDotFold(a, b)} / (sqrt(${sqlDotFold(a, a)}) * sqrt(${sqlDotFold(b, b)})))"
+
+  def sqlSqDistFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
 }

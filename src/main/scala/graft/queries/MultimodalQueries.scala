@@ -72,5 +72,46 @@ object MultimodalQueries {
           (id, width, height, features)
         }
       }.toDF("doc_id", "width", "height", "features")
+    },
+
+    // ------------------------------------------------------------------
+    // Frame sampling: the one-row -> many-rows multimodal shape (a video
+    // payload yields every k-th frame). The payload is chunked into
+    // fixed-size "frames" and every 4th is emitted with its offset and a
+    // frame checksum — the flatMap batch shape (explode cardinality,
+    // per-frame typed output) is exactly what a real frame sampler
+    // needs; only the decode body is fake. SQL-expressible (frame
+    // boundaries are pure arithmetic on the UTF-8 bytes), so this one
+    // IS oracle-checked, unlike q30.
+    QueryDef(
+      "q38_frame_sample",
+      "frame sampling over binary payloads: chunk into 64-byte frames, emit every 4th with offset + rolling checksum — one-row->many-rows multimodal shape, fully oracle-checked",
+      s"""SELECT doc_id, frame_idx,
+         |  CAST(frame_idx * 64 AS BIGINT) AS byte_offset,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1 + frame_idx*64, 1 + least((frame_idx+1)*64, octet_length(encode(text)))),
+         |      i -> ascii(substr(text, i, 1)))),
+         |    (acc, b) -> (acc * 131 + b) % 1000003) AS frame_hash
+         |FROM (SELECT doc_id, text,
+         |        unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS frame_idx
+         |      FROM documents)
+         |WHERE frame_idx % 4 = 0""".stripMargin) { (s, dir) =>
+      // documents.text is ASCII by construction, so byte i == char i on
+      // both engines (DuckDB substr is char-based, Spark substring too).
+      val nFrames = ceil(octet_length(col("text").cast("binary")) / 64.0).cast(LongType)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 64).cast(LongType).as("byte_offset"),
+          aggregate(
+            transform(
+              sequence(lit(1L) + col("frame_idx") * 64,
+                least((col("frame_idx") + 1) * 64,
+                  octet_length(col("text").cast("binary")).cast(LongType))),
+              i => ascii(col("text").substr(i.cast("int"), lit(1))).cast(LongType)),
+            lit(0L),
+            (acc, b) => (acc * 131 + b) % 1000003L).as("frame_hash"))
     })
 }

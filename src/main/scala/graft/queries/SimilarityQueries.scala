@@ -29,6 +29,13 @@ object SimilarityQueries {
   private val Dim = 64
   private val PlanesPerBand = 4
   private val NearDupThreshold = "0.38"
+  private val NumCells = 8
+
+  /** Deterministic integer-valued IVF centroids: component (k,i) =
+    * ((i*13 + k*29) mod 11) - 5. Stand-ins for sampled k-means output;
+    * integer-exact in double on both engines. */
+  private def centroid(k: Int): Seq[Double] =
+    (0 until Dim).map(i => (((i * 13 + k * 29) % 11) - 5).toDouble)
 
   /** Deterministic integer-valued hyperplanes: component (j,i) =
     * ((i*31 + j*17) mod 7) - 3. Integer-exact in double on both engines;
@@ -174,5 +181,71 @@ object SimilarityQueries {
         .join(y2, col("yid") === col("b_id"))
         .select(col("a_id"), col("b_id"), cosine(col("xv"), col("yv")).as("cosine"))
         .filter(col("cosine") >= NearDupThreshold)
+    },
+
+    // ------------------------------------------------------------------
+    // IVF-style ANN: the coarse-quantizer alternative to LSH. Every
+    // vector is assigned to its nearest of K fixed centroids (argmin of
+    // squared L2, deterministic lowest-index tiebreak); a query probes
+    // only its own cell (nprobe=1), so candidate count is |cell|, never
+    // the corpus. At 100 TB the centroids come from a sampled k-means
+    // (tiny, broadcast) and nprobe trades recall for cost; here they are
+    // fixed integer-valued centroids so both engines compute the exact
+    // same assignment.
+    QueryDef(
+      "q39_ann_ivf",
+      s"IVF ANN: assign vectors to nearest of $NumCells integer centroids (sequential-fold L2, index-tiebreak argmin), probe the query's cell only, cosine top-3 within",
+      {
+        val dSql = (0 until NumCells).map { k =>
+          val arr = centroid(k).map(d => s"$d").mkString(", ")
+          s"${sqlSqDistFold("v", s"[$arr]::DOUBLE[]")} AS d$k"
+        }.mkString(",\n    ")
+        // first-match CASE: "d_k <= every later distance" suffices for a
+        // lowest-index-tiebreak argmin (if an earlier case failed, some
+        // later distance is strictly smaller than it).
+        val argmin = (0 until NumCells - 1).map { k =>
+          val leLater = (k + 1 until NumCells).map(j => s"d$k <= d$j").mkString(" AND ")
+          s"WHEN $leLater THEN $k"
+        }.mkString("\n    ")
+        s"""WITH e AS ($sqlVecs),
+           |d AS (SELECT vec_id, v,
+           |    $dSql
+           |  FROM e),
+           |cells AS (SELECT vec_id, v, CASE
+           |    $argmin
+           |    ELSE ${NumCells - 1} END AS cell
+           |  FROM d),
+           |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < $NumQueries),
+           |scored AS (SELECT q_id, c.vec_id, ${sqlCosine("qv", "c.v")} AS cosine
+           |  FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q_id)
+           |SELECT q_id, vec_id, cosine, rk FROM (
+           |  SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+           |  FROM scored) WHERE rk <= 3""".stripMargin
+      }) { (s, dir) =>
+      val e = vecs(s, dir)
+      val dists: Seq[Column] = (0 until NumCells).map { k =>
+        sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
+      }
+      // first-match when-chain argmin, lowest-index tiebreak (see SQL note)
+      val d = e.select(col("vec_id") +: col("v") +: dists: _*)
+      val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
+        (k, rest) =>
+          val leLater = (k + 1 until NumCells)
+            .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
+          when(leLater, lit(k)).otherwise(rest)
+      }
+      val cells = d.select(col("vec_id"), col("v"), cell.as("cell"))
+      val q = cells.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("qcell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      cells.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("qv"), col("v")).as("cosine"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("q_id", "vec_id", "cosine", "rk")
     })
 }
