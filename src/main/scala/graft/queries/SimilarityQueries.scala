@@ -106,12 +106,16 @@ object SimilarityQueries {
         when(dotFold(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
       val b = e.withColumn("bucket", bucket)
+      // qbucket alias: bucket on both sides of a self-derived join keeps
+      // the same attribute id, and Spark warns about the (correctly
+      // disambiguated, but ambiguous-looking) bucket === bucket predicate.
       val q = b.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       b.join(broadcast(q),
-          b("bucket") === q("bucket") && b("vec_id") =!= q("q_id"))
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosine(col("qv"), col("v")).as("cosine"))
         .withColumn("rk", row_number().over(w).cast("long"))
