@@ -43,6 +43,7 @@ object Bench {
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.expr.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -56,8 +56,17 @@ object CrossEngine {
   }
 
   /** Sequential-fold dot product of two array<double> columns — the order
-    * of additions is the array order, matching the DuckDB fold exactly. */
+    * of additions is the array order, matching the DuckDB fold exactly.
+    * Backed by the native codegen'd DotFold expression (registered by
+    * GraftExtensions); bit-identical to [[dotFoldHof]], which is the
+    * reference implementation the spec checks it against. */
   def dotFold(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** The same fold via generic higher-order functions — interpreted,
+    * allocates a product array per row; kept as the executable spec for
+    * the native expression (VectorExprsSpec asserts bit-equality). */
+  def dotFoldHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity via three sequential folds (deterministic). */
@@ -66,6 +75,10 @@ object CrossEngine {
 
   /** Squared L2 distance as a sequential fold (deterministic). */
   def sqDistFold(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
+
+  /** HOF reference implementation of [[sqDistFold]]. */
+  def sqDistFoldHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   // --------------------------------------------------------------- DuckDB

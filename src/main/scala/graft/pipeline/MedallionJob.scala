@@ -63,6 +63,7 @@ object MedallionJob {
     // incremental load (append sources, delta dims) instead of a
     // LOCATION_ALREADY_EXISTS failure against orphaned parquet.
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.expr.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -16,6 +16,7 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = args.drop(1).toSet
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.expr.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")

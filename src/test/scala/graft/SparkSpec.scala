@@ -14,6 +14,7 @@ object TestSession {
     Files.createTempDirectory("graft_test_wh").toString
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.functions.expr.GraftExtensions)
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", 4)
