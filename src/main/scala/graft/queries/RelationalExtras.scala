@@ -85,5 +85,80 @@ object RelationalExtras {
         Seq(col("o_orderkey")), "order_sk")
         .select(col("order_sk").cast(LongType).as("order_sk"),
           col("o_orderkey"), col("o_custkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // Skew-mitigation salting. A hot join key floods one shuffle
+    // partition; the standard fix splits the probe side across k salts
+    // and replicates the matching build rows once per salt, turning one
+    // hot partition into k. The salt is deterministic (l_linenumber % k,
+    // a value the row already carries) so the result — and the oracle,
+    // which states the UNSALTED join — is exact: salting must never
+    // change semantics, only the shuffle layout. AQE's skew-join handles
+    // moderate skew automatically; explicit salting is the tool when one
+    // key alone exceeds a task's memory.
+    QueryDef(
+      "q40_salted_join",
+      "salted skew join: probe side salted by l_linenumber % 8, build side replicated k ways, join on (key, salt) — oracle is the plain join, proving salting is semantics-preserving",
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val k = 8
+      val probe = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          (col("l_linenumber") % k).as("salt"))
+      val build = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .crossJoin(broadcast(s.range(k).select(col("id").cast("int").as("salt"))))
+      probe.join(build,
+          probe("l_orderkey") === build("o_orderkey")
+            && probe("salt") === build("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bucketed co-located join. Both sides are written as managed tables
+    // bucketed 8 ways on the join key; Spark then plans the join with
+    // ZERO Exchange operators — the bucket layout IS the shuffle, paid
+    // once at write time and amortized over every subsequent join. The
+    // 100-TB pattern for fact tables joined repeatedly on the same key.
+    QueryDef(
+      "q41_bucketed_join",
+      "bucketed co-located join: both sides bucketBy(8, key) managed tables, joined with no Exchange in the plan; oracle is the plain join",
+      """SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
+      Seq("bucketed_orders", "bucketed_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_tmp.$t")
+        val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft_tmp_db/$t")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_tmp.bucketed_orders")
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        .write.format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_tmp.bucketed_customer")
+      // merge hint: at test SF Catalyst would broadcast the small side,
+      // which also avoids a shuffle but hides the point — forcing SMJ
+      // shows the bucket layout satisfying the join's distribution with
+      // no Exchange on either side (the 100-TB case, where neither side
+      // broadcasts).
+      s.table("graft_tmp.bucketed_orders").hint("merge")
+        .join(s.table("graft_tmp.bucketed_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     })
 }
