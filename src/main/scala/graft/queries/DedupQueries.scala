@@ -15,6 +15,13 @@ import graft.sources.Tables
   *
   * The sf0.01 corpus plants 25 near-duplicate pairs at Jaccard >= 0.8
   * (verified by probe), so the LSH / verify stages are non-vacuous.
+  *
+  * Scale note: as pure plans, the shingle subtree is recomputed by each
+  * consumer branch (Spark reuses shuffle stages only when subtrees
+  * canonicalize identically). Linear re-work, not a blow-up — but at
+  * 100 TB the shingle/signature tables would be STAGED once as bucketed
+  * tables (the medallion pattern, see q41) and every dedup pass would
+  * read the stage, not recompute it.
   */
 object DedupQueries {
 
