@@ -90,7 +90,9 @@ object CurateJob {
     CountryConfig.all.map { cc =>
       val df = curateCountry(spark, cc, forex)
       val table = s"curated.${cc.code.toLowerCase}_sales_order"
-      TableSink.append(df, table)
+      // curated is the layer incremental consumers read BY DATE — a
+      // date-partitioned layout makes those reads partition-pruned scans
+      TableSink.append(df, table, partitionCols = Seq("order_dt"))
       cc.code -> spark.table(table).count()
     }
   }

@@ -111,6 +111,48 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // PII redaction: the standard training-data scrub — emails and long
+    // digit runs masked with vectorized regexp_replace (global on both
+    // engines), match counts reported for audit. The corpus is synthetic
+    // with no real PII, so every 5th document gets a deterministic
+    // contact line appended IN THE QUERY (identically on both engines) —
+    // the declared semantics are the redaction operator, non-vacuously.
+    // Patterns chosen to mean the same under Java regex and RE2.
+    QueryDef(
+      "q42_pii_redaction",
+      "PII redaction: email + long-digit-run masking via global regexp_replace with per-doc match counts; deterministic synthetic PII injected on every 5th doc so the scrub is non-vacuous",
+      """WITH enriched AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or 5550100' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_numbers,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{6,}', '[NUMBER]', 'g') AS redacted
+        |FROM enriched""".stripMargin) { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "[0-9]{6,}"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 5550100"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(numRe), lit(0)))
+            .cast(LongType).as("n_long_numbers"),
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "[EMAIL]"),
+            numRe, "[NUMBER]").as("redacted"))
+    },
+
+    // ------------------------------------------------------------------
     // Document fingerprinting: order-sensitive rolling hash over token
     // hashes — a content-defined fingerprint two permuted documents do
     // NOT share (unlike bag-of-words hashes).

@@ -23,8 +23,17 @@ object TableSink {
   def exists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
 
-  def append(df: DataFrame, table: String): Unit =
-    df.write.format("parquet").mode(SaveMode.Append).saveAsTable(table)
+  /** Append, optionally into a date/key-partitioned layout. Partition
+    * columns turn incremental readers' date filters into partition
+    * PRUNING (directories never opened) — at 100 TB the difference
+    * between scanning a day and scanning the table. First write fixes
+    * the table's partitioning; later appends must pass the same cols. */
+  def append(df: DataFrame, table: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .saveAsTable(table)
+  }
 
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
