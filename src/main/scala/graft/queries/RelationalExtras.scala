@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -160,5 +161,59 @@ object RelationalExtras {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+
+    // ------------------------------------------------------------------
+    // As-of join — an operator Spark lacks natively (brief: custom-op
+    // preference (a), compose existing ops). Each event is matched to
+    // the most recent rate at or before its date, per currency: union
+    // the tagged rate and event streams, sort within the join key
+    // (rates before events on equal dates, so same-day rates match),
+    // and forward-fill with last_value(ignoreNulls). ONE shuffle on the
+    // join key; within-key time sort is the operator's inherent cost.
+    // The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation agreeing row-for-row. At 100 TB with few hot keys,
+    // sub-partition by (key, time-bucket) and broadcast each bucket's
+    // closing rate to seed the next bucket's fill.
+    QueryDef(
+      "q43_asof_join",
+      "as-of join composed from union + keyed window last_value(ignoreNulls): events match the latest rate at-or-before their date; oracle is DuckDB's native ASOF LEFT JOIN",
+      """WITH events AS (SELECT o_orderkey, o_custkey % 3 AS ccy,
+        |    CAST(o_orderdate AS DATE) AS dt FROM orders),
+        |rates AS (SELECT DISTINCT ccy, dt AS rate_dt,
+        |    1.0 + ccy * 0.1 + (dayofmonth(dt) % 7) / 100.0 AS rate
+        |  FROM (SELECT DISTINCT o_custkey % 3 AS ccy,
+        |          CAST(o_orderdate AS DATE) AS dt FROM orders)
+        |  WHERE dayofyear(dt) % 7 = 0)
+        |SELECT o_orderkey, events.ccy AS ccy, CAST(dt AS TIMESTAMP) AS dt,
+        |  CAST(rate_dt AS TIMESTAMP) AS rate_dt, rate
+        |FROM events ASOF LEFT JOIN rates
+        |  ON events.ccy = rates.ccy AND events.dt >= rates.rate_dt""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val events = o.select(col("o_orderkey"),
+        (col("o_custkey") % 3).as("ccy"), to_date(col("o_orderdate")).as("dt"))
+      val rates = o.select((col("o_custkey") % 3).as("ccy"),
+          to_date(col("o_orderdate")).as("rate_dt")).distinct()
+        .filter(dayofyear(col("rate_dt")) % 7 === 0)
+        .select(col("ccy"), col("rate_dt"),
+          (lit(1.0) + col("ccy") * 0.1 + (dayofmonth(col("rate_dt")) % 7) / 100.0)
+            .as("rate"))
+      val tagged = rates.select(col("ccy"), col("rate_dt").as("dt"),
+          col("rate_dt"), col("rate"), lit(1).as("is_rate"),
+          lit(null).cast("long").as("o_orderkey"))
+        .unionByName(events.select(col("ccy"), col("dt"),
+          lit(null).cast("date").as("rate_dt"), lit(null).cast("double").as("rate"),
+          lit(0).as("is_rate"), col("o_orderkey")))
+      // rates sort before events at equal dt (is_rate desc) => inclusive
+      // "at-or-before" semantics, matching ASOF's dt >= rate_dt
+      val w = Window.partitionBy(col("ccy"))
+        .orderBy(col("dt").asc, col("is_rate").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("fill_rate", last(col("rate"), ignoreNulls = true).over(w))
+        .withColumn("fill_dt", last(col("rate_dt"), ignoreNulls = true).over(w))
+        .filter(col("is_rate") === 0)
+        .select(col("o_orderkey"), col("ccy"), col("dt").cast("timestamp").as("dt"),
+          col("fill_dt").cast("timestamp").as("rate_dt"), col("fill_rate").as("rate"))
     })
 }
