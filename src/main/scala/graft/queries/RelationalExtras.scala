@@ -215,5 +215,40 @@ object RelationalExtras {
         .filter(col("is_rate") === 0)
         .select(col("o_orderkey"), col("ccy"), col("dt").cast("timestamp").as("dt"),
           col("fill_dt").cast("timestamp").as("rate_dt"), col("fill_rate").as("rate"))
+    },
+
+    // ------------------------------------------------------------------
+    // Range (interval) join — the second operator Spark lacks natively
+    // (brief: custom-op list). A BETWEEN predicate joins as a
+    // BroadcastNestedLoop/cartesian in Spark; the scale composition for
+    // BOUNDED ranges explodes each range into its covered days and
+    // equi-joins on the day — candidate volume is sum(range lengths),
+    // never |left| x |ranges|, and the equi-join shuffles/broadcasts
+    // like any other. (For unbounded ranges: bucket both sides by
+    // coarse time-bin and check the predicate within bins.)
+    QueryDef(
+      "q44_range_join",
+      "range join via bounded-interval expansion: 10-day promo windows exploded to days, equi-joined on order date — no nested-loop; oracle states the plain BETWEEN join",
+      """WITH months AS (SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS m FROM orders),
+        |promos AS (SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS promo_id,
+        |    (m + INTERVAL 4 DAY)::DATE AS start_dt, (m + INTERVAL 13 DAY)::DATE AS end_dt FROM months)
+        |SELECT o_orderkey, promo_id,
+        |  CAST(start_dt AS TIMESTAMP) AS start_dt, CAST(end_dt AS TIMESTAMP) AS end_dt
+        |FROM orders JOIN promos
+        |  ON CAST(o_orderdate AS DATE) BETWEEN start_dt AND end_dt""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      // promo dim is tiny (one window per month) -> global window is fine
+      val promos = o.select(trunc(to_date(col("o_orderdate")), "month").as("m"))
+        .distinct()
+        .withColumn("promo_id", row_number().over(Window.orderBy(col("m"))).cast(LongType))
+        .select(col("promo_id"), date_add(col("m"), 4).as("start_dt"),
+          date_add(col("m"), 13).as("end_dt"))
+      val promoDays = promos.select(col("promo_id"), col("start_dt"), col("end_dt"),
+        explode(sequence(col("start_dt"), col("end_dt"))).as("dt"))
+      o.select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
+        .join(broadcast(promoDays), Seq("dt"))
+        .select(col("o_orderkey"), col("promo_id"),
+          col("start_dt").cast("timestamp").as("start_dt"),
+          col("end_dt").cast("timestamp").as("end_dt"))
     })
 }

@@ -82,5 +82,17 @@ object StreamingQueries {
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
       StreamingOps.sessionize(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q45_stream_foreachbatch",
+      "streaming ELT via foreachBatch: each micro-batch runs the batch enrichment and appends to a managed table; drained table aggregate equals the pure-batch oracle regardless of batch splits",
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT date_trunc('millisecond', ts) AS ts, event_type, value FROM events)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      StreamingOps.foreachBatchToTable(s, dir)
     })
 }

@@ -76,6 +76,40 @@ object StreamingOps {
     spark.table(sink)
   }
 
+  /** Streaming ELT through foreachBatch (SURVEY §2.9's named upgrade
+    * path): each micro-batch runs the SAME batch transform and appends
+    * to a managed table — the pattern that turns the medallion pipeline
+    * into a continuous one without rewriting its transforms. Under
+    * AvailableNow the source drains exactly once, so the final table
+    * equals the batch result regardless of how the input was split into
+    * batches (the declared, oracle-checked property). */
+  def foreachBatchToTable(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_tmp.stream_events"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path("/tmp/graft_tmp_db/stream_events")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    val q = eventStream(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch // the same enrichment a batch job would run
+          .withColumn("event_date", to_date(col("ts")))
+          .withColumn("value_d", col("value").cast("decimal(18,2)"))
+          .write.format("parquet").mode("append").saveAsTable(table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(table)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_d")).cast("double").as("total_value"))
+      .select(col("event_date").cast("timestamp").as("event_date"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
   /** Stateful sessionization (30-min inactivity gap) with
     * flatMapGroupsWithState — the KeyValueGroupedDataset custom-state
     * path. Under AvailableNow each user's events arrive as one group;
