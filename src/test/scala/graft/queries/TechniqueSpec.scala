@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Invariants of the scale-technique queries: each technique must be
+  * semantics-preserving or carry its guarantee. */
+class TechniqueSpec extends SparkSpec {
+
+  test("salted join result equals the plain unsalted join") {
+    val salted = SparkEntry.queries("q40_salted_join")(spark, sfDir)
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("as-of join: every matched rate is at-or-before its event date") {
+    val asof = SparkEntry.queries("q43_asof_join")(spark, sfDir)
+    assert(asof.filter(col("rate_dt") > col("dt")).count() == 0)
+    // unmatched rows exist only before the first rate date per key
+    val firstRate = asof.filter(col("rate_dt").isNotNull)
+      .groupBy("ccy").agg(min("rate_dt").as("first_rate"))
+    val bad = asof.filter(col("rate").isNull).join(firstRate, "ccy")
+      .filter(col("dt") >= col("first_rate"))
+    assert(bad.count() == 0)
+  }
+
+  test("range join: every match lies inside its window") {
+    val rj = SparkEntry.queries("q44_range_join")(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).cast("timestamp").as("odt"))
+    val bad = rj.join(o, "o_orderkey")
+      .filter(col("odt") < col("start_dt") || col("odt") > col("end_dt"))
+    assert(bad.count() == 0)
+  }
+
+  test("count-min sketch never underestimates") {
+    val cms = SparkEntry.queries("q46_countmin_sketch")(spark, sfDir)
+    assert(cms.filter(col("cms_estimate") < col("true_n")).count() == 0)
+    assert(cms.count() > 0)
+  }
+}
