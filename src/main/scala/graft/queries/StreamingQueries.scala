@@ -94,5 +94,30 @@ object StreamingQueries {
         |FROM (SELECT date_trunc('millisecond', ts) AS ts, event_type, value FROM events)
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       StreamingOps.foreachBatchToTable(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q47_stream_stream_join",
+      "stream-stream interval join (attribution): purchases joined to a prior same-user click within 30 min, watermarks both sides + event-time-bounded predicate so state evicts; drained result equals the batch interval join",
+      """WITH e AS (SELECT event_id, user_id,
+        |    date_trunc('millisecond', ts) AS ts, event_type FROM events),
+        |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS b_user, ts AS buy_ts, event_id AS buy_id FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT user_id, click_id, buy_id, click_ts, buy_ts
+        |FROM c JOIN p ON user_id = b_user
+        |  AND buy_ts >= click_ts
+        |  AND buy_ts <= click_ts + INTERVAL 30 MINUTE""".stripMargin) { (s, dir) =>
+      StreamingOps.attributionJoin(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q48_stream_dedup",
+      "streaming dropDuplicates on (user_id, event_type): bounded drain emits exactly the distinct key set (only key columns projected, so the arbitrary-survivor row doesn't matter)",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+      StreamingOps.streamingDedup(s, dir)
     })
 }

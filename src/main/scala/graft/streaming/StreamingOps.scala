@@ -76,6 +76,64 @@ object StreamingOps {
     spark.table(sink)
   }
 
+  /** Stream-stream interval join (attribution shape): purchases matched
+    * to a prior click by the same user within 30 minutes. Both sides
+    * carry watermarks and the join predicate bounds event-time distance,
+    * so state is evictable — the requirements Structured Streaming
+    * imposes precisely so this runs unbounded at scale. Drained with
+    * AvailableNow the emitted matches equal the batch interval join
+    * (the oracle). */
+  def attributionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventStream(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("millisecond", col("ts")).as("ts"), col("event_type"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", "1 hour")
+
+    val joined = clicks.join(buys, expr(
+      """c_user = b_user AND
+        |buy_ts >= click_ts AND
+        |buy_ts <= click_ts + interval 30 minutes""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
+        col("click_ts"), col("buy_ts"))
+
+    val sink = s"graft_attr_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** Streaming deduplication: dropDuplicates on the (user_id,
+    * event_type) key over the bounded drain — emits exactly the distinct
+    * key set (which survivor row is arbitrary, so only the key columns
+    * are projected; that makes the result deterministic and equal to
+    * batch DISTINCT). At scale the same call takes a watermark so the
+    * key state is evictable. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
+    val sink = s"graft_dedup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = dedup.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Streaming ELT through foreachBatch (SURVEY §2.9's named upgrade
     * path): each micro-batch runs the SAME batch transform and appends
     * to a managed table — the pattern that turns the medallion pipeline
