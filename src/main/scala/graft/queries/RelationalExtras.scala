@@ -250,5 +250,54 @@ object RelationalExtras {
         .select(col("o_orderkey"), col("promo_id"),
           col("start_dt").cast("timestamp").as("start_dt"),
           col("end_dt").cast("timestamp").as("end_dt"))
+    },
+
+    // ------------------------------------------------------------------
+    // ROLLUP hierarchy totals: one pass computes (year, quarter), year
+    // subtotals, and the grand total — partial aggregation handles all
+    // grouping sets map-side, so the cost is one shuffle, same as the
+    // plain groupBy. Group columns are coalesced to 'ALL' so the output
+    // carries no NULL group keys (exact cross-engine compare).
+    QueryDef(
+      "q49_rollup",
+      "ROLLUP (year, quarter) revenue: detail + year subtotals + grand total in one shuffle; group keys coalesced to 'ALL' for the exact compare",
+      """SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+        |  COALESCE(CAST(quarter(o_orderdate) AS VARCHAR), 'ALL') AS order_quarter,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"),
+          col("o_totalprice"))
+        .rollup(col("y"), col("q"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(coalesce(col("y").cast("string"), lit("ALL")).as("order_year"),
+          coalesce(col("q").cast("string"), lit("ALL")).as("order_quarter"),
+          col("n_orders"), col("revenue"))
+    },
+
+    // ------------------------------------------------------------------
+    // PIVOT: long -> wide with an explicit value list (explicit because
+    // implicit pivot collects distinct values to the driver — an action
+    // and a scale hazard; the fixed list keeps the plan a single
+    // hash-aggregate). Oracle states the same thing as conditional
+    // aggregation, which is also exactly what Spark compiles pivot to.
+    QueryDef(
+      "q50_pivot",
+      "pivot events long->wide: per-user-bucket counts per event_type with an explicit value list (no driver-side distinct collect); compiles to one hash aggregate",
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select((col("user_id") % 10).as("user_bucket"), col("event_type"))
+        .groupBy("user_bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
     })
 }
