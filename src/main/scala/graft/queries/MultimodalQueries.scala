@@ -16,6 +16,28 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** The partition-parallel fake decode, array-shaped: each payload row
+    * becomes (doc_id, width, height, features[8]). Exposed so the spec
+    * can cover the array<double> output directly (the declared q30
+    * unrolls it to scalars for the driver's row-sorting compare). */
+  def decoded(src: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : org.apache.spark.sql.DataFrame = {
+    import src.sparkSession.implicits._
+    src.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val width = 16L + (bytes.length % 16)
+        val height = 16L + (bytes.headOption.getOrElse(0: Byte).toInt & 15)
+        val features = Array.tabulate(8) { k =>
+          var acc = 0L
+          var i = k
+          while (i < bytes.length) { acc = (acc * 131 + (bytes(i) & 255)) % 1000003L; i += 8 }
+          acc.toDouble / 1000003.0
+        }
+        (id, width, height, features)
+      }
+    }.toDF("doc_id", "width", "height", "features")
+  }
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Binary payload + metadata join: documents.text re-encoded as the
@@ -44,11 +66,31 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
-    // Partition-parallel typed decode over the binary column. Rows-only
-    // check: mapPartitions semantics aren't ANSI-SQL-expressible.
-    QueryDef.rowsOnly(
+    // Partition-parallel typed decode over the binary column. The
+    // mapPartitions operator itself isn't ANSI SQL, but the fake decode's
+    // arithmetic IS — so the gate checks the full (rows, schema, hash)
+    // contract against a DuckDB restatement of the decode (round-3
+    // verdict: the raw array<double> output crashed the driver's
+    // rows-only pandas sort, leaving the operator unjudged; the 8
+    // features are now unrolled into scalar f0..f7 columns, and the
+    // array-shaped variant stays covered by MultimodalSpec).
+    QueryDef(
       "q30_multimodal_decode",
-      "typed mapPartitions decode of binary payloads -> (width, height, feature vector) rows; the decode itself is a deterministic FAKE (no codecs in-container), the batch plumbing is real") { (s, dir) =>
+      "typed mapPartitions decode of binary payloads -> (width, height, f0..f7) rows; the decode itself is a deterministic FAKE (no codecs in-container), the batch plumbing is real; features unrolled to scalars so the gate can sort + hash them",
+      {
+        // documents.text is ASCII by construction, so byte i (0-based in
+        // the Scala decode) == char i+1 (1-based in DuckDB substr).
+        val featureSql = (k: Int) =>
+          s"""list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(range(${k + 1}, octet_length(encode(text)) + 1, 8),
+             |      i -> ascii(substr(text, i, 1)))),
+             |    (acc, b) -> (acc * 131 + b) % 1000003) / 1000003.0 AS f$k""".stripMargin
+        s"""SELECT doc_id,
+           |  CAST(16 + octet_length(encode(text)) % 16 AS BIGINT) AS width,
+           |  CAST(16 + ascii(substr(text, 1, 1)) % 16 AS BIGINT) AS height,
+           |  ${(0 until 8).map(featureSql).mkString(",\n  ")}
+           |FROM documents""".stripMargin
+      }) { (s, dir) =>
       import s.implicits._
       val src = Tables.documents(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -59,19 +101,10 @@ object MultimodalQueries {
       // the operator shape (per-partition batch iteration, typed output
       // schema, no driver round-trip) is exactly what a real decoder
       // needs.
-      src.mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val width = 16 + (bytes.length % 16)
-          val height = 16 + (bytes.headOption.getOrElse(0: Byte).toInt & 15)
-          val features = Array.tabulate(8) { k =>
-            var acc = 0L
-            var i = k
-            while (i < bytes.length) { acc = (acc * 131 + (bytes(i) & 255)) % 1000003L; i += 8 }
-            acc.toDouble / 1000003.0
-          }
-          (id, width, height, features)
-        }
-      }.toDF("doc_id", "width", "height", "features")
+      decoded(src)
+        .select(col("doc_id") +: col("width") +: col("height") +:
+          (0 until 8).map(k =>
+            element_at(col("features"), k + 1).as(s"f$k")): _*)
     },
 
     // ------------------------------------------------------------------
