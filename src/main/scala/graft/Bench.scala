@@ -19,6 +19,9 @@ import scala.util.control.NonFatal
   *     identical plan), so median-of-3 frequently lands on a spike; min-of-k
   *     is the standard robust statistic for noisy environments. ALL samples
   *     are emitted per query so spikes stay visible;
+  *   - iterations are interleaved round-robin across queries (round-4
+  *     revision): one stall window then poisons at most one sample per
+  *     query instead of all k samples of whichever query it spans;
   *   - the action is a noop-format write, not count(): count() lets
   *     Catalyst prune every computed column, turning projection-heavy
   *     queries into dead code. The noop sink materializes every row and
@@ -61,17 +64,24 @@ object Bench {
       catch { case NonFatal(_) => () } // recorded on the timed pass
     }
 
-    val results: Seq[(String, Seq[Double])] = names.map { n =>
-      val samples = (1 to iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { runOnce(spark, sfDir, n); Some((System.nanoTime() - t0) / 1e9)
-        } catch { case NonFatal(e) =>
-          System.err.println(s"[bench] $n failed: ${e.getMessage}")
-          None
-        }
+    // Interleave iterations round-robin (outer loop = pass number, inner
+    // = query) so one sandbox stall window cannot own all k samples of a
+    // single query: consecutive same-query iterations put every sample
+    // inside the window (round-3 driver run: q12, a trivial 20k-row
+    // scan, "measured" min 7.4s that way). With round-robin, a window
+    // poisons at most one sample per query and min-of-k recovers.
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
+    for (_ <- 1 to iters; n <- names) {
+      val t0 = System.nanoTime()
+      try { runOnce(spark, sfDir, n); samples(n) += (System.nanoTime() - t0) / 1e9 }
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] $n failed: ${e.getMessage}")
       }
-      if (samples.isEmpty) failed += n
-      n -> samples
+    }
+    val results: Seq[(String, Seq[Double])] = names.map { n =>
+      if (samples(n).isEmpty) failed += n
+      n -> samples(n).toSeq
     }
 
     def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
