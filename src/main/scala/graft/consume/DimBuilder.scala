@@ -51,9 +51,13 @@ object DimBuilder {
     val keyed = SurrogateKeys.dense(delta, naturalKey.map(col), pkCol, offset)
       .select(pkCol, (naturalKey :+ "is_active"): _*)
 
-    if (TableSink.appendIfNonEmpty(keyed, table))
-      spark.table(table).count() - offset
-    else 0L
+    // count the delta BEFORE appending (keyed's plan anti-joins against
+    // the live table, so evaluating it after the append would see its
+    // own rows and report 0); the count also serves as the non-empty
+    // guard, replacing a separate isEmpty probe + whole-table re-count
+    val appended = keyed.count()
+    if (appended > 0) TableSink.append(keyed, table)
+    appended
   }
 
   /** The five value dims over the unioned curated sales (ref: step_5

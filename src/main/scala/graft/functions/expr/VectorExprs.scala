@@ -36,8 +36,10 @@ abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  /** Java source for one loop step, given element vars `x` and `y`. */
-  protected def stepJava(acc: String, x: String, y: String): String
+  /** Java source for one loop step, given element vars `x` and `y`.
+    * Any locals must come from `ctx.freshName` — the step is spliced
+    * into generated code whose enclosing scope it cannot see. */
+  protected def stepJava(ctx: CodegenContext, acc: String, x: String, y: String): String
   /** Interpreted step — must match stepJava exactly. */
   protected def stepEval(acc: Double, x: Double, y: Double): Double
 
@@ -69,7 +71,7 @@ abstract class VectorFold extends BinaryExpression {
          |  int $n = $xs.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    ${stepJava(acc, s"$xs.getDouble($i)", s"$ys.getDouble($i)")}
+         |    ${stepJava(ctx, acc, s"$xs.getDouble($i)", s"$ys.getDouble($i)")}
          |  }
          |  ${ev.value} = $acc;
          |}
@@ -80,7 +82,7 @@ abstract class VectorFold extends BinaryExpression {
 /** Sequential-fold dot product: acc += a(i) * b(i), left to right. */
 case class DotFold(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_dot"
-  override protected def stepJava(acc: String, x: String, y: String): String =
+  override protected def stepJava(ctx: CodegenContext, acc: String, x: String, y: String): String =
     s"$acc = $acc + $x * $y;"
   override protected def stepEval(acc: Double, x: Double, y: Double): Double =
     acc + x * y
@@ -92,8 +94,10 @@ case class DotFold(left: Expression, right: Expression) extends VectorFold {
 /** Sequential-fold squared L2 distance: acc += (a(i)-b(i))^2. */
 case class SqDistFold(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "graft_sqdist"
-  override protected def stepJava(acc: String, x: String, y: String): String =
-    s"double d = $x - $y; $acc = $acc + d * d;"
+  override protected def stepJava(ctx: CodegenContext, acc: String, x: String, y: String): String = {
+    val d = ctx.freshName("d")
+    s"double $d = $x - $y; $acc = $acc + $d * $d;"
+  }
   override protected def stepEval(acc: Double, x: Double, y: Double): Double = {
     val d = x - y; acc + d * d
   }
