@@ -21,7 +21,7 @@ object StreamingQueries {
     // ------------------------------------------------------------------
     QueryDef(
       "q34_stream_hourly",
-      "Structured Streaming tumbling-window aggregate: readStream -> watermark -> 1h window groupBy -> memory sink, drained with Trigger.AvailableNow; exact vs the batch oracle",
+      "Structured Streaming tumbling-window aggregate in the unbounded-safe shape: readStream -> watermark -> 1h window groupBy -> Append mode -> checkpointed foreachBatch table append; trailing windows closed by a watermark-advancing sentinel restart; exact vs the batch oracle",
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -55,9 +55,43 @@ object StreamingOps {
   }
 
   /** Hourly tumbling-window counts per event type via readStream +
-    * watermark + windowed groupBy. Returns the materialized result. */
+    * watermark + windowed groupBy, in the shape that survives CONTINUOUS
+    * operation (round-3 verdict: the old Complete-mode memory sink
+    * re-emits the whole result each trigger and lives on the driver —
+    * fine for a bounded drain, wrong at scale):
+    *
+    *   - Append output mode: each window row is emitted exactly once,
+    *     when the watermark closes it, and its state is evicted;
+    *   - foreachBatch -> managed-table append: the sink grows on disk,
+    *     not in driver memory, and restarts resume from the checkpoint.
+    *
+    * Append mode meets one bounded-drain reality: the watermark only
+    * advances on arriving data, so the trailing windows are still open
+    * when the source drains and would never emit. A live stream closes
+    * them when later events arrive — so the drain does exactly that:
+    * after the first run, a sentinel event 3h past max(ts) lands in the
+    * source directory and the SAME checkpointed query restarts, which
+    * pushes the watermark past every real window and flushes them. The
+    * sentinel's own window stays open forever and is never emitted, so
+    * the table equals the batch aggregate exactly. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventStream(spark, dir)
+    val table = "graft_tmp.stream_hourly"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path("/tmp/graft_tmp_db/stream_hourly")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    // private staging dir (the shared one must not receive the sentinel)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_q34_src")
+    val staged = stageDir.resolve("events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      staged, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q34_ckpt").toString
+
+    val rawSchema = spark.read.parquet(staged.toString).schema
+    val agg = Tables.normalizeEventTs(
+        spark.readStream.schema(rawSchema).parquet(stageDir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -65,15 +99,31 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-    val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(OutputMode.Complete()) // bounded drain -> complete is exact
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+    def drain(): Unit = {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.format("parquet").mode("append").saveAsTable(table)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain() // emits every window the data itself closed
+
+    // sentinel: raw schema carries ts as a nanosecond count (nanosAsLong)
+    val raw = spark.read.parquet(staged.toString)
+    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
+    raw.limit(1)
+      .withColumn("ts", lit(maxTs + 3L * 3600 * 1000000000L))
+      .withColumn("event_type", lit("graft_sentinel"))
+      .write.mode("append").parquet(stageDir.toString)
+
+    drain() // watermark jumps past every real window -> flush
+
+    spark.table(table).filter(col("event_type") =!= "graft_sentinel")
   }
 
   /** Stream-stream interval join (attribution shape): purchases matched
