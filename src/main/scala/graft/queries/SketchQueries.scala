@@ -24,6 +24,14 @@ object SketchQueries {
   private val Width = 64
   private val NumProbes = 10
 
+  /** HLL registers: 32 buckets (5 low hash bits), rho over the remaining
+    * 43 bits. MaxRho = 44 is the rho of w == 0 (all 43 bits zero). */
+  private val HllM = 32
+  private val HllMaxRho = 44
+  /** alpha_32 * m^2 — the standard HLL bias constant for m = 32. The
+    * string round-trips to the identical double on both engines. */
+  private val HllA: String = (0.697 * HllM * HllM).toString
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q46_countmin_sketch",
@@ -67,5 +75,76 @@ object SketchQueries {
         .groupBy("user_id").agg(count(lit(1)).as("true_n"))
       truth.join(est, Seq("user_id"))
         .select("user_id", "true_n", "cms_estimate")
+    },
+
+    // ------------------------------------------------------------------
+    // Distinct-count sketch (HLL-shaped), estimating daily-active-user
+    // cardinality (distinct user:day) per event type. The 100-TB shape:
+    // registers are ONE groupBy with map-side combine (merge = cellwise
+    // max, so partial aggregation is the sketch merge), state is O(m)
+    // per group regardless of input cardinality.
+    //
+    // Cross-engine exactness: Spark's own approx_count_distinct uses
+    // engine-private hashing, so this sketch runs on the CrossEngine
+    // md5-48 family, and — unlike textbook HLL — the harmonic mean stays
+    // INTEGER until the final step: sum(2^(MaxRho - reg)) is a sum of
+    // exact longs (order-free), and the estimate is one double multiply
+    // + divide. No ln/pow libm calls whose last ulp could differ
+    // between the JVM and DuckDB. m=32 keeps every tested SF in the raw
+    // HLL regime (n > 2.5m), so no small-range correction branch.
+    QueryDef(
+      "q51_hll_distinct",
+      s"HLL-shaped distinct-count sketch over events: ${HllM} integer registers per event_type estimate distinct user:day (DAU) cardinality; merge = max, estimate exact-integer until one final double divide; reported next to the true distinct count",
+      s"""WITH ev AS (SELECT event_type,
+         |    user_id::VARCHAR || ':' || CAST(ts::DATE AS VARCHAR) AS k FROM events),
+         |h AS (SELECT event_type, ${sqlMd5Hash48("k")} AS h FROM ev),
+         |b AS (SELECT event_type, h % $HllM AS bucket, h // $HllM AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |    max(CASE WHEN w = 0 THEN $HllMaxRho
+         |             ELSE bit_count((w & -w) - 1) + 1 END) AS reg
+         |  FROM b GROUP BY 1, 2),
+         |grid AS (SELECT event_type, bucket
+         |  FROM (SELECT DISTINCT event_type FROM events)
+         |  CROSS JOIN (SELECT unnest(range($HllM)) AS bucket)),
+         |regs AS (SELECT grid.event_type, coalesce(reg, 0) AS reg
+         |  FROM grid LEFT JOIN r ON grid.event_type = r.event_type
+         |                       AND grid.bucket = r.bucket),
+         |agg AS (SELECT event_type,
+         |    sum((1::BIGINT << ($HllMaxRho - reg)))::BIGINT AS isum,
+         |    sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::BIGINT AS nonzero_regs
+         |  FROM regs GROUP BY 1),
+         |truth AS (SELECT event_type, count(DISTINCT k) AS true_distinct
+         |  FROM ev GROUP BY 1)
+         |SELECT event_type, true_distinct,
+         |  CAST('$HllA' AS DOUBLE) * (1::BIGINT << $HllMaxRho) / isum AS hll_estimate,
+         |  nonzero_regs
+         |FROM truth JOIN agg USING (event_type)""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          to_date(col("ts")).cast("string")).as("k"))
+      val hashed = ev.select(col("event_type"), md5Hash48(col("k")).as("h"))
+      // the register build+merge: one partial-agg-friendly max per cell
+      val regs0 = hashed
+        .select(col("event_type"), (col("h") % HllM).as("bucket"),
+          expr(s"h div $HllM").as("w"))
+        .select(col("event_type"), col("bucket"),
+          when(col("w") === 0, lit(HllMaxRho))
+            .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
+        .groupBy("event_type", "bucket").agg(max(col("rho")).as("reg"))
+      // empty buckets are reg=0 rows, materialized from the dense grid
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(s.range(HllM).select(col("id").cast("int").as("bucket"))))
+      val regs = grid.join(regs0, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), coalesce(col("reg"), lit(0)).as("reg"))
+      val agg = regs.groupBy("event_type")
+        .agg(sum(expr(s"shiftleft(cast(1 as bigint), $HllMaxRho - reg)")).as("isum"),
+          sum(when(col("reg") > 0, 1L).otherwise(0L)).as("nonzero_regs"))
+      val truth = ev.groupBy("event_type")
+        .agg(countDistinct(col("k")).as("true_distinct"))
+      truth.join(agg, Seq("event_type"))
+        .select(col("event_type"), col("true_distinct"),
+          (lit(HllA.toDouble) * expr(s"shiftleft(cast(1 as bigint), $HllMaxRho)")
+            / col("isum")).as("hll_estimate"),
+          col("nonzero_regs"))
     })
 }

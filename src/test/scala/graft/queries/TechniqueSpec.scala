@@ -46,4 +46,20 @@ class TechniqueSpec extends SparkSpec {
     assert(cms.filter(col("cms_estimate") < col("true_n")).count() == 0)
     assert(cms.count() > 0)
   }
+
+  test("HLL distinct sketch estimates within epsilon, deterministically") {
+    val hll = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
+    val rows = hll.collect()
+    assert(rows.length > 0)
+    // m=32 => standard error ~18%; 0.45 allows ~2.5 sigma and the
+    // deterministic inputs make the estimate reproducible bit-for-bit
+    rows.foreach { r =>
+      val truth = r.getAs[Long]("true_distinct").toDouble
+      val est = r.getAs[Double]("hll_estimate")
+      assert(math.abs(est - truth) / truth < 0.45,
+        s"${r.getAs[String]("event_type")}: est $est vs true $truth")
+    }
+    val again = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
+    assert(hll.exceptAll(again).isEmpty && again.exceptAll(hll).isEmpty)
+  }
 }
