@@ -15,6 +15,36 @@ import graft.sources.Tables
   */
 object RelationalExtras {
 
+  /** Shared oracle for both as-of join variants (q43 composed, q52
+    * sub-partitioned): DuckDB's native ASOF LEFT JOIN over the same
+    * synthesized rates — two independent implementations, one truth. */
+  private val AsofOracleSql: String =
+    """WITH events AS (SELECT o_orderkey, o_custkey % 3 AS ccy,
+      |    CAST(o_orderdate AS DATE) AS dt FROM orders),
+      |rates AS (SELECT DISTINCT ccy, dt AS rate_dt,
+      |    1.0 + ccy * 0.1 + (dayofmonth(dt) % 7) / 100.0 AS rate
+      |  FROM (SELECT DISTINCT o_custkey % 3 AS ccy,
+      |          CAST(o_orderdate AS DATE) AS dt FROM orders)
+      |  WHERE dayofyear(dt) % 7 = 0)
+      |SELECT o_orderkey, events.ccy AS ccy, CAST(dt AS TIMESTAMP) AS dt,
+      |  CAST(rate_dt AS TIMESTAMP) AS rate_dt, rate
+      |FROM events ASOF LEFT JOIN rates
+      |  ON events.ccy = rates.ccy AND events.dt >= rates.rate_dt""".stripMargin
+
+  /** The synthesized (events, rates) pair both as-of variants join. */
+  private def asofInputs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val o = Tables.orders(s, dir)
+    val events = o.select(col("o_orderkey"),
+      (col("o_custkey") % 3).as("ccy"), to_date(col("o_orderdate")).as("dt"))
+    val rates = o.select((col("o_custkey") % 3).as("ccy"),
+        to_date(col("o_orderdate")).as("rate_dt")).distinct()
+      .filter(dayofyear(col("rate_dt")) % 7 === 0)
+      .select(col("ccy"), col("rate_dt"),
+        (lit(1.0) + col("ccy") * 0.1 + (dayofmonth(col("rate_dt")) % 7) / 100.0)
+          .as("rate"))
+    (events, rates)
+  }
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // O1 LIMIT / top-k (ref: step_1_check_connection.py:54-65 `limit 10`).
@@ -173,31 +203,13 @@ object RelationalExtras {
     // join key; within-key time sort is the operator's inherent cost.
     // The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // implementation agreeing row-for-row. At 100 TB with few hot keys,
-    // sub-partition by (key, time-bucket) and broadcast each bucket's
-    // closing rate to seed the next bucket's fill.
+    // the parallelism ceiling is the key cardinality; q52 below is the
+    // (key, time-bucket) sub-partitioned variant that lifts it.
     QueryDef(
       "q43_asof_join",
       "as-of join composed from union + keyed window last_value(ignoreNulls): events match the latest rate at-or-before their date; oracle is DuckDB's native ASOF LEFT JOIN",
-      """WITH events AS (SELECT o_orderkey, o_custkey % 3 AS ccy,
-        |    CAST(o_orderdate AS DATE) AS dt FROM orders),
-        |rates AS (SELECT DISTINCT ccy, dt AS rate_dt,
-        |    1.0 + ccy * 0.1 + (dayofmonth(dt) % 7) / 100.0 AS rate
-        |  FROM (SELECT DISTINCT o_custkey % 3 AS ccy,
-        |          CAST(o_orderdate AS DATE) AS dt FROM orders)
-        |  WHERE dayofyear(dt) % 7 = 0)
-        |SELECT o_orderkey, events.ccy AS ccy, CAST(dt AS TIMESTAMP) AS dt,
-        |  CAST(rate_dt AS TIMESTAMP) AS rate_dt, rate
-        |FROM events ASOF LEFT JOIN rates
-        |  ON events.ccy = rates.ccy AND events.dt >= rates.rate_dt""".stripMargin) { (s, dir) =>
-      val o = Tables.orders(s, dir)
-      val events = o.select(col("o_orderkey"),
-        (col("o_custkey") % 3).as("ccy"), to_date(col("o_orderdate")).as("dt"))
-      val rates = o.select((col("o_custkey") % 3).as("ccy"),
-          to_date(col("o_orderdate")).as("rate_dt")).distinct()
-        .filter(dayofyear(col("rate_dt")) % 7 === 0)
-        .select(col("ccy"), col("rate_dt"),
-          (lit(1.0) + col("ccy") * 0.1 + (dayofmonth(col("rate_dt")) % 7) / 100.0)
-            .as("rate"))
+      AsofOracleSql) { (s, dir) =>
+      val (events, rates) = asofInputs(s, dir)
       val tagged = rates.select(col("ccy"), col("rate_dt").as("dt"),
           col("rate_dt"), col("rate"), lit(1).as("is_rate"),
           lit(null).cast("long").as("o_orderkey"))
@@ -208,6 +220,77 @@ object RelationalExtras {
       // "at-or-before" semantics, matching ASOF's dt >= rate_dt
       val w = Window.partitionBy(col("ccy"))
         .orderBy(col("dt").asc, col("is_rate").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("fill_rate", last(col("rate"), ignoreNulls = true).over(w))
+        .withColumn("fill_dt", last(col("rate_dt"), ignoreNulls = true).over(w))
+        .filter(col("is_rate") === 0)
+        .select(col("o_orderkey"), col("ccy"), col("dt").cast("timestamp").as("dt"),
+          col("fill_dt").cast("timestamp").as("rate_dt"), col("fill_rate").as("rate"))
+    },
+
+    // ------------------------------------------------------------------
+    // As-of join, SUB-PARTITIONED (the q43 scale path, promised by its
+    // round-3 comment): q43's window partitions by the join key alone,
+    // so its parallelism ceiling is the raw key cardinality — 3 here,
+    // 100-odd currencies in production, while the cluster has thousands
+    // of cores. This variant partitions the big window by (key,
+    // time-bucket) instead: parallelism = keys x buckets, and each
+    // partition sorts only its bucket's rows.
+    //
+    // Correctness across bucket boundaries: an event early in a bucket
+    // may need a rate from an earlier bucket. Each bucket's CLOSING rate
+    // per key is computed on the rates side alone (tiny), forward-filled
+    // across the (key x bucket) grid, lagged one bucket, and injected as
+    // a SEED rate dated at bucket start — so every sub-window starts
+    // with exactly the state q43's global window would have carried in.
+    // Sort order (dt, is_rate desc, rate_dt) lets a real same-day rate
+    // override its bucket's seed before any event reads the fill.
+    QueryDef(
+      "q52_asof_bucketed",
+      "sub-partitioned as-of join: window on (ccy, year-bucket) with per-bucket closing-rate seeds carried from the rates side — parallelism keys x buckets instead of keys; same DuckDB ASOF LEFT JOIN oracle as q43",
+      AsofOracleSql) { (s, dir) =>
+      val (events, rates) = asofInputs(s, dir)
+
+      // per-(key, bucket) closing rate, from the rates side only
+      val closings = rates
+        .groupBy(col("ccy"), year(col("rate_dt")).as("bucket"))
+        .agg(max_by(struct(col("rate_dt"), col("rate")), col("rate_dt")).as("cl"))
+        .select(col("ccy"), col("bucket"),
+          col("cl.rate_dt").as("c_dt"), col("cl.rate").as("c_rate"))
+      // dense (key x bucket) grid over every bucket either side touches
+      // — metadata-scale (keys x buckets rows), so the per-key windows
+      // below are cheap even though they partition by key alone
+      val grid = events.select(col("ccy"), year(col("dt")).as("bucket"))
+        .union(rates.select(col("ccy"), year(col("rate_dt")).as("bucket")))
+        .distinct()
+      val wCum = Window.partitionBy(col("ccy")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLag = Window.partitionBy(col("ccy")).orderBy(col("bucket"))
+      val seeds = grid.join(closings, Seq("ccy", "bucket"), "left")
+        .withColumn("f_dt", last(col("c_dt"), ignoreNulls = true).over(wCum))
+        .withColumn("f_rate", last(col("c_rate"), ignoreNulls = true).over(wCum))
+        .select(col("ccy"), col("bucket"),
+          lag(col("f_dt"), 1).over(wLag).as("rate_dt"),
+          lag(col("f_rate"), 1).over(wLag).as("rate"))
+        .filter(col("rate").isNotNull)
+
+      val tagged = rates
+        .select(col("ccy"), year(col("rate_dt")).as("bucket"),
+          col("rate_dt").as("dt"), col("rate_dt"), col("rate"),
+          lit(1).as("is_rate"), lit(null).cast("long").as("o_orderkey"))
+        .unionByName(seeds.select(col("ccy"), col("bucket"),
+          make_date(col("bucket"), lit(1), lit(1)).as("dt"), col("rate_dt"),
+          col("rate"), lit(1).as("is_rate"),
+          lit(null).cast("long").as("o_orderkey")))
+        .unionByName(events.select(col("ccy"), year(col("dt")).as("bucket"),
+          col("dt"), lit(null).cast("date").as("rate_dt"),
+          lit(null).cast("double").as("rate"), lit(0).as("is_rate"),
+          col("o_orderkey")))
+
+      // THE point: the expensive window shuffles on (ccy, bucket)
+      val w = Window.partitionBy(col("ccy"), col("bucket"))
+        .orderBy(col("dt").asc, col("is_rate").desc, col("rate_dt").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tagged
         .withColumn("fill_rate", last(col("rate"), ignoreNulls = true).over(w))

@@ -47,6 +47,16 @@ class TechniqueSpec extends SparkSpec {
     assert(cms.count() > 0)
   }
 
+  test("bucketed as-of join equals the keyed variant and shuffles on (key, bucket)") {
+    val bucketed = SparkEntry.queries("q52_asof_bucketed")(spark, sfDir)
+    val keyed = SparkEntry.queries("q43_asof_join")(spark, sfDir)
+    assert(bucketed.exceptAll(keyed).isEmpty && keyed.exceptAll(bucketed).isEmpty)
+    // the expensive window must partition by (ccy, bucket), not ccy alone
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(ccy") && plan.contains("bucket"),
+      s"expected a (ccy, bucket) exchange in:\n$plan")
+  }
+
   test("HLL distinct sketch estimates within epsilon, deterministically") {
     val hll = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
     val rows = hll.collect()
