@@ -18,6 +18,17 @@ import graft.sinks.TableSink
   * ZERO shuffles before the write. The NA-fill on promotion_code happens
   * before the promo join so null codes hit the 'NA' dim row (ref:
   * step_5:543-546).
+  *
+  * DOCUMENTED DIVERGENCE-CANDIDATE (kept faithful, §2.10 style): the
+  * customer join uses (customer_name, country, region) — a 3-column
+  * SUBSET of customer_dim's 5-column natural key (DimBuilder adds
+  * contact_no + shipping_address) — exactly as the reference does
+  * (step_5:548-550). If two dim rows ever share a name within a
+  * (country, region), every matching sale fans out into multiple fact
+  * rows. True of the reference data today: names are unique per region,
+  * so fact count == curated count (1023), which MedallionSpec pins.
+  * The safe fix, if the invariant ever breaks, is joining on the full
+  * 5-column key; we keep the reference's semantics and guard them.
   */
 object FactBuilder {
 
@@ -78,8 +89,10 @@ object FactBuilder {
         "promo_code_id_fk", "order_quantity", "local_total_order_amt",
         "local_tax_amt", "exchange_rate", "us_total_order_amt", "usd_tax_amt")
 
-    if (TableSink.appendIfNonEmpty(keyed, table))
-      spark.table(table).count() - offset
-    else 0L
+    // same reporting shape as DimBuilder: count the batch itself, not
+    // the whole table after the append
+    val appended = keyed.count()
+    if (appended > 0) TableSink.append(keyed, table)
+    appended
   }
 }

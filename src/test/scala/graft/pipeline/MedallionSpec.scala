@@ -83,6 +83,21 @@ class MedallionSpec extends SparkSpec {
     assert(orphans("promo_code_dim", "promo_code_id_pk", "promo_code_id_fk") == 0)
   }
 
+  test("customer join-key subset cannot fan out: fact count == curated count") {
+    // FactBuilder joins customer_dim on (name, country, region), a
+    // subset of its 5-col natural key, faithful to step_5:548-550 —
+    // sound only while names are unique per (country, region). Guard
+    // both the precondition and the consequence.
+    report // force the pipeline
+    val dim = spark.table("consumption.customer_dim")
+    assert(dim.count() ==
+      dim.select("customer_name", "country", "region").distinct().count(),
+      "customer names no longer unique per (country, region): " +
+        "FactBuilder's 3-col join would fan out; switch to the 5-col key")
+    assert(spark.table("consumption.sales_fact").count() ==
+      MedallionJob.unionCurated(spark).count())
+  }
+
   test("dimension cardinalities: one row per natural key") {
     assert(spark.table("consumption.region_dim").count() == 3)
     assert(spark.table("consumption.date_dim").count() == 3) // 2020-01-01..03
