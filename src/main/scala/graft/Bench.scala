@@ -55,7 +55,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated filter for local iteration on a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val failed = scala.collection.mutable.ArrayBuffer[String]()
 
     // Warm-up: one full untimed pass (JIT, codegen cache, FS metadata).

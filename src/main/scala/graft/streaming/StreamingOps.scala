@@ -75,6 +75,17 @@ object StreamingOps {
     * sentinel's own window stays open forever and is never emitted, so
     * the table equals the batch aggregate exactly. */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    // same state-store sizing as attributionJoin: windowed-agg state is
+    // small, so shuffle partitions beyond the state volume are pure
+    // per-micro-batch commit overhead (×2 drains here)
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try hourlyCountsInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+  }
+
+  private def hourlyCountsInner(spark: SparkSession, dir: String): DataFrame = {
     val table = "graft_tmp.stream_hourly"
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
     spark.sql(s"DROP TABLE IF EXISTS $table")
