@@ -51,6 +51,79 @@ object DedupQueries {
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(${sqlShingles("t", ShingleN)}) AS sg FROM toks)""".stripMargin
 
+  /** The MinHash+LSH candidate/verify pipeline as a reusable plan:
+    * (doc_a, doc_b, jaccard) pairs at-or-above the threshold, doc_a <
+    * doc_b. Shared by q24 (which declares the pairs) and q54 (which
+    * clusters them into connected components). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir)
+    val h = sh.select(col("doc_id"), tokenHash(col("sg")).as("h"))
+    val sig = h.groupBy("doc_id")
+      .agg(min(permHash(col("h"), 0)).as("m0"),
+        (1 until NumPerms).map(i => min(permHash(col("h"), i)).as(s"m$i")): _*)
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      concat_ws("_", (0 until RowsPerBand)
+        .map(r => col(s"m${b * RowsPerBand + r}")): _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = sh.select(col("doc_id").as("xd"), col("sg"))
+    val y = sh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
+    val common = cand
+      .join(x, col("xd") === col("da"))
+      .join(y, col("yd") === col("db") && col("ysg") === col("sg"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+    common
+      .join(cnt.select(col("doc_id").as("xd2"), col("n").as("xn")), col("xd2") === col("da"))
+      .join(cnt.select(col("doc_id").as("yd2"), col("n").as("yn")), col("yd2") === col("db"))
+      .filter(jac >= JaccardThreshold.toDouble)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), jac.as("jaccard"))
+  }
+
+  /** Oracle text for [[minhashPairs]]: the CTE list and the final pair
+    * select, split so q54 can extend the WITH-list. */
+  private val sqlMinhashCtes: String = {
+    val sigCols = (0 until NumPerms)
+      .map(i => s"min(${sqlPermHash("h", i)}) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"m${b * RowsPerBand + r}::VARCHAR").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$sqlShingleCte,
+       |h AS (SELECT doc_id, ${sqlTokenHash("sg")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT da, db, count(*) AS c
+       |  FROM cand JOIN sh x ON x.doc_id = da
+       |            JOIN sh y ON y.doc_id = db AND y.sg = x.sg
+       |  GROUP BY da, db)""".stripMargin
+  }
+
+  private val sqlMinhashPairSelect: String =
+    s"""SELECT da AS doc_a, db AS doc_b,
+       |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+       |FROM common JOIN cnt xa ON xa.doc_id = da
+       |            JOIN cnt yb ON yb.doc_id = db
+       |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Exact dedup: hash-groupBy on the md5 digest. The corpus has no
@@ -82,67 +155,8 @@ object DedupQueries {
     QueryDef(
       "q24_minhash_lsh",
       s"MinHash($NumPerms perms)+LSH($Bands bands x $RowsPerBand) near-dup detection with exact-Jaccard verification of band-bucket candidates only; threshold $JaccardThreshold",
-      {
-        val sigCols = (0 until NumPerms)
-          .map(i => s"min(${sqlPermHash("h", i)}) AS m$i").mkString(",\n  ")
-        val bandSelects = (0 until Bands).map { b =>
-          val key = (0 until RowsPerBand)
-            .map(r => s"m${b * RowsPerBand + r}::VARCHAR").mkString(" || '_' || ")
-          s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $sqlShingleCte,
-           |h AS (SELECT doc_id, ${sqlTokenHash("sg")} AS h FROM sh),
-           |sig AS (SELECT doc_id,
-           |  $sigCols
-           |FROM h GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |   AND a.doc_id < b.doc_id),
-           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |common AS (SELECT da, db, count(*) AS c
-           |  FROM cand JOIN sh x ON x.doc_id = da
-           |            JOIN sh y ON y.doc_id = db AND y.sg = x.sg
-           |  GROUP BY da, db)
-           |SELECT da AS doc_a, db AS doc_b,
-           |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
-           |FROM common JOIN cnt xa ON xa.doc_id = da
-           |            JOIN cnt yb ON yb.doc_id = db
-           |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
-      }) { (s, dir) =>
-      val sh = shingleDf(s, dir)
-      val h = sh.select(col("doc_id"), tokenHash(col("sg")).as("h"))
-      val sig = h.groupBy("doc_id")
-        .agg(min(permHash(col("h"), 0)).as("m0"),
-          (1 until NumPerms).map(i => min(permHash(col("h"), i)).as(s"m$i")): _*)
-      val bandCols: Seq[Column] = (0 until Bands).map { b =>
-        concat_ws("_", (0 until RowsPerBand)
-          .map(r => col(s"m${b * RowsPerBand + r}")): _*)
-      }
-      val bands = sig
-        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
-      val a = bands.as("a"); val b = bands.as("b")
-      val cand = a.join(b,
-          col("a.band_idx") === col("b.band_idx")
-            && col("a.band_key") === col("b.band_key")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val x = sh.select(col("doc_id").as("xd"), col("sg"))
-      val y = sh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
-      val common = cand
-        .join(x, col("xd") === col("da"))
-        .join(y, col("yd") === col("db") && col("ysg") === col("sg"))
-        .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
-      common
-        .join(cnt.select(col("doc_id").as("xd2"), col("n").as("xn")), col("xd2") === col("da"))
-        .join(cnt.select(col("doc_id").as("yd2"), col("n").as("yn")), col("yd2") === col("db"))
-        .filter(jac >= JaccardThreshold.toDouble)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"), jac.as("jaccard"))
+      s"WITH $sqlMinhashCtes\n$sqlMinhashPairSelect") { (s, dir) =>
+      minhashPairs(s, dir)
     },
 
     // ------------------------------------------------------------------
@@ -210,5 +224,68 @@ object DedupQueries {
         .filter(jac >= 0.3)
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("c").as("n_common"), jac.as("jaccard"))
+    },
+
+    // ------------------------------------------------------------------
+    // Connected components over the near-dup pair graph — the step that
+    // turns pairwise similarity into a dedup DECISION: transitive
+    // closure groups (a~b, b~c => {a,b,c}), one canonical (min) id per
+    // cluster, every other member a drop candidate. Spark side is
+    // iterative min-label propagation (label(v) <- min over v and its
+    // neighbors, repeated to fixpoint): each round is one equi-join +
+    // groupBy, rounds = component diameter (2-3 here; bounded by the
+    // longest near-dup chain in practice). localCheckpoint truncates
+    // the growing lineage per round. At 100 TB the same loop runs with
+    // the label table hash-partitioned on doc_id; for adversarial
+    // diameters switch to alternating large-star/small-star, which
+    // converges in O(log n) rounds with the same per-round join shape.
+    // The oracle is an independent algorithm entirely: DuckDB's
+    // recursive CTE computing full reachability, then min per vertex.
+    QueryDef(
+      "q54_dedup_components",
+      "connected components over the MinHash near-dup pairs via min-label propagation to fixpoint; every document labeled with its cluster's canonical (min) id + cluster size; oracle is a recursive-CTE reachability computation",
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         |pairs AS ($sqlMinhashPairSelect),
+         |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT eu AS u, ev AS v FROM edges
+         |          UNION
+         |          SELECT e.eu, r.v FROM edges e JOIN reach r ON r.u = e.ev),
+         |comp AS (SELECT u, least(u, min(v)) AS cid FROM reach GROUP BY u),
+         |labeled AS (SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
+         |SELECT doc_id, canonical_id,
+         |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+         |FROM labeled""".stripMargin) { (s, dir) =>
+      val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      // undirected: both directions, materialized once so the loop never
+      // re-runs the LSH pipeline
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v")
+        .localCheckpoint()
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("label"))
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("v2"), col("label").as("vl")),
+            col("v") === col("v2"))
+          .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+        val next = labels
+          .join(nbrMin, col("doc_id") === col("u"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.select(col("doc_id"), col("label").as("nlabel"))
+          .join(labels, Seq("doc_id"))
+          .filter(col("nlabel") =!= col("label")).count()
+        labels = next
+      }
+      labels
+        .select(col("doc_id"), col("label").as("canonical_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("canonical_id"))))
     })
 }
