@@ -382,5 +382,61 @@ object RelationalExtras {
         .groupBy("user_bucket")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
+    },
+
+    // ------------------------------------------------------------------
+    // SCD Type-2 dimension versioning — the reference's is_active flag
+    // (DimBuilder, SCD1: new keys only) generalized to full history
+    // tracking: when a tracked attribute changes between snapshots, the
+    // old row is closed (effective_to set) and a new version opens.
+    // Two deterministic snapshots are synthesized from customer (every
+    // 10th account balance shifts in snapshot 2), then: change rows =
+    // lag-compare per key; version = row_number over kept rows;
+    // validity range = (snap, lead(snap)); open range = current.
+    // Scale shape: both windows shuffle once on the dimension key; an
+    // incremental load at 100 TB runs the same lag/lead logic on
+    // (incoming batch JOIN current-version rows), never the full
+    // history.
+    QueryDef(
+      "q57_scd2_versioning",
+      "SCD2 dimension versioning: lag-compare change detection between snapshots, row_number versions, lead-closed validity ranges, open range = current; every 10th customer changes in snapshot 2",
+      """WITH s1 AS (SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS snap
+        |  FROM customer),
+        |s2 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment, 2 AS snap FROM customer),
+        |snaps AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |flagged AS (SELECT c_custkey, c_acctbal, c_mktsegment, snap,
+        |    lag(c_acctbal) OVER (PARTITION BY c_custkey ORDER BY snap) AS prev
+        |  FROM snaps),
+        |kept AS (SELECT * FROM flagged
+        |  WHERE prev IS NULL OR prev <> c_acctbal)
+        |SELECT c_custkey, c_acctbal, c_mktsegment,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  CAST(snap AS BIGINT) AS effective_from_snap,
+        |  CAST(lead(snap) OVER w AS BIGINT) AS effective_to_snap,
+        |  CAST(CASE WHEN lead(snap) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM kept
+        |WINDOW w AS (PARTITION BY c_custkey ORDER BY snap)""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val s1 = c.withColumn("snap", lit(1))
+      val s2 = c
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .withColumn("snap", lit(2))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("snap"))
+      val kept = s1.unionByName(s2)
+        .withColumn("prev", lag(col("c_acctbal"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("c_acctbal"))
+      kept.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+          row_number().over(w).cast(LongType).as("version"),
+          col("snap").cast(LongType).as("effective_from_snap"),
+          lead(col("snap"), 1).over(w).cast(LongType).as("effective_to_snap"))
+        .withColumn("is_current",
+          when(col("effective_to_snap").isNull, 1L).otherwise(0L))
     })
 }

@@ -32,6 +32,9 @@ object SketchQueries {
     * string round-trips to the identical double on both engines. */
   private val HllA: String = (0.697 * HllM * HllM).toString
 
+  /** Histogram-sketch bin width over o_totalprice (range ~[850, 560k]). */
+  private val QWidth = 10000L
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q46_countmin_sketch",
@@ -146,5 +149,59 @@ object SketchQueries {
           (lit(HllA.toDouble) * expr(s"shiftleft(cast(1 as bigint), $HllMaxRho)")
             / col("isum")).as("hll_estimate"),
           col("nonzero_regs"))
+    },
+
+    // ------------------------------------------------------------------
+    // Quantile sketch: mergeable equi-width histogram + rank lookup —
+    // the third classic sketch next to count-min (q46) and HLL (q51).
+    // The 100-TB shape: the histogram is ONE groupBy with map-side
+    // combine (merge = cellwise add), O(bins) state however large the
+    // input; quantile estimation then runs on the bin table, which is
+    // sketch-sized (the cumulative window over ~100 bins is constant
+    // work, not data-scale work). Estimate convention: the p-quantile
+    // is bounded above by the upper edge of the first bin whose
+    // cumulative count reaches ceil(p*n) — error <= one bin width by
+    // construction (asserted by TechniqueSpec against the exact order
+    // statistic). All arithmetic is integer after one double
+    // floor-divide, so the DuckDB oracle reproduces it exactly.
+    QueryDef(
+      "q56_histogram_quantiles",
+      "mergeable equi-width histogram sketch over o_totalprice (merge = cellwise add) with p50/p90/p99 rank lookups on the cumulative bin table; estimate within one bin width of the exact order statistic",
+      s"""WITH hist AS (SELECT CAST(floor(o_totalprice / $QWidth.0) AS BIGINT) AS bin,
+         |    count(*) AS c
+         |  FROM orders GROUP BY 1),
+         |cum AS (SELECT bin,
+         |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM hist),
+         |n AS (SELECT count(*) AS n FROM orders),
+         |probs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+         |t AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS target_rank
+         |  FROM probs CROSS JOIN n),
+         |est AS (SELECT p, target_rank, min(bin) AS qbin
+         |  FROM t JOIN cum ON cum >= target_rank GROUP BY p, target_rank)
+         |SELECT p, target_rank,
+         |  CAST((qbin + 1) * $QWidth AS BIGINT) AS est_upper_bound
+         |FROM est""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_totalprice"))
+      // the sketch: one partial-agg groupBy; merge = cellwise add
+      val hist = o
+        .select(floor(col("o_totalprice") / QWidth.toDouble).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      // cumulative ranks over the BIN TABLE (sketch-sized; the global
+      // window here is over ~100 rows, deliberately not a data-scale sort)
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      val nDf = o.agg(count(lit(1)).as("n"))
+      val probs = s.range(1)
+        .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      val targets = probs.crossJoin(broadcast(nDf))
+        .select(col("p"), ceil(col("p") * col("n")).cast("long").as("target_rank"))
+      targets.join(broadcast(cum), col("cum") >= col("target_rank"))
+        .groupBy("p", "target_rank").agg(min(col("bin")).as("qbin"))
+        .select(col("p"), col("target_rank"),
+          ((col("qbin") + 1) * QWidth).cast("long").as("est_upper_bound"))
     })
 }

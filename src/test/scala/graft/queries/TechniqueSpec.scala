@@ -57,6 +57,47 @@ class TechniqueSpec extends SparkSpec {
       s"expected a (ccy, bucket) exchange in:\n$plan")
   }
 
+  test("histogram quantile estimate is within one bin width of the exact order statistic") {
+    val est = SparkEntry.queries("q56_histogram_quantiles")(spark, sfDir).collect()
+    val prices = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).orderBy(col("o_totalprice"))
+      .collect().map(_.getDouble(0)) // exact order statistics (test-scale only)
+    est.foreach { r =>
+      val target = r.getAs[Long]("target_rank")
+      val ub = r.getAs[Long]("est_upper_bound").toDouble
+      val truth = prices(target.toInt - 1)
+      assert(truth <= ub && truth > ub - 10000 - 1e-9,
+        s"p=${r.getAs[Double]("p")}: exact $truth not within bin below upper bound $ub")
+    }
+  }
+
+  test("deterministic sample: exact sizes, per-stratum caps, reproducible") {
+    val s1 = SparkEntry.queries("q55_deterministic_sample")(spark, sfDir)
+    assert(s1.filter(col("sample_kind") === "uniform").count() == 50)
+    val perLang = s1.filter(col("sample_kind") === "stratified")
+      .groupBy("lang").count().collect()
+    assert(perLang.forall(_.getAs[Long]("count") <= 10))
+    val s2 = SparkEntry.queries("q55_deterministic_sample")(spark, sfDir)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("SCD2 invariants: one current row per key, contiguous validity ranges") {
+    val scd = SparkEntry.queries("q57_scd2_versioning")(spark, sfDir)
+    val perKey = scd.groupBy("c_custkey")
+      .agg(sum(col("is_current")).as("n_current"), count(lit(1)).as("n_versions"),
+        max(col("version")).as("max_v"))
+    assert(perKey.filter(col("n_current") =!= 1).count() == 0)
+    assert(perKey.filter(col("n_versions") =!= col("max_v")).count() == 0)
+    // a closed version's effective_to must equal the next version's from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_custkey").orderBy("version")
+    val broken = scd
+      .withColumn("next_from", lead(col("effective_from_snap"), 1).over(w))
+      .filter(col("effective_to_snap").isNotNull
+        && col("effective_to_snap") =!= col("next_from"))
+    assert(broken.count() == 0)
+  }
+
   test("HLL distinct sketch estimates within epsilon, deterministically") {
     val hll = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
     val rows = hll.collect()
