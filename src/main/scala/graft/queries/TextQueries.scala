@@ -170,5 +170,54 @@ object TextQueries {
           transform(tokens(col("text")), t => tokenHash(t)),
           lit(0L),
           (acc, h) => (acc * 131 + h) % P).as("fingerprint"))
+    },
+
+    // ------------------------------------------------------------------
+    // TF-IDF keyword extraction: the relevance-scoring shape text
+    // pipelines use for quality filters and topic tagging. The idf is
+    // kept RATIONAL — score = (tf * N)::DOUBLE / df, one division, no
+    // log — so the DuckDB oracle reproduces the ranking bit-for-bit
+    // (textbook log-idf changes the monotone scale, not the per-doc
+    // ordering, when every doc's candidates face the same N). Ubiquitous
+    // terms are cut by 10*df < 9*N (integer compare; this synthetic
+    // corpus has a 31-term vocab with median df ~0.78N, so a textbook
+    // df<N/2 cut would keep one term). Scale shape: tf is
+    // one groupBy over (doc, term); df one over term (broadcast — term
+    // vocab is bounded); the per-doc top-3 is a rank window that
+    // WindowGroupLimit prunes map-side exactly like q55's strata.
+    QueryDef(
+      "q58_tfidf_keywords",
+      "TF-IDF keyword extraction: exact rational idf (tf*N/df, no libm), ubiquity cut 10*df < 9*N, per-doc top-3 terms by (score desc, term) via WindowGroupLimit-pruned rank",
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |    (tf * n)::DOUBLE / df AS score
+        |  FROM tfc JOIN df USING (term) CROSS JOIN n
+        |  WHERE 10 * df < 9 * n),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val terms = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tfc = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDf = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val scored = tfc
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(nDf))
+        .filter(lit(10) * col("df") < lit(9) * col("n"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * col("n")).cast("double") / col("df") as "score")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
     })
 }
