@@ -97,6 +97,33 @@ object StreamingQueries {
     },
 
     // ------------------------------------------------------------------
+    // Sliding event-time windows (batch): every event belongs to
+    // windowDuration/slideDuration = 4 overlapping windows. Spark's
+    // native window(ts, '1 hour', '15 minutes') does the expansion
+    // inside the aggregate; the oracle restates it independently as an
+    // explicit 4-way bucket-shift cross join — two implementations of
+    // the same alignment arithmetic agreeing exactly. Scale shape: the
+    // expansion multiplies rows by 4 BEFORE one map-side-combined
+    // groupBy; state is O(windows), not O(events).
+    QueryDef(
+      "q59_sliding_window",
+      "sliding event-time windows via native window(ts, 1h, 15m): 4 overlapping windows per event, one partial-agg groupBy; oracle restates the alignment as an explicit bucket-shift expansion",
+      """SELECT window_start, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+        |        - k * INTERVAL 15 MINUTE AS window_start,
+        |        event_type, value
+        |      FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) kk)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+    },
+
+    // ------------------------------------------------------------------
     QueryDef(
       "q47_stream_stream_join",
       "stream-stream interval join (attribution): purchases joined to a prior same-user click within 30 min, watermarks both sides + event-time-bounded predicate so state evicts; drained result equals the batch interval join",
