@@ -66,7 +66,7 @@ object StreamingQueries {
     // ------------------------------------------------------------------
     QueryDef(
       "q36_stream_sessions",
-      "stateful streaming sessionization via flatMapGroupsWithState (custom per-key state), drained bounded; hash-matches the SQL sessionization oracle",
+      "stateful streaming sessionization via flatMapGroupsWithState with EventTimeTimeout: O(1) open-session state per user, gap-closed sessions emitted by data, trailing sessions flushed by watermark timeouts; hash-matches the SQL sessionization oracle",
       """WITH e AS (SELECT user_id,
         |    date_trunc('millisecond', ts) AS ts, event_type FROM events),
         |lagged AS (SELECT user_id, ts,

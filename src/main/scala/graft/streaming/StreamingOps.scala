@@ -74,35 +74,80 @@ object StreamingOps {
     * pushes the watermark past every real window and flushes them. The
     * sentinel's own window stays open forever and is never emitted, so
     * the table equals the batch aggregate exactly. */
-  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    // same state-store sizing as attributionJoin: windowed-agg state is
-    // small, so shuffle partitions beyond the state volume are pure
-    // per-micro-batch commit overhead (×2 drains here)
+  /** Stateful-query partition sizing shared by every stateful stream
+    * here: shuffle partitions beyond the state volume are pure
+    * per-micro-batch state-store commit overhead (measured 72s -> 31s
+    * at sf0.1 going 32 -> 4 on the interval join). At real volumes
+    * raise SPARK_GRAFT_STREAM_PARTITIONS instead. */
+  private def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
-    try hourlyCountsInner(spark, dir)
+    try f
     finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
   }
 
-  private def hourlyCountsInner(spark: SparkSession, dir: String): DataFrame = {
-    val table = "graft_tmp.stream_hourly"
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path("/tmp/graft_tmp_db/stream_hourly")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-
-    // private staging dir (the shared one must not receive the sentinel)
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_q34_src")
+  /** Fresh private staging dir with a copy of events.parquet (the shared
+    * staging dir must never receive a sentinel). */
+  private def stageEventsFresh(dir: String, tag: String): (String, String) = {
+    val stageDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
     val staged = stageDir.resolve("events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
       staged, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    (stageDir.toString, staged.toString)
+  }
+
+  /** Drop + location-clean a graft_tmp managed table; returns its name. */
+  private def freshTable(spark: SparkSession, name: String): String = {
+    val table = s"graft_tmp.$name"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft_tmp_db/$name")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    table
+  }
+
+  /** Append one sentinel row 3h past max(ts) to the staged source so a
+    * same-checkpoint restart advances the watermark past all real data —
+    * exactly how a live stream's trailing state gets flushed: later
+    * events arrive. Raw schema carries ts as a nano count (nanosAsLong).
+    * `overrides` mark the sentinel so results can exclude it. */
+  private def writeSentinel(spark: SparkSession, stageDir: String,
+      staged: String, overrides: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val raw = spark.read.parquet(staged)
+    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
+    overrides.foldLeft(
+        raw.limit(1).withColumn("ts", lit(maxTs + 3L * 3600 * 1000000000L))) {
+        case (df, (c, v)) => df.withColumn(c, v)
+      }
+      .write.mode("append").parquet(stageDir)
+  }
+
+  /** AvailableNow drain through a checkpointed foreachBatch append. */
+  private def drainToTable(df: DataFrame, ckpt: String, table: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("parquet").mode("append").saveAsTable(table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) { hourlyCountsInner(spark, dir) }
+
+  private def hourlyCountsInner(spark: SparkSession, dir: String): DataFrame = {
+    val table = freshTable(spark, "stream_hourly")
+    val (stageDir, staged) = stageEventsFresh(dir, "q34")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_q34_ckpt").toString
 
-    val rawSchema = spark.read.parquet(staged.toString).schema
+    val rawSchema = spark.read.parquet(staged).schema
     val agg = Tables.normalizeEventTs(
-        spark.readStream.schema(rawSchema).parquet(stageDir.toString))
+        spark.readStream.schema(rawSchema).parquet(stageDir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -110,29 +155,10 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-    def drain(): Unit = {
-      val q = agg.writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.format("parquet").mode("append").saveAsTable(table)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-
-    drain() // emits every window the data itself closed
-
-    // sentinel: raw schema carries ts as a nanosecond count (nanosAsLong)
-    val raw = spark.read.parquet(staged.toString)
-    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
-    raw.limit(1)
-      .withColumn("ts", lit(maxTs + 3L * 3600 * 1000000000L))
-      .withColumn("event_type", lit("graft_sentinel"))
-      .write.mode("append").parquet(stageDir.toString)
-
-    drain() // watermark jumps past every real window -> flush
+    drainToTable(agg, ckpt, table) // emits every window the data closed
+    writeSentinel(spark, stageDir, staged,
+      Map("event_type" -> lit("graft_sentinel")))
+    drainToTable(agg, ckpt, table) // watermark jumps -> trailing flush
 
     spark.table(table).filter(col("event_type") =!= "graft_sentinel")
   }
@@ -245,52 +271,75 @@ object StreamingOps {
 
   /** Stateful sessionization (30-min inactivity gap) with
     * flatMapGroupsWithState — the KeyValueGroupedDataset custom-state
-    * path. Under AvailableNow each user's events arrive as one group;
-    * the handler sorts them and splits on gaps, which is exactly the
-    * batch sessionization semantics (and therefore SQL-oracle-checkable).
+    * path, in the shape that survives CONTINUOUS operation (round-4
+    * upgrade; the previous version cleared state every batch, exact
+    * only when the drain was a single micro-batch):
+    *
+    *   - state per user = the one OPEN session (not the event buffer);
+    *     events arriving within the gap extend it, a gap closes it and
+    *     emits the closed row — so memory is O(1) per key however long
+    *     the stream runs;
+    *   - EventTimeTimeout at (session_end + gap): when the WATERMARK
+    *     passes a session's close boundary, the handler fires with no
+    *     data and flushes it — the production mechanism for emitting a
+    *     user's last session;
+    *   - checkpointed foreachBatch table sink, same as q34, and the
+    *     same sentinel restart closes all trailing sessions for the
+    *     bounded drain (a live stream's later data does this for free).
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val stream = eventStream(spark, dir)
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) { sessionizeInner(spark, dir) }
 
+  private def sessionizeInner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = freshTable(spark, "stream_sessions")
+    val (stageDir, staged) = stageEventsFresh(dir, "q36")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q36_ckpt").toString
     val gapMs = 30L * 60 * 1000
+
+    val rawSchema = spark.read.parquet(staged).schema
     // ms truncation: the parquet timestamps carry nanoseconds, which
     // Spark truncates to microseconds while the DuckDB oracle keeps —
     // session boundaries must come from a precision both engines share.
-    val sessions = stream
+    val sessions = Tables.normalizeEventTs(
+        spark.readStream.schema(rawSchema).parquet(stageDir))
       .select(col("user_id"),
-        date_trunc("millisecond", col("ts")).as("ts"), col("event_type")).as[Ev]
+        date_trunc("millisecond", col("ts")).as("ts"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Ev], SessionRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, evs: Iterator[Ev], state: GroupState[List[Ev]]) =>
-          val all = (state.getOption.getOrElse(Nil) ++ evs.toList)
-            .sortBy(e => (e.ts.getTime, e.event_type))
-          state.update(Nil)
-          if (all.isEmpty) Iterator.empty
-          else {
+      .flatMapGroupsWithState[SessionRow, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionRow]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's close boundary: flush
+            val out = state.getOption.iterator.toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toList.sortBy(e => (e.ts.getTime, e.event_type))
             val out = scala.collection.mutable.ListBuffer[SessionRow]()
-            var start = all.head.ts; var prev = all.head.ts; var n = 1L
-            all.tail.foreach { e =>
-              if (e.ts.getTime - prev.getTime > gapMs) {
-                out += SessionRow(uid, start, prev, n)
-                start = e.ts; n = 0L
-              }
-              prev = e.ts; n += 1
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              if (cur == null) cur = SessionRow(uid, e.ts, e.ts, 1L)
+              else if (e.ts.getTime - cur.session_end.getTime <= gapMs)
+                cur = cur.copy(
+                  session_end =
+                    if (e.ts.getTime > cur.session_end.getTime) e.ts
+                    else cur.session_end,
+                  n_events = cur.n_events + 1)
+              else { out += cur; cur = SessionRow(uid, e.ts, e.ts, 1L) }
             }
-            out += SessionRow(uid, start, prev, n)
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.session_end.getTime + gapMs + 1)
             out.iterator
           }
       }
 
-    val sink = s"graft_sessions_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = sessions.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+    drainToTable(sessions.toDF(), ckpt, table) // sessions closed by data
+    writeSentinel(spark, stageDir, staged, Map("user_id" -> lit(-1L)))
+    drainToTable(sessions.toDF(), ckpt, table) // timeouts fire -> flush
+
+    spark.table(table).filter(col("user_id") =!= -1L)
   }
 }
