@@ -18,7 +18,7 @@ import scala.util.control.NonFatal
   *     (round-2 verdict measured q1 at {9.8,2.0,1.6,68.3,5.6,2.0}s for an
   *     identical plan), so median-of-3 frequently lands on a spike; min-of-k
   *     is the standard robust statistic for noisy environments. ALL samples
-  *     are emitted per query so spikes stay visible;
+  *     are emitted per query (in bench_out.json) so spikes stay visible;
   *   - iterations are interleaved round-robin across queries (round-4
   *     revision): one stall window then poisons at most one sample per
   *     query instead of all k samples of whichever query it spans;
@@ -88,21 +88,53 @@ object Bench {
       n -> samples(n).toSeq
     }
 
-    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val compact = compactJson(results, failed.toSeq, sfDir)
+    println(compact)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"),
+      fullJson(results, failed.toSeq, iters, sfDir))
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  private def f(d: Double, scale: Int): String =
+    BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The ONE stdout line the driver parses. The driver's harness keeps only
+    * the LAST ~2000 characters of the run's output (sbt's trailing
+    * "[success] Total time ..." line included), and json-parses what it
+    * finds there — rounds 1/3/4 each lost their bench numbers because this
+    * line carried per-query samples arrays and ran ~6 KB, so the tail
+    * window cut its head off and the parse failed (BENCH_r0{1,3,4}.json:
+    * `"parsed": null`; round 2's short 14-query line parsed fine). So:
+    * 2-decimal minima only, no samples, sf as basename. Full-precision
+    * samples live in bench_out.json, which is committed with the repo.
+    * BenchFormatSpec asserts this stays within the tail budget.
+    */
+  def compactJson(results: Seq[(String, Seq[Double])], failed: Seq[String],
+      sfDir: String): String = {
     val qs = results.map { case (k, ss) =>
-      val v = if (ss.isEmpty) "null" else f(ss.min)
+      val v = if (ss.isEmpty) "null" else f(ss.min, 2)
       s""""$k":$v"""
-    }.mkString("{", ",", "}")
-    val samplesJson = results.map { case (k, ss) =>
-      s""""$k":[${ss.map(f).mkString(",")}]"""
     }.mkString("{", ",", "}")
     val fs = failed.map(x => s""""$x"""").mkString("[", ",", "]")
     val total = results.flatMap { case (_, ss) => ss.minOption }.sum
-    val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$fs,"iters":$iters,"stat":"min","sf":"$sfDir"}"""
-    println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    val sfLabel = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfLabel"}"""
+  }
+
+  /** Belt-and-braces full-precision record written to bench_out.json:
+    * 4-decimal minima plus ALL samples so stall spikes stay visible. */
+  def fullJson(results: Seq[(String, Seq[Double])], failed: Seq[String],
+      iters: Int, sfDir: String): String = {
+    val qs = results.map { case (k, ss) =>
+      val v = if (ss.isEmpty) "null" else f(ss.min, 4)
+      s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    val samplesJson = results.map { case (k, ss) =>
+      s""""$k":[${ss.map(f(_, 4)).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val fs = failed.map(x => s""""$x"""").mkString("[", ",", "]")
+    val total = results.flatMap { case (_, ss) => ss.minOption }.sum
+    s"""{"metric":"total","value":${f(total, 4)},"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$fs,"iters":$iters,"stat":"min","sf":"$sfDir"}"""
   }
 }

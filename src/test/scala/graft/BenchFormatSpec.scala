@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver-facing bench contract: the ONE stdout JSON line must
+  * survive the driver harness, which keeps only the last ~2000 characters
+  * of the run's output (including sbt's ~80-char trailing "[success]"
+  * line) before json-parsing. Rounds 1/3/4 lost their bench numbers to a
+  * too-long line (BENCH_r0{1,3,4}.json: `"parsed": null`).
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private def fakeResults: Seq[(String, Seq[Double])] =
+    SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      // worst-case realistic widths: two-digit integer part, 4dp samples
+      n -> Seq(13.3713, 9.0401, 10.5512, 8.4477, 12.0009)
+    }
+
+  test("compact stdout line fits the driver's 2000-char tail window") {
+    val line = Bench.compactJson(fakeResults, Nil, "/root/testdata/sf0.1")
+    assert(!line.contains("\n"))
+    // 2000-char tail minus ~120 chars of sbt trailing decoration
+    assert(line.length <= 1880,
+      s"compact bench line is ${line.length} chars; the driver tail " +
+        "window will truncate it and the round's bench numbers are lost. " +
+        "Trim the format (or the query-name budget) before adding queries.")
+  }
+
+  test("compact line is valid JSON shape with per-query numbers") {
+    val line = Bench.compactJson(fakeResults, Seq("qX_dead"), "/root/testdata/sf0.1")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""unit":"sec""""))
+    assert(line.contains(""""q1_pricing_summary":8.45"""))
+    assert(line.contains(""""failed":["qX_dead"]"""))
+    assert(line.endsWith(""""sf":"sf0.1"}"""))
+  }
+
+  test("failed query renders as null in compact and full lines") {
+    val rs = Seq("q_ok" -> Seq(1.0), "q_bad" -> Seq.empty[Double])
+    val c = Bench.compactJson(rs, Seq("q_bad"), "/x/sf0.01")
+    assert(c.contains(""""q_bad":null"""))
+    val full = Bench.fullJson(rs, Seq("q_bad"), 5, "/x/sf0.01")
+    assert(full.contains(""""q_bad":null""") && full.contains(""""q_bad":[]"""))
+    assert(full.contains(""""samples""""))
+  }
+}
