@@ -146,5 +146,50 @@ object MultimodalQueries {
               i => ascii(col("text").substr(i.cast("int"), lit(1))).cast(LongType)),
             lit(0L),
             (acc, b) => (acc * 131 + b) % 1000003L).as("frame_hash"))
+    },
+
+    // ------------------------------------------------------------------
+    // Audio-style OVERLAPPING windowing: 96-byte windows with a 48-byte
+    // hop (50% overlap — the standard STFT framing shape), each window
+    // yielding an integer energy (sum of sample bytes — order-free, so
+    // the parallel aggregate is exact) and a peak. Differs from q38's
+    // frame sampling in the two ways a real audio featurizer differs
+    // from a video frame sampler: windows OVERLAP (each byte lands in
+    // up to 2 windows) and the per-window reduction is an energy
+    // statistic, not a checksum. The explode multiplies rows ~n/48x
+    // BEFORE a stateless projection — no shuffle at all; at 100 TB the
+    // plan is embarrassingly parallel and bounded by scan bandwidth.
+    QueryDef(
+      "q68_audio",
+      "overlapping audio-style windowing: 96-byte windows, 48-byte hop (50% overlap), per-window integer energy + peak byte; stateless explode+project, zero shuffle",
+      """SELECT doc_id, win_idx,
+        |  CAST(win_idx * 48 AS BIGINT) AS byte_offset,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1 + win_idx*48, 1 + win_idx*48 + 96),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))),
+        |    (acc, b) -> acc + b) AS energy,
+        |  list_max(
+        |    list_transform(range(1 + win_idx*48, 1 + win_idx*48 + 96),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS peak
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (octet_length(encode(text)) - 96) // 48 + 1))
+        |          AS win_idx
+        |      FROM documents
+        |      WHERE octet_length(encode(text)) >= 96)""".stripMargin) { (s, dir) =>
+      // documents.text is ASCII (byte == char on both engines); only
+      // FULL windows are emitted, so every window is exactly 96 bytes.
+      val n = octet_length(col("text").cast("binary")).cast(LongType)
+      val bytesOf = (from: org.apache.spark.sql.Column) =>
+        transform(sequence(from, from + 95),
+          i => ascii(col("text").substr(i.cast("int"), lit(1))).cast(LongType))
+      Tables.documents(s, dir)
+        .filter(n >= 96)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), (n - 96).divide(48).cast(LongType))).as("win_idx"))
+        .select(col("doc_id"), col("win_idx"),
+          (col("win_idx") * 48).cast(LongType).as("byte_offset"),
+          aggregate(bytesOf(lit(1L) + col("win_idx") * 48), lit(0L),
+            (acc, b) => acc + b).as("energy"),
+          array_max(bytesOf(lit(1L) + col("win_idx") * 48)).as("peak"))
     })
 }

@@ -146,5 +146,16 @@ object StreamingQueries {
       "streaming dropDuplicates on (user_id, event_type): bounded drain emits exactly the distinct key set (only key columns projected, so the arbitrary-survivor row doesn't matter)",
       "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
       StreamingOps.streamingDedup(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    QueryDef(
+      "q67_streamdim",
+      "stream-static enrichment join: event stream joined to a broadcast static dim per micro-batch (stateless — no watermark, no state store); drained table aggregate equals the pure-batch join oracle",
+      """SELECT n_name, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      StreamingOps.streamStaticJoin(s, dir)
     })
 }

@@ -219,5 +219,37 @@ object TextQueries {
       scored.withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
+    },
+
+    // ------------------------------------------------------------------
+    // Repetition / boilerplate scoring — the training-data quality
+    // signal dedup pipelines cut on (Gopher/C4-style repetition rules):
+    // type-token ratio (distinct tokens / tokens) and the count of
+    // immediately-repeated tokens. Everything is per-row array
+    // arithmetic on codegen'd builtins — no explode, no shuffle, no
+    // UDF: the whole plan is a stateless projection that scales with
+    // scan bandwidth. The ratio is ONE double division of two exact
+    // integers (IEEE-deterministic on both engines).
+    QueryDef(
+      "q69_repetition",
+      "repetition/boilerplate quality stats: type-token ratio + consecutive-duplicate count per doc, pure per-row array arithmetic — stateless projection, zero shuffle",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr,
+        |  CAST(len(list_filter(range(2, len(string_split(text, ' ')) + 1),
+        |    i -> string_split(text, ' ')[i] = string_split(text, ' ')[i - 1]))
+        |    AS BIGINT) AS n_consec_dup
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_types"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+        size(filter(sequence(lit(2), size(toks)),
+          i => element_at(toks, i) === element_at(toks, i - 1)))
+          .cast(LongType).as("n_consec_dup"))
     })
 }

@@ -163,6 +163,32 @@ object StreamingOps {
     spark.table(table).filter(col("event_type") =!= "graft_sentinel")
   }
 
+  /** Stream-static enrichment join: each micro-batch of the event stream
+    * joins a STATIC dimension table (nation, keyed by user_id % 25) —
+    * the canonical streaming lookup-enrichment shape. Stateless: no
+    * watermark and no state store, because the static side is complete
+    * at plan time; Spark broadcasts it into every micro-batch, so the
+    * stream side never shuffles for the join. At 100 TB/day the same
+    * plan holds as long as the dim is broadcastable; a huge dim swaps
+    * in a shuffled join without touching the query. The drained
+    * enriched table is aggregated in batch and equals the pure-batch
+    * join oracle regardless of how the source was micro-batched. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) {
+      val table = freshTable(spark, "stream_dim")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q67_ckpt").toString
+      val dim = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      val enriched = eventStream(spark, dir)
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(dim), (col("user_id") % 25) === col("nk"))
+        .select(col("event_id"), col("user_id"), col("n_name"))
+      drainToTable(enriched, ckpt, table)
+      spark.table(table).groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }
+
   /** Stream-stream interval join (attribution shape): purchases matched
     * to a prior click by the same user within 30 minutes. Both sides
     * carry watermarks and the join predicate bounds event-time distance,
