@@ -77,6 +77,21 @@ object CrossEngine {
   def sqDistFold(a: Column, b: Column): Column =
     call_function("graft_sqdist", a, b)
 
+  /** Rolling polynomial hash `acc = (acc*mult + byte) % mod` over a
+    * 1-based, end-clamped byte range of a binary column — the native
+    * codegen'd ByteFold (see ByteExprs); bit-identical to the
+    * `aggregate(transform(sequence(...), ascii∘substr))` HOF chain on
+    * ASCII payloads (ByteExprsSpec). `mult`/`mod` are plan-time
+    * constants spliced into the generated loop. */
+  def byteFold(data: Column, start: Column, len: Column,
+      mult: Long, mod: Long): Column =
+    call_function("graft_bytefold", data, start, len, lit(mult), lit(mod))
+
+  /** Max unsigned byte over the same clamped range (null when empty),
+    * native codegen'd. */
+  def byteMax(data: Column, start: Column, len: Column): Column =
+    call_function("graft_bytemax", data, start, len)
+
   /** HOF reference implementation of [[sqDistFold]]. */
   def sqDistFoldHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)

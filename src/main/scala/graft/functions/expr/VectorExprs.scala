@@ -107,10 +107,22 @@ case class SqDistFold(left: Expression, right: Expression) extends VectorFold {
 }
 
 object VectorExprs {
+  /** The fold constants must be plan-time literals (they're spliced
+    * into generated Java as constants). */
+  private def litLong(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case _ => throw new IllegalArgumentException(
+      s"graft_bytefold: $what must be an integer literal, got $e")
+  }
+
   /** (name, info, builder) triples for SparkSessionExtensions.injectFunction. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotFold(es(0), es(1))),
-    "graft_sqdist" -> (es => SqDistFold(es(0), es(1))))
+    "graft_sqdist" -> (es => SqDistFold(es(0), es(1))),
+    "graft_bytefold" -> (es => ByteFold(es(0), es(1), es(2),
+      litLong(es(3), "mult"), litLong(es(4), "mod"))),
+    "graft_bytemax" -> (es => ByteMax(es(0), es(1), es(2))))
 
   def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[VectorFold].getName, name)

@@ -138,14 +138,13 @@ object MultimodalQueries {
         .filter(col("frame_idx") % 4 === 0)
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * 64).cast(LongType).as("byte_offset"),
-          aggregate(
-            transform(
-              sequence(lit(1L) + col("frame_idx") * 64,
-                least((col("frame_idx") + 1) * 64,
-                  octet_length(col("text").cast("binary")).cast(LongType))),
-              i => ascii(col("text").substr(i.cast("int"), lit(1))).cast(LongType)),
-            lit(0L),
-            (acc, b) => (acc * 131 + b) % 1000003L).as("frame_hash"))
+          // native codegen'd byte loop (ByteExprs) — same arithmetic,
+          // same end-clamping as the original HOF chain
+          // aggregate(transform(sequence(...), ascii∘substr), ...);
+          // ByteExprsSpec holds the HOF form as the executable spec
+          byteFold(col("text").cast("binary"),
+            lit(1L) + col("frame_idx") * 64, lit(64L),
+            131L, 1000003L).as("frame_hash"))
     },
 
     // ------------------------------------------------------------------
@@ -178,18 +177,19 @@ object MultimodalQueries {
         |      WHERE octet_length(encode(text)) >= 96)""".stripMargin) { (s, dir) =>
       // documents.text is ASCII (byte == char on both engines); only
       // FULL windows are emitted, so every window is exactly 96 bytes.
+      // energy/peak are native codegen'd byte loops (ByteExprs): the
+      // sum is byteFold with mult=1 and a mod no 96-byte sum can reach,
+      // so (acc*1 + b) % mod degenerates to the plain sum.
       val n = octet_length(col("text").cast("binary")).cast(LongType)
-      val bytesOf = (from: org.apache.spark.sql.Column) =>
-        transform(sequence(from, from + 95),
-          i => ascii(col("text").substr(i.cast("int"), lit(1))).cast(LongType))
+      val winStart = lit(1L) + col("win_idx") * 48
       Tables.documents(s, dir)
         .filter(n >= 96)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0L), (n - 96).divide(48).cast(LongType))).as("win_idx"))
         .select(col("doc_id"), col("win_idx"),
           (col("win_idx") * 48).cast(LongType).as("byte_offset"),
-          aggregate(bytesOf(lit(1L) + col("win_idx") * 48), lit(0L),
-            (acc, b) => acc + b).as("energy"),
-          array_max(bytesOf(lit(1L) + col("win_idx") * 48)).as("peak"))
+          byteFold(col("text").cast("binary"), winStart, lit(96L),
+            1L, Long.MaxValue).as("energy"),
+          byteMax(col("text").cast("binary"), winStart, lit(96L)).as("peak"))
     })
 }
