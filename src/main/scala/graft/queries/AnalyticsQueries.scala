@@ -249,5 +249,111 @@ object AnalyticsQueries {
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("c_mktsegment"), col("c_acctbal").as("median_acctbal"),
           col("n").as("n_rows"))
+    },
+
+    // ------------------------------------------------------------------
+    // MERGE INTO / upsert semantics, engine-side: matched keys take the
+    // update batch's values, unmatched-in-target rows are inserted,
+    // untouched rows pass through — expressed as ONE full-outer join +
+    // per-column coalesce (source wins), which is exactly the dataflow
+    // a MERGE compiles to. The update batch is synthesized
+    // deterministically (every 7th customer re-priced, plus 150 brand
+    // new keys). Scale shape: one shuffle on the key — or zero for the
+    // fact side when the batch is broadcastable; on a real lakehouse
+    // table the same plan applies after partition-pruning to the files
+    // the batch touches. The op tag makes matched/inserted/kept rows
+    // separately countable (and the test non-vacuous).
+    QueryDef(
+      "q70_upsert",
+      "MERGE/upsert emulation: full-outer join + per-column coalesce (source wins) with matched/insert/keep op tags — the dataflow a MERGE INTO compiles to, one shuffle",
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
+        |      c_mktsegment
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NewCustomer#' || c_custkey,
+        |      0.0, 'STARTUP'
+        |    FROM customer WHERE c_custkey <= 150)
+        |SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+        |  COALESCE(u.c_name, t.c_name) AS c_name,
+        |  COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+        |  COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+        |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+        |       WHEN u.c_custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS op
+        |FROM customer t FULL JOIN upd u ON t.c_custkey = u.c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val upd = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 50.0).as("c_acctbal"), col("c_mktsegment"))
+        .unionAll(c.filter(col("c_custkey") <= 150)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("NewCustomer#"), col("c_custkey")).as("c_name"),
+            lit(0.0).as("c_acctbal"), lit("STARTUP").as("c_mktsegment")))
+      val t = c.select(col("c_custkey").as("tk"), col("c_name").as("tn"),
+        col("c_acctbal").as("tb"), col("c_mktsegment").as("tm"))
+      t.join(upd, t("tk") === upd("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("tk")).as("c_custkey"),
+          coalesce(col("c_name"), col("tn")).as("c_name"),
+          coalesce(col("c_acctbal"), col("tb")).as("c_acctbal"),
+          coalesce(col("c_mktsegment"), col("tm")).as("c_mktsegment"),
+          when(col("tk").isNull, "insert")
+            .when(col("c_custkey").isNull, "keep")
+            .otherwise("update").as("op"))
+    },
+
+    // ------------------------------------------------------------------
+    // Conversion-funnel analysis: per user, first 'view', first 'click'
+    // within 24h after it, first 'purchase' within 24h after that;
+    // users counted by deepest stage reached. (The 24h step bound is
+    // what makes the funnel discriminate — the synthetic users emit
+    // events for a month, so an unbounded funnel converts everyone;
+    // bounded it splits 90/35/25 at sf0.01.) Each stage is a conditional MIN
+    // aggregate on user_id — three aggregations co-partitioned on the
+    // same key, so after the first Exchange the follow-on joins and
+    // groupBys reuse the partitioning (no re-shuffle; AQE coalesces).
+    // Timestamps are ms-truncated on BOTH engines before any
+    // comparison — the >= conditions would otherwise disagree for
+    // events inside the same millisecond (Spark stores micros, the
+    // parquet holds nanos).
+    QueryDef(
+      "q71_funnel",
+      "view->click(24h)->purchase(24h) conversion funnel: per-user conditional-min stage times (ms-truncated both engines), users counted by deepest stage; co-partitioned aggregates reuse one shuffle",
+      """WITH e AS (SELECT user_id, event_type,
+        |    date_trunc('millisecond', ts) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage,
+        |  count(*) AS n_users
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), date_trunc("millisecond", col("ts")).as("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") >= col("t1")
+          && col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") >= col("t2")
+          && col("ts") <= col("t2") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+        .select(when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1).cast(LongType).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
     })
 }
