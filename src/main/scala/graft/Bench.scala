@@ -106,14 +106,15 @@ object Bench {
     * line carried per-query samples arrays and ran ~6 KB, so the tail
     * window cut its head off and the parse failed (BENCH_r0{1,3,4}.json:
     * `"parsed": null`; round 2's short 14-query line parsed fine). So:
-    * 2-decimal minima only, no samples, sf as basename. Full-precision
-    * samples live in bench_out.json, which is committed with the repo.
+    * 1-decimal minima only (each query costs len(name)+6 chars on the
+    * line), no samples, sf as basename. Full-precision samples live in
+    * bench_out.json, which is committed with the repo.
     * BenchFormatSpec asserts this stays within the tail budget.
     */
   def compactJson(results: Seq[(String, Seq[Double])], failed: Seq[String],
       sfDir: String): String = {
     val qs = results.map { case (k, ss) =>
-      val v = if (ss.isEmpty) "null" else f(ss.min, 2)
+      val v = if (ss.isEmpty) "null" else f(ss.min, 1)
       s""""$k":$v"""
     }.mkString("{", ",", "}")
     val fs = failed.map(x => s""""$x"""").mkString("[", ",", "]")

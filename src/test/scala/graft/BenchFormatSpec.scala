@@ -30,7 +30,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.compactJson(fakeResults, Seq("qX_dead"), "/root/testdata/sf0.1")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""unit":"sec""""))
-    assert(line.contains(""""q1_pricing_summary":8.45"""))
+    assert(line.contains(""""q1_pricing_summary":8.4"""))
     assert(line.contains(""""failed":["qX_dead"]"""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
   }
