@@ -16,12 +16,16 @@ import graft.sources.Tables
   * The sf0.01 corpus plants 25 near-duplicate pairs at Jaccard >= 0.8
   * (verified by probe), so the LSH / verify stages are non-vacuous.
   *
-  * Scale note: as pure plans, the shingle subtree is recomputed by each
-  * consumer branch (Spark reuses shuffle stages only when subtrees
-  * canonicalize identically). Linear re-work, not a blow-up — but at
-  * 100 TB the shingle/signature tables would be STAGED once as bucketed
-  * tables (the medallion pattern, see q41) and every dedup pass would
-  * read the stage, not recompute it.
+  * Scale note: the shingle subtree feeds several consumer branches per
+  * query (signature, per-doc counts, both sides of the verify join), and
+  * Spark reuses shuffle stages only when subtrees canonicalize
+  * identically — so as a pure plan it was recomputed per branch. It is
+  * now STAGED once per query run via an eager `localCheckpoint` (the
+  * single-session analog of writing the shingle table as a bucketed
+  * stage, the medallion pattern of q41): one tokenize-explode-distinct
+  * pass, then every branch reads the materialized blocks. At 100 TB the
+  * checkpoint becomes a real bucketed stage table and every dedup pass
+  * reads the stage, not the corpus.
   */
 object DedupQueries {
 
@@ -56,7 +60,9 @@ object DedupQueries {
     * doc_b. Shared by q24 (which declares the pairs) and q54 (which
     * clusters them into connected components). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
+    // staged once (see object Scaladoc): consumed by the signature
+    // pipeline, the per-doc counts, and both sides of the verify join
+    val sh = shingleDf(s, dir).localCheckpoint()
     val h = sh.select(col("doc_id"), tokenHash(col("sg")).as("h"))
     val sig = h.groupBy("doc_id")
       .agg(min(permHash(col("h"), 0)).as("m0"),
@@ -208,10 +214,18 @@ object DedupQueries {
          |FROM pairs JOIN cnt xa ON xa.doc_id = da
          |           JOIN cnt yb ON yb.doc_id = db
          |WHERE c::DOUBLE / (xa.n + yb.n - c) >= 0.3""".stripMargin) { (s, dir) =>
-      val sh = shingleDf(s, dir)
-      val hot = sh.groupBy("sg").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCut).select("sg")
-      val fsh = sh.join(hot, "sg")
+      // df-cut as a count-over-window on sg: ONE shuffle both computes
+      // the document frequency and leaves the index hash-partitioned on
+      // sg — the groupBy+join formulation paid a second shuffle to
+      // rejoin the cut back onto the index. fsh is then staged once
+      // (see object Scaladoc): consumed by the per-doc counts and both
+      // sides of the pair join.
+      val fsh = shingleDf(s, dir)
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))))
+        .filter(col("df") <= DfCut)
+        .select("doc_id", "sg")
+        .localCheckpoint()
       val cnt = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = fsh.select(col("doc_id").as("da"), col("sg"))
       val b = fsh.select(col("doc_id").as("db"), col("sg").as("bsg"))
@@ -264,26 +278,43 @@ object DedupQueries {
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("u", "v")
         .localCheckpoint()
-      var labels = Tables.documents(s, dir)
+      // The loop runs ONLY over vertices that appear in the pair graph —
+      // near-dup pairs are a vanishing fraction of the corpus, so the
+      // per-round join touches |pairs|-scale rows, not |corpus|-scale
+      // (at 100 TB: millions, not billions). Non-pair documents are
+      // singleton clusters and join back in after the fixpoint.
+      var labels = edges.select(col("u").as("doc_id"))
+        .distinct()
         .select(col("doc_id"), col("doc_id").as("label"))
-      var changed = 1L
-      while (changed > 0) {
+        .localCheckpoint()
+      // Labels are monotonically non-increasing, so the fixpoint test is
+      // sum(label) unchanged — one aggregate per round instead of the
+      // old self-join + count.
+      def labelSum(): Long = Option(labels.agg(sum(col("label"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      var prevSum = labelSum()
+      var converged = labels.isEmpty
+      while (!converged) {
         val nbrMin = edges
           .join(labels.select(col("doc_id").as("v2"), col("label").as("vl")),
             col("v") === col("v2"))
           .groupBy(col("u")).agg(min(col("vl")).as("nl"))
-        val next = labels
+        // lazy checkpoint: materializes during the convergence aggregate
+        // (one job per round, not two) while still truncating lineage
+        labels = labels
           .join(nbrMin, col("doc_id") === col("u"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .localCheckpoint()
-        changed = next.select(col("doc_id"), col("label").as("nlabel"))
-          .join(labels, Seq("doc_id"))
-          .filter(col("nlabel") =!= col("label")).count()
-        labels = next
+          .localCheckpoint(eager = false)
+        val s2 = labelSum()
+        converged = s2 == prevSum
+        prevSum = s2
       }
-      labels
-        .select(col("doc_id"), col("label").as("canonical_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .join(labels.withColumnRenamed("label", "lbl"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("canonical_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("canonical_id"))))

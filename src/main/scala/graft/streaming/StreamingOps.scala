@@ -230,14 +230,16 @@ object StreamingOps {
       .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
         col("click_ts"), col("buy_ts"))
 
-    val sink = s"graft_attr_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = joined.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+    // Checkpointed foreachBatch append to a managed table (q34 shape):
+    // the sink grows on disk, not in driver memory, and a restart resumes
+    // from the checkpoint — the form that survives unbounded operation.
+    // No sentinel restart is needed: an inner stream-stream join emits
+    // each match as soon as both sides arrive (the watermark only gates
+    // STATE EVICTION), so the single AvailableNow drain emits every match.
+    val table = freshTable(spark, "stream_attr")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q47_ckpt").toString
+    drainToTable(joined, ckpt, table)
+    spark.table(table)
   }
 
   /** Streaming deduplication: dropDuplicates on the (user_id,
@@ -246,19 +248,23 @@ object StreamingOps {
     * are projected; that makes the result deterministic and equal to
     * batch DISTINCT). At scale the same call takes a watermark so the
     * key state is evictable. */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) { streamingDedupInner(spark, dir) }
+
+  private def streamingDedupInner(spark: SparkSession, dir: String): DataFrame = {
     val dedup = eventStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
 
-    val sink = s"graft_dedup_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = dedup.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+    // Checkpointed foreachBatch append to a managed table (q34 shape).
+    // dropDuplicates emits a key the first time it appears, so the single
+    // AvailableNow drain emits the complete distinct key set — no
+    // sentinel restart needed (the keep-all state, evictable only with a
+    // watermark, is the documented at-scale caveat above).
+    val table = freshTable(spark, "stream_dedup")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q48_ckpt").toString
+    drainToTable(dedup, ckpt, table)
+    spark.table(table)
   }
 
   /** Streaming ELT through foreachBatch (SURVEY §2.9's named upgrade

@@ -26,13 +26,31 @@ class BenchFormatSpec extends AnyFunSuite {
         "Trim the format (or the query-name budget) before adding queries.")
   }
 
+  test("compact line keeps >=25% headroom at a simulated 100 queries") {
+    val hundred = (1 to 100).map(i => s"q${i}_some_realistic_query_name" ->
+      Seq(13.3713, 9.0401, 10.5512, 8.4477, 12.0009))
+    val line = Bench.compactJson(hundred, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= (1880 * 0.75).toInt,
+      s"line is ${line.length} chars at 100 queries; need <=1410 so the " +
+        "format survives query growth without another emergency trim.")
+  }
+
   test("compact line is valid JSON shape with per-query numbers") {
-    val line = Bench.compactJson(fakeResults, Seq("qX_dead"), "/root/testdata/sf0.1")
+    val line = Bench.compactJson(fakeResults, Seq("q99_dead"), "/root/testdata/sf0.1")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""unit":"sec""""))
-    assert(line.contains(""""q1_pricing_summary":8.4"""))
-    assert(line.contains(""""failed":["qX_dead"]"""))
+    // short qNN keys on the stdout line; full names live in bench_out.json
+    assert(line.contains(""""q1":8.4"""))
+    assert(!line.contains(""""q1_pricing_summary""""))
+    assert(line.contains(""""failed":["q99"]"""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
+  }
+
+  test("shortName maps qNN_suffix to qNN and leaves other names intact") {
+    assert(Bench.shortName("q7_dedup_rank") == "q7")
+    assert(Bench.shortName("q104_foo") == "q104")
+    assert(Bench.shortName("warmup") == "warmup")
+    assert(Bench.shortName("qx_notdigits") == "qx_notdigits")
   }
 
   test("failed query renders as null in compact and full lines") {
