@@ -251,5 +251,123 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("q_id", "vec_id", "cosine", "rk")
+    },
+
+    // ------------------------------------------------------------------
+    // IVF-PQ ADC search: the composition of q39's coarse quantizer and
+    // q79's PQ codes into the actual 100-TB ANN index pattern. One pass
+    // assigns every vector to its IVF cell AND encodes it as 4 PQ code
+    // ints; a query probes only its own cell (nprobe=1) and scores
+    // candidates by ASYMMETRIC distance: the query precomputes a
+    // 4x4 lookup table of exact subspace distances to every codebook
+    // centroid, and a candidate's distance is the sum of its 4 looked-up
+    // entries — the candidate's raw vector is never read. At 100 TB the
+    // scan touches 4 ints + a cell id per vector (the compressed index)
+    // instead of 256 bytes of floats, and the LUT join is a broadcast.
+    // Exactness: LUT entries are sequential-fold doubles over
+    // integer-valued centroids; the ADC sum is 4 doubles added in fixed
+    // left-assoc order — bit-identical on both engines.
+    QueryDef(
+      "q82_ivfpq_adc",
+      s"IVF-PQ ANN: one pass assigns $NumCells-cell IVF + ${PqGeometry.PqSub}x${PqGeometry.PqK} PQ codes, queries probe own cell and rank by ADC lookup-table distance (codes only, raw vectors never rejoined), top-3",
+      {
+        import PqGeometry._
+        val cellDists = (0 until NumCells).map { k =>
+          val arr = centroid(k).mkString(", ")
+          s"${sqlSqDistFold("v", s"[$arr]::DOUBLE[]")} AS d$k"
+        }.mkString(",\n    ")
+        val codeDists = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
+          val arr = pqCentroid(m, k).mkString(", ")
+          val slice = s"v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+          s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS c${m}_$k"
+        }).mkString(",\n    ")
+        val cellArgmin = (0 until NumCells - 1).map { k =>
+          val leLater = (k + 1 until NumCells).map(j => s"d$k <= d$j").mkString(" AND ")
+          s"WHEN $leLater THEN $k"
+        }.mkString(" ")
+        def codeArgmin(m: Int): String = {
+          val cases = (0 until PqK - 1).map { k =>
+            val leLater = (k + 1 until PqK).map(j => s"c${m}_$k <= c${m}_$j").mkString(" AND ")
+            s"WHEN $leLater THEN $k"
+          }.mkString(" ")
+          s"CASE $cases ELSE ${PqK - 1} END"
+        }
+        val lutCols = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
+          val arr = pqCentroid(m, k).mkString(", ")
+          val slice = s"qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+          s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS lut${m}_$k"
+        }).mkString(",\n    ")
+        val adcSum = (0 until PqSub).map { m =>
+          val cases = (0 until PqK).map(k => s"WHEN $k THEN lut${m}_$k").mkString(" ")
+          s"(CASE a.code$m $cases END)"
+        }.mkString(" + ")
+        s"""WITH e AS ($sqlVecs),
+           |d AS (SELECT vec_id, v,
+           |    $cellDists,
+           |    $codeDists
+           |  FROM e),
+           |assigned AS (SELECT vec_id, v,
+           |    CASE $cellArgmin ELSE ${NumCells - 1} END AS cell,
+           |    ${(0 until PqSub).map(m => s"${codeArgmin(m)} AS code$m").mkString(",\n    ")}
+           |  FROM d),
+           |q AS (SELECT vec_id AS q_id, v AS qv, cell AS qcell
+           |  FROM assigned WHERE vec_id < $NumQueries),
+           |lut AS (SELECT q_id, qcell,
+           |    $lutCols
+           |  FROM q),
+           |scored AS (SELECT q_id, a.vec_id, $adcSum AS adc
+           |  FROM lut JOIN assigned a ON a.cell = lut.qcell AND a.vec_id <> q_id)
+           |SELECT q_id, vec_id, adc, rk FROM (
+           |  SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rk
+           |  FROM scored) WHERE rk <= 3""".stripMargin
+      }) { (s, dir) =>
+      import PqGeometry._
+      val e = vecs(s, dir)
+      // one pass: IVF cell distances + all subspace codebook distances
+      val cellDists: Seq[Column] = (0 until NumCells).map { k =>
+        sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
+      }
+      val codeDists: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
+        sqDistFold(slice(col("v"), m * PqSubDim + 1, PqSubDim),
+          array(pqCentroid(m, k).map(lit): _*)).as(s"c${m}_$k")
+      val d = e.select(col("vec_id") +: col("v") +: (cellDists ++ codeDists): _*)
+      val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
+        (k, rest) =>
+          val leLater = (k + 1 until NumCells)
+            .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
+          when(leLater, lit(k)).otherwise(rest)
+      }
+      def code(m: Int): Column =
+        (0 until PqK - 1).foldRight(lit(PqK - 1): Column) { (k, rest) =>
+          val leLater = (k + 1 until PqK)
+            .map(j => col(s"c${m}_$k") <= col(s"c${m}_$j")).reduce(_ && _)
+          when(leLater, lit(k)).otherwise(rest)
+        }
+      val assigned = d.select(
+        col("vec_id") +: col("v") +: cell.as("cell") +:
+          (0 until PqSub).map(m => code(m).as(s"code$m")): _*)
+      // query-side LUT: exact subspace distance to every codebook entry
+      val lutCols: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
+        sqDistFold(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+          array(pqCentroid(m, k).map(lit): _*)).as(s"lut${m}_$k")
+      val q = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("qcell"))
+        .select(col("q_id") +: col("qcell") +: lutCols: _*)
+      // ADC: candidate distance = sum of its codes' LUT entries — the
+      // candidate's raw vector never appears past the assignment pass
+      def lutVal(m: Int): Column =
+        (0 until PqK - 1).foldRight(col(s"lut${m}_${PqK - 1}")) { (k, rest) =>
+          when(col(s"code$m") === k, col(s"lut${m}_$k")).otherwise(rest)
+        }
+      val adc = (1 until PqSub).foldLeft(lutVal(0))((acc, m) => acc + lutVal(m))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+      assigned.drop("v")
+        .join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("q_id", "vec_id", "adc", "rk")
     })
 }

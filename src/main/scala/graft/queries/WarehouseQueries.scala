@@ -31,16 +31,8 @@ object WarehouseQueries {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
-  // ---- q79 product quantization geometry ---------------------------------
-  private val PqSub = 4        // subspaces
-  private val PqSubDim = 16    // dims per subspace (4 x 16 = 64 = embedding dim)
-  private val PqK = 4          // centroids per subspace
-
-  /** Deterministic integer-valued PQ codebook entry (m = subspace,
-    * k = centroid, i = component): stand-in for per-subspace k-means
-    * output, integer-exact in double on both engines (q39 pattern). */
-  private def pqCentroid(m: Int, k: Int): Seq[Double] =
-    (0 until PqSubDim).map(i => (((i * 7 + k * 13 + m * 5) % 9) - 4).toDouble)
+  // ---- q79 product quantization geometry (shared with q82's ADC search)
+  import PqGeometry.{PqSub, PqSubDim, PqK, pqCentroid}
 
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -392,5 +384,90 @@ object WarehouseQueries {
         }.reduce(_ + _)
       p.select(col("p_partkey"), interleave(col("x"), col("y")).as("zval"))
         .withColumn("zbucket", expr("zval div 64"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q18 silhouette (large-volume orders): the aggregate runs
+    // FIRST — one groupBy over lineitem with a HAVING cut that keeps
+    // ~1% of orders — and only the survivors join orders/customer.
+    // Inverting that order (join first, aggregate after) would drag the
+    // full customer/orders width through the biggest shuffle in the
+    // plan; at 100 TB the HAVING output is small enough that AQE turns
+    // both subsequent joins into broadcasts at runtime. sum_qty is
+    // carried from the aggregate, not recomputed. Top-100 by
+    // (o_totalprice desc, o_orderkey) = TakeOrderedAndProject.
+    QueryDef(
+      "q83_tpch18",
+      "TPC-H-Q18-shape large-volume orders: aggregate-then-join ordering (HAVING sum(qty) > 250 cut before the star join), top-100 via TakeOrderedAndProject",
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qd"))
+        .filter(col("qd") > lit(250).cast(DecimalType(18, 2)))
+        .select(col("l_orderkey"), col("qd").cast("double").as("sum_qty"))
+      big
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21 silhouette (suppliers who kept orders waiting): the
+    // multi-EXISTS/NOT-EXISTS self-join on lineitem. The test lineitem
+    // has no commit/receipt dates, so "late" = shipped >100 days after
+    // the order date; the structure is the real thing: a candidate late
+    // line survives iff ANOTHER supplier has a line on the same order
+    // (left-semi self-join) and NO other supplier's line on that order
+    // is also late (left-anti self-join). All three passes key on
+    // l_orderkey, so at scale the semi and anti joins reuse one
+    // co-partitioning of the same staged side — no second shuffle
+    // shape. supplier is data-scaled: NOT force-broadcast (AQE decides).
+    QueryDef(
+      "q84_tpch21",
+      "TPC-H-Q21-shape waiting suppliers: late line survives a left-semi (other supplier on order) then left-anti (no other late supplier) self-join; per-supplier waits, top-20",
+      """WITH l1 AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 100 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1 a JOIN supplier ON a.l_suppkey = s_suppkey
+        |WHERE a.late
+        |  AND EXISTS (SELECT 1 FROM l1 b
+        |    WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 c
+        |    WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+        |      AND c.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, dir) =>
+      val l1 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAY"))
+            .as("late"))
+      val others = l1.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("late").as("olate"))
+      val cand = l1.filter(col("late"))
+        .join(others,
+          col("ok") === col("l_orderkey") && col("sk") =!= col("l_suppkey"),
+          "left_semi")
+        .join(others.filter(col("olate")),
+          col("ok") === col("l_orderkey") && col("sk") =!= col("l_suppkey"),
+          "left_anti")
+      cand
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     })
 }

@@ -113,4 +113,35 @@ class TechniqueSpec extends SparkSpec {
     val again = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
     assert(hll.exceptAll(again).isEmpty && again.exceptAll(hll).isEmpty)
   }
+
+  test("z-order layout: p_size range predicate touches fewer files than unclustered") {
+    // q81 computes the cluster key; this proves the LAYOUT it implies
+    // actually skips: write the same table twice into the same number of
+    // files — once range-partitioned+sorted by (zbucket, zval), once
+    // hash-partitioned on p_partkey (uncorrelated with p_size) — and
+    // count the files containing any `p_size BETWEEN 5 AND 8` row.
+    // Distinct input_file_name over the filtered read is exactly the
+    // file set a footer min/max pruner must open; the z-ordered layout
+    // confines the predicate's rows to the buckets whose interleaved
+    // p_size bits fall in range, the hash layout smears them everywhere.
+    val sf01 = "/root/testdata/sf0.01" // 2000 parts, 144 in [5,8]
+    val z = SparkEntry.queries("q81_zorder")(spark, sf01)
+    val p = Tables.part(spark, sf01).select("p_partkey", "p_size")
+    val tbl = z.join(p, "p_partkey")
+    val n = 16
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    tbl.repartitionByRange(n, col("zbucket"), col("zval"))
+      .sortWithinPartitions("zbucket", "zval")
+      .write.mode("overwrite").parquet(s"$base/clustered")
+    tbl.repartition(n, col("p_partkey"))
+      .write.mode("overwrite").parquet(s"$base/unclustered")
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path).filter(col("p_size").between(5, 8))
+        .select(input_file_name()).distinct().count()
+    val clustered = filesTouched(s"$base/clustered")
+    val unclustered = filesTouched(s"$base/unclustered")
+    assert(clustered * 2 <= unclustered,
+      s"z-ordered layout touched $clustered of $n files vs $unclustered " +
+        "unclustered — clustering is not skipping")
+  }
 }
