@@ -318,5 +318,39 @@ object DedupQueries {
         .withColumn("cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("canonical_id"))))
+    },
+
+    // ------------------------------------------------------------------
+    // Benchmark decontamination (GPT-3 appendix-C shape): a training
+    // document is contaminated if it shares any 13-gram with a held-out
+    // benchmark/eval set. Candidates come ONLY through the 13-gram
+    // equi-join against the benchmark's shingle set — at 100 TB the
+    // benchmark side is a few thousand documents (here the mod-5 slice
+    // stands in), so its shingles broadcast and the corpus-sized side
+    // never shuffles: the whole check is one broadcast-join + groupBy.
+    // Both sides are DISTINCT per (doc, shingle), so count(*) per pair
+    // is exactly the number of distinct shared 13-grams.
+    QueryDef(
+      "q86_decontaminate",
+      "benchmark decontamination: corpus docs sharing any 13-gram with the benchmark slice (doc_id % 5 = 0), via broadcast shingle equi-join — per (doc, bench) distinct shared-13-gram counts",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 13),
+         |sh13 AS (SELECT DISTINCT doc_id,
+         |           unnest(${sqlShingles("t", 13)}) AS sg FROM toks),
+         |bench AS (SELECT doc_id AS bench_id, sg FROM sh13 WHERE doc_id % 5 = 0)
+         |SELECT a.doc_id, b.bench_id, count(*) AS n_shared
+         |FROM sh13 a JOIN bench b ON a.sg = b.sg AND a.doc_id <> b.bench_id
+         |GROUP BY a.doc_id, b.bench_id""".stripMargin) { (s, dir) =>
+      val n = 13
+      val sh13 = Tables.documents(s, dir)
+        .filter(size(tokens(col("text"))) >= n)
+        .select(col("doc_id"), explode(shingles(col("text"), n)).as("sg"))
+        .distinct()
+      val bench = sh13.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("bench_id"), col("sg").as("bsg"))
+      sh13.join(broadcast(bench),
+          col("sg") === col("bsg") && col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
     })
 }

@@ -53,5 +53,28 @@ object SamplingQueries {
         .filter(col("rn") <= PerStratumK)
         .select(lit("stratified").as("sample_kind"), col("doc_id"), col("lang"))
       uniform.unionByName(stratified)
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic train/val/test split: every training pipeline's
+    // first operation, done the reproducible way — bucket = salted
+    // content hash mod 10 (8/1/1 split), a pure stateless projection:
+    // no shuffle, no rand(), the same document lands in the same split
+    // on every run, engine, and cluster size, and late-arriving data
+    // never reshuffles earlier assignments (the property rand() or
+    // randomSplit() cannot give). Holdout integrity is auditable: the
+    // assignment is recomputable from the row alone.
+    QueryDef(
+      "q87_split",
+      "deterministic train/val/test split: salted-hash bucket mod 10 -> 8/1/1 assignment as a stateless projection; reproducible, append-stable, shuffle-free",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |    ${sqlMd5Hash48(s"'$Salt:split:' || doc_id::VARCHAR")} % 10 AS b
+         |  FROM documents)""".stripMargin) { (s, dir) =>
+      val b = md5Hash48(concat(lit(s"$Salt:split:"), col("doc_id").cast("string"))) % 10
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"))
     })
 }

@@ -50,6 +50,108 @@ object SimilarityQueries {
   private val sqlVecs =
     "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
 
+  // ---- IVF-PQ machinery shared by q82 (ADC search) and q85 (re-rank) ----
+
+  /** (q_id, vec_id, adc): every in-cell candidate of every query vector
+    * scored by asymmetric distance — one pass assigns each vector its
+    * IVF cell + PQ codes, the query side precomputes a PqSub x PqK LUT
+    * of exact subspace distances, and a candidate's score is the sum of
+    * its codes' LUT entries (its raw vector is never read past the
+    * assignment pass). */
+  private def adcScored(s: SparkSession, dir: String): DataFrame = {
+    import PqGeometry._
+    val e = vecs(s, dir)
+    val cellDists: Seq[Column] = (0 until NumCells).map { k =>
+      sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
+    }
+    val codeDists: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
+      sqDistFold(slice(col("v"), m * PqSubDim + 1, PqSubDim),
+        array(pqCentroid(m, k).map(lit): _*)).as(s"c${m}_$k")
+    val d = e.select(col("vec_id") +: col("v") +: (cellDists ++ codeDists): _*)
+    val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
+      (k, rest) =>
+        val leLater = (k + 1 until NumCells)
+          .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
+        when(leLater, lit(k)).otherwise(rest)
+    }
+    def code(m: Int): Column =
+      (0 until PqK - 1).foldRight(lit(PqK - 1): Column) { (k, rest) =>
+        val leLater = (k + 1 until PqK)
+          .map(j => col(s"c${m}_$k") <= col(s"c${m}_$j")).reduce(_ && _)
+        when(leLater, lit(k)).otherwise(rest)
+      }
+    val assigned = d.select(
+      col("vec_id") +: col("v") +: cell.as("cell") +:
+        (0 until PqSub).map(m => code(m).as(s"code$m")): _*)
+    // query-side LUT: exact subspace distance to every codebook entry
+    val lutCols: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
+      sqDistFold(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
+        array(pqCentroid(m, k).map(lit): _*)).as(s"lut${m}_$k")
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("qcell"))
+      .select(col("q_id") +: col("qcell") +: lutCols: _*)
+    def lutVal(m: Int): Column =
+      (0 until PqK - 1).foldRight(col(s"lut${m}_${PqK - 1}")) { (k, rest) =>
+        when(col(s"code$m") === k, col(s"lut${m}_$k")).otherwise(rest)
+      }
+    val adc = (1 until PqSub).foldLeft(lutVal(0))((acc, m) => acc + lutVal(m))
+    assigned.drop("v")
+      .join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+  }
+
+  /** Oracle CTE list producing `scored(q_id, vec_id, adc)` — the SQL
+    * twin of [[adcScored]], shared by q82 and q85. */
+  private lazy val sqlAdcCtes: String = {
+    import PqGeometry._
+    val cellDists = (0 until NumCells).map { k =>
+      val arr = centroid(k).mkString(", ")
+      s"${sqlSqDistFold("v", s"[$arr]::DOUBLE[]")} AS d$k"
+    }.mkString(",\n    ")
+    val codeDists = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
+      val arr = pqCentroid(m, k).mkString(", ")
+      val slice = s"v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+      s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS c${m}_$k"
+    }).mkString(",\n    ")
+    val cellArgmin = (0 until NumCells - 1).map { k =>
+      val leLater = (k + 1 until NumCells).map(j => s"d$k <= d$j").mkString(" AND ")
+      s"WHEN $leLater THEN $k"
+    }.mkString(" ")
+    def codeArgmin(m: Int): String = {
+      val cases = (0 until PqK - 1).map { k =>
+        val leLater = (k + 1 until PqK).map(j => s"c${m}_$k <= c${m}_$j").mkString(" AND ")
+        s"WHEN $leLater THEN $k"
+      }.mkString(" ")
+      s"CASE $cases ELSE ${PqK - 1} END"
+    }
+    val lutCols = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
+      val arr = pqCentroid(m, k).mkString(", ")
+      val slice = s"qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+      s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS lut${m}_$k"
+    }).mkString(",\n    ")
+    val adcSum = (0 until PqSub).map { m =>
+      val cases = (0 until PqK).map(k => s"WHEN $k THEN lut${m}_$k").mkString(" ")
+      s"(CASE a.code$m $cases END)"
+    }.mkString(" + ")
+    s"""e AS ($sqlVecs),
+       |d AS (SELECT vec_id, v,
+       |    $cellDists,
+       |    $codeDists
+       |  FROM e),
+       |assigned AS (SELECT vec_id, v,
+       |    CASE $cellArgmin ELSE ${NumCells - 1} END AS cell,
+       |    ${(0 until PqSub).map(m => s"${codeArgmin(m)} AS code$m").mkString(",\n    ")}
+       |  FROM d),
+       |q AS (SELECT vec_id AS q_id, v AS qv, cell AS qcell
+       |  FROM assigned WHERE vec_id < $NumQueries),
+       |lut AS (SELECT q_id, qcell,
+       |    $lutCols
+       |  FROM q),
+       |scored AS (SELECT q_id, a.vec_id, $adcSum AS adc
+       |  FROM lut JOIN assigned a ON a.cell = lut.qcell AND a.vec_id <> q_id)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     QueryDef(
@@ -270,104 +372,61 @@ object SimilarityQueries {
     QueryDef(
       "q82_ivfpq_adc",
       s"IVF-PQ ANN: one pass assigns $NumCells-cell IVF + ${PqGeometry.PqSub}x${PqGeometry.PqK} PQ codes, queries probe own cell and rank by ADC lookup-table distance (codes only, raw vectors never rejoined), top-3",
-      {
-        import PqGeometry._
-        val cellDists = (0 until NumCells).map { k =>
-          val arr = centroid(k).mkString(", ")
-          s"${sqlSqDistFold("v", s"[$arr]::DOUBLE[]")} AS d$k"
-        }.mkString(",\n    ")
-        val codeDists = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
-          val arr = pqCentroid(m, k).mkString(", ")
-          val slice = s"v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
-          s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS c${m}_$k"
-        }).mkString(",\n    ")
-        val cellArgmin = (0 until NumCells - 1).map { k =>
-          val leLater = (k + 1 until NumCells).map(j => s"d$k <= d$j").mkString(" AND ")
-          s"WHEN $leLater THEN $k"
-        }.mkString(" ")
-        def codeArgmin(m: Int): String = {
-          val cases = (0 until PqK - 1).map { k =>
-            val leLater = (k + 1 until PqK).map(j => s"c${m}_$k <= c${m}_$j").mkString(" AND ")
-            s"WHEN $leLater THEN $k"
-          }.mkString(" ")
-          s"CASE $cases ELSE ${PqK - 1} END"
-        }
-        val lutCols = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
-          val arr = pqCentroid(m, k).mkString(", ")
-          val slice = s"qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
-          s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS lut${m}_$k"
-        }).mkString(",\n    ")
-        val adcSum = (0 until PqSub).map { m =>
-          val cases = (0 until PqK).map(k => s"WHEN $k THEN lut${m}_$k").mkString(" ")
-          s"(CASE a.code$m $cases END)"
-        }.mkString(" + ")
-        s"""WITH e AS ($sqlVecs),
-           |d AS (SELECT vec_id, v,
-           |    $cellDists,
-           |    $codeDists
-           |  FROM e),
-           |assigned AS (SELECT vec_id, v,
-           |    CASE $cellArgmin ELSE ${NumCells - 1} END AS cell,
-           |    ${(0 until PqSub).map(m => s"${codeArgmin(m)} AS code$m").mkString(",\n    ")}
-           |  FROM d),
-           |q AS (SELECT vec_id AS q_id, v AS qv, cell AS qcell
-           |  FROM assigned WHERE vec_id < $NumQueries),
-           |lut AS (SELECT q_id, qcell,
-           |    $lutCols
-           |  FROM q),
-           |scored AS (SELECT q_id, a.vec_id, $adcSum AS adc
-           |  FROM lut JOIN assigned a ON a.cell = lut.qcell AND a.vec_id <> q_id)
-           |SELECT q_id, vec_id, adc, rk FROM (
-           |  SELECT *, CAST(row_number() OVER (
-           |    PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rk
-           |  FROM scored) WHERE rk <= 3""".stripMargin
-      }) { (s, dir) =>
-      import PqGeometry._
-      val e = vecs(s, dir)
-      // one pass: IVF cell distances + all subspace codebook distances
-      val cellDists: Seq[Column] = (0 until NumCells).map { k =>
-        sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
-      }
-      val codeDists: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
-        sqDistFold(slice(col("v"), m * PqSubDim + 1, PqSubDim),
-          array(pqCentroid(m, k).map(lit): _*)).as(s"c${m}_$k")
-      val d = e.select(col("vec_id") +: col("v") +: (cellDists ++ codeDists): _*)
-      val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
-        (k, rest) =>
-          val leLater = (k + 1 until NumCells)
-            .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
-          when(leLater, lit(k)).otherwise(rest)
-      }
-      def code(m: Int): Column =
-        (0 until PqK - 1).foldRight(lit(PqK - 1): Column) { (k, rest) =>
-          val leLater = (k + 1 until PqK)
-            .map(j => col(s"c${m}_$k") <= col(s"c${m}_$j")).reduce(_ && _)
-          when(leLater, lit(k)).otherwise(rest)
-        }
-      val assigned = d.select(
-        col("vec_id") +: col("v") +: cell.as("cell") +:
-          (0 until PqSub).map(m => code(m).as(s"code$m")): _*)
-      // query-side LUT: exact subspace distance to every codebook entry
-      val lutCols: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
-        sqDistFold(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
-          array(pqCentroid(m, k).map(lit): _*)).as(s"lut${m}_$k")
-      val q = assigned.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("qcell"))
-        .select(col("q_id") +: col("qcell") +: lutCols: _*)
-      // ADC: candidate distance = sum of its codes' LUT entries — the
-      // candidate's raw vector never appears past the assignment pass
-      def lutVal(m: Int): Column =
-        (0 until PqK - 1).foldRight(col(s"lut${m}_${PqK - 1}")) { (k, rest) =>
-          when(col(s"code$m") === k, col(s"lut${m}_$k")).otherwise(rest)
-        }
-      val adc = (1 until PqSub).foldLeft(lutVal(0))((acc, m) => acc + lutVal(m))
+      s"""WITH $sqlAdcCtes
+         |SELECT q_id, vec_id, adc, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rk
+         |  FROM scored) WHERE rk <= 3""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-      assigned.drop("v")
-        .join(broadcast(q),
-          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      adcScored(s, dir)
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("q_id", "vec_id", "adc", "rk")
+    },
+
+    // ------------------------------------------------------------------
+    // Two-stage retrieval (shortlist + re-rank): the production search
+    // pattern on top of a compressed index. Stage 1 ranks by cheap ADC
+    // distance over PQ codes and keeps a shortlist of 10 per query;
+    // stage 2 fetches RAW vectors for shortlist rows only and re-ranks
+    // by exact cosine, emitting the top-3. At 100 TB the exact-distance
+    // work is bounded by shortlist x queries (a broadcast-scale set) no
+    // matter the corpus size — the full vectors of the other billions of
+    // rows are never read past the one-time encode.
+    QueryDef(
+      "q85_ann_rerank",
+      "two-stage ANN: ADC shortlist of 10 per query over PQ codes, then exact-cosine re-rank of shortlist rows only (raw vectors fetched just for the shortlist), top-3",
+      s"""WITH $sqlAdcCtes,
+         |shortlist AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS ark
+         |  FROM scored) WHERE ark <= 10),
+         |rerank AS (SELECT s.q_id, s.vec_id,
+         |    ${sqlCosine("qe.v", "ce.v")} AS cosine
+         |  FROM shortlist s JOIN e qe ON qe.vec_id = s.q_id
+         |                   JOIN e ce ON ce.vec_id = s.vec_id)
+         |SELECT q_id, vec_id, cosine, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+         |  FROM rerank) WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+      val shortlist = adcScored(s, dir)
+        .withColumn("ark", row_number().over(wAdc))
+        .filter(col("ark") <= 10)
+        .select("q_id", "vec_id")
+      val e = vecs(s, dir)
+      // raw vectors fetched for shortlist rows only; the shortlist is
+      // queries x 10 rows — broadcast it into both fetch joins so the
+      // corpus-sized side never shuffles
+      val rerank = broadcast(shortlist)
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+        .join(e.select(col("vec_id"), col("v").as("cv")), Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      val wCos = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      rerank
+        .withColumn("rk", row_number().over(wCos).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("q_id", "vec_id", "cosine", "rk")
     })
 }
