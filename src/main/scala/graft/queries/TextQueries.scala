@@ -242,14 +242,20 @@ object TextQueries {
         |    i -> string_split(text, ' ')[i] = string_split(text, ' ')[i - 1]))
         |    AS BIGINT) AS n_consec_dup
         |FROM documents""".stripMargin) { (s, dir) =>
-      val toks = tokens(col("text"))
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(toks).cast(LongType).as("n_tokens"),
-        size(array_distinct(toks)).cast(LongType).as("n_types"),
-        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
-        size(filter(sequence(lit(2), size(toks)),
-          i => element_at(toks, i) === element_at(toks, i - 1)))
-          .cast(LongType).as("n_consec_dup"))
+      // tokenize ONCE per row into a named column: the consecutive-dup
+      // lambda indexes the array per element, and an inline `split`
+      // expression is not subexpression-eliminated inside lambda bodies
+      // (re-splitting per index made this O(tokens^2) splits)
+      val t = col("t")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          size(t).cast(LongType).as("n_tokens"),
+          size(array_distinct(t)).cast(LongType).as("n_types"),
+          (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+          size(filter(sequence(lit(2), size(t)),
+            i => element_at(t, i) === element_at(t, i - 1)))
+            .cast(LongType).as("n_consec_dup"))
     })
 }

@@ -449,11 +449,15 @@ object WarehouseQueries {
         |      AND c.late)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, dir) =>
+      // l1 is consumed three times (candidate filter + both self-join
+      // sides); staged once so the lineitem-orders join runs once — at
+      // 100 TB this is the staged work table the three passes share
       val l1 = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAY"))
             .as("late"))
+        .localCheckpoint()
       val others = l1.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
         col("late").as("olate"))
       val cand = l1.filter(col("late"))

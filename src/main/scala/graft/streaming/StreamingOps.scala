@@ -80,7 +80,7 @@ object StreamingOps {
     * at sf0.1 going 32 -> 4 on the interval join). At real volumes
     * raise SPARK_GRAFT_STREAM_PARTITIONS instead. */
   private def withStreamPartitions[T](spark: SparkSession)(f: => T): T = {
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     try f
@@ -203,7 +203,7 @@ object StreamingOps {
     // partitions are pure commit overhead (measured 72s -> 31s at
     // sf0.1 going 32 -> 4). Size to state volume: small here; at
     // billions of events raise SPARK_GRAFT_STREAM_PARTITIONS instead.
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     try attributionJoinInner(spark, dir)

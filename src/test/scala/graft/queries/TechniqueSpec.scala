@@ -114,6 +114,36 @@ class TechniqueSpec extends SparkSpec {
     assert(hll.exceptAll(again).isEmpty && again.exceptAll(hll).isEmpty)
   }
 
+  test("two-stage ANN re-rank: consistent ranking and non-trivial recall vs brute force") {
+    val rerank = SparkEntry.queries("q85_ann_rerank")(spark, sfDir).collect()
+    // rk must follow exact cosine within each query (re-rank really
+    // re-ranked: descending cosine, vec_id tiebreak)
+    rerank.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getAs[Double]("cosine"), b.getAs[Double]("cosine"))
+          assert(ca > cb ||
+            (ca == cb && a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id")))
+        case _ => ()
+      }
+    }
+    // recall@3 against the exact brute-force top-5 (q27): nprobe=1 over
+    // 8 cells caps recall by construction; the planted corpus measures
+    // well above the 1/3 floor asserted here — a regression to chance
+    // (cell assignment or ADC broken) fails this
+    val brute = SparkEntry.queries("q27_ann_bruteforce")(spark, sfDir).collect()
+    val bruteTop = brute.groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val hits = rerank.count { r =>
+      bruteTop.getOrElse(r.getAs[Long]("q_id"), Set.empty)
+        .contains(r.getAs[Long]("vec_id"))
+    }
+    assert(hits * 3 >= rerank.length,
+      s"two-stage recall too low: $hits of ${rerank.length} re-ranked " +
+        "results appear in the exact top-5")
+  }
+
   test("z-order layout: p_size range predicate touches fewer files than unclustered") {
     // q81 computes the cluster key; this proves the LAYOUT it implies
     // actually skips: write the same table twice into the same number of
