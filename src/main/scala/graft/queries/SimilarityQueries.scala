@@ -31,11 +31,21 @@ object SimilarityQueries {
   private val NearDupThreshold = "0.38"
   private val NumCells = 8
 
-  /** Deterministic integer-valued IVF centroids: component (k,i) =
-    * ((i*13 + k*29) mod 11) - 5. Stand-ins for sampled k-means output;
-    * integer-exact in double on both engines. */
+  /** Deterministic IVF centroids: Hadamard-style sign patterns
+    * (-1)^popcount(i & (9k+7)) scaled to +-1/8, so every centroid is a
+    * unit vector (norm sqrt(64)/8 = 1) pointing in a distinct direction.
+    * Stand-ins for sampled k-means output; +-0.125 is dyadic, so the
+    * components are exactly representable doubles on both engines. The
+    * round-6 integer-valued stand-ins (components -5..5, norm ~25) sat
+    * so far outside the unit-norm data space that ||c||^2 dominated the
+    * argmin and 498 of 500 vectors landed in 2 of 8 cells; unit-norm
+    * centroids make assignment purely directional and measured-balanced
+    * (53-72 per cell at sf0.001). */
   private def centroid(k: Int): Seq[Double] =
-    (0 until Dim).map(i => (((i * 13 + k * 29) % 11) - 5).toDouble)
+    (0 until Dim).map { i =>
+      val sign = if (Integer.bitCount(i & (9 * k + 7)) % 2 == 0) 1.0 else -1.0
+      sign / 8.0
+    }
 
   /** Deterministic integer-valued hyperplanes: component (j,i) =
     * ((i*31 + j*17) mod 7) - 3. Integer-exact in double on both engines;
@@ -52,12 +62,23 @@ object SimilarityQueries {
 
   // ---- IVF-PQ machinery shared by q82 (ADC search) and q85 (re-rank) ----
 
-  /** (q_id, vec_id, adc): every in-cell candidate of every query vector
-    * scored by asymmetric distance — one pass assigns each vector its
-    * IVF cell + PQ codes, the query side precomputes a PqSub x PqK LUT
-    * of exact subspace distances, and a candidate's score is the sum of
-    * its codes' LUT entries (its raw vector is never read past the
-    * assignment pass). */
+  /** How many IVF cells a query probes (multi-probe): the standard
+    * recall/cost dial of a production IVF index. nprobe=1 on this
+    * corpus (random unit vectors, no planted clusters) caps recall@3
+    * around 0.2 because true neighbors of a query land outside its own
+    * Voronoi cell ~2/3 of the time; probing the 3 nearest cells lifts
+    * measured recall@3 to 0.53-0.63 while still scanning only 3/8 of
+    * the corpus per query. */
+  private val NProbe = 3
+
+  /** (q_id, vec_id, adc): every candidate of every query vector scored
+    * by asymmetric distance — one pass assigns each vector its IVF cell
+    * + PQ codes, each query probes its NProbe nearest cells, the query
+    * side precomputes a PqSub x PqK LUT of exact subspace distances,
+    * and a candidate's score is the sum of its codes' LUT entries (its
+    * raw vector is never read past the assignment pass). A candidate
+    * lives in exactly one cell and the probed cells are distinct, so no
+    * (q_id, vec_id) pair is scored twice. */
   private def adcScored(s: SparkSession, dir: String): DataFrame = {
     import PqGeometry._
     val e = vecs(s, dir)
@@ -87,9 +108,17 @@ object SimilarityQueries {
     val lutCols: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
       sqDistFold(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
         array(pqCentroid(m, k).map(lit): _*)).as(s"lut${m}_$k")
-    val q = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("qcell"))
-      .select(col("q_id") +: col("qcell") +: lutCols: _*)
+    // multi-probe: explode each query's 8 cell distances, keep the
+    // NProbe nearest cells ((pdist, pcell) rank — deterministic), then
+    // compute the LUT once per probed cell (queries x NProbe rows, tiny)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("pcell"))
+    val q = d.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        posexplode(array((0 until NumCells).map(k => col(s"d$k")): _*))
+          .as(Seq("pcell", "pdist")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= NProbe)
+      .select(col("q_id") +: col("pcell").as("qcell") +: lutCols: _*)
     def lutVal(m: Int): Column =
       (0 until PqK - 1).foldRight(col(s"lut${m}_${PqK - 1}")) { (k, rest) =>
         when(col(s"code$m") === k, col(s"lut${m}_$k")).otherwise(rest)
@@ -134,6 +163,8 @@ object SimilarityQueries {
       val cases = (0 until PqK).map(k => s"WHEN $k THEN lut${m}_$k").mkString(" ")
       s"(CASE a.code$m $cases END)"
     }.mkString(" + ")
+    val pdistCase = (0 until NumCells).map(k => s"WHEN $k THEN d$k").mkString(" ")
+    val probeValues = (0 until NumCells).map(k => s"($k)").mkString(",")
     s"""e AS ($sqlVecs),
        |d AS (SELECT vec_id, v,
        |    $cellDists,
@@ -143,11 +174,17 @@ object SimilarityQueries {
        |    CASE $cellArgmin ELSE ${NumCells - 1} END AS cell,
        |    ${(0 until PqSub).map(m => s"${codeArgmin(m)} AS code$m").mkString(",\n    ")}
        |  FROM d),
-       |q AS (SELECT vec_id AS q_id, v AS qv, cell AS qcell
-       |  FROM assigned WHERE vec_id < $NumQueries),
-       |lut AS (SELECT q_id, qcell,
+       |qp AS (SELECT vec_id AS q_id, v AS qv, pc.c AS pcell,
+       |    CASE pc.c $pdistCase END AS pdist
+       |  FROM d CROSS JOIN (VALUES $probeValues) pc(c)
+       |  WHERE vec_id < $NumQueries),
+       |probe AS (SELECT q_id, qv, pcell FROM (
+       |    SELECT q_id, qv, pcell, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY pdist, pcell) AS prk
+       |    FROM qp) WHERE prk <= $NProbe),
+       |lut AS (SELECT q_id, pcell AS qcell,
        |    $lutCols
-       |  FROM q),
+       |  FROM probe),
        |scored AS (SELECT q_id, a.vec_id, $adcSum AS adc
        |  FROM lut JOIN assigned a ON a.cell = lut.qcell AND a.vec_id <> q_id)""".stripMargin
   }
@@ -358,20 +395,21 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     // IVF-PQ ADC search: the composition of q39's coarse quantizer and
     // q79's PQ codes into the actual 100-TB ANN index pattern. One pass
-    // assigns every vector to its IVF cell AND encodes it as 4 PQ code
-    // ints; a query probes only its own cell (nprobe=1) and scores
-    // candidates by ASYMMETRIC distance: the query precomputes a
-    // 4x4 lookup table of exact subspace distances to every codebook
-    // centroid, and a candidate's distance is the sum of its 4 looked-up
-    // entries — the candidate's raw vector is never read. At 100 TB the
-    // scan touches 4 ints + a cell id per vector (the compressed index)
-    // instead of 256 bytes of floats, and the LUT join is a broadcast.
-    // Exactness: LUT entries are sequential-fold doubles over
-    // integer-valued centroids; the ADC sum is 4 doubles added in fixed
-    // left-assoc order — bit-identical on both engines.
+    // assigns every vector to its IVF cell AND encodes it as PqSub PQ
+    // code ints; a query probes its NProbe nearest cells (multi-probe)
+    // and scores candidates by ASYMMETRIC distance: the query
+    // precomputes a PqSub x PqK lookup table of exact subspace distances
+    // to every codebook centroid, and a candidate's distance is the sum
+    // of its looked-up entries — the candidate's raw vector is never
+    // read. At 100 TB the scan touches PqSub small ints + a cell id per
+    // vector (the compressed index) instead of 256 bytes of floats, and
+    // the LUT join is a broadcast. Exactness: LUT entries are
+    // sequential-fold doubles over dyadic-valued centroids; the ADC sum
+    // is PqSub doubles added in fixed left-assoc order — bit-identical
+    // on both engines.
     QueryDef(
       "q82_ivfpq_adc",
-      s"IVF-PQ ANN: one pass assigns $NumCells-cell IVF + ${PqGeometry.PqSub}x${PqGeometry.PqK} PQ codes, queries probe own cell and rank by ADC lookup-table distance (codes only, raw vectors never rejoined), top-3",
+      s"IVF-PQ ANN: one pass assigns $NumCells-cell IVF + ${PqGeometry.PqSub}x${PqGeometry.PqK} PQ codes, queries probe their $NProbe nearest cells and rank by ADC lookup-table distance (codes only, raw vectors never rejoined), top-3",
       s"""WITH $sqlAdcCtes
          |SELECT q_id, vec_id, adc, rk FROM (
          |  SELECT *, CAST(row_number() OVER (
@@ -387,7 +425,7 @@ object SimilarityQueries {
     // ------------------------------------------------------------------
     // Two-stage retrieval (shortlist + re-rank): the production search
     // pattern on top of a compressed index. Stage 1 ranks by cheap ADC
-    // distance over PQ codes and keeps a shortlist of 10 per query;
+    // distance over PQ codes and keeps a shortlist of 30 per query;
     // stage 2 fetches RAW vectors for shortlist rows only and re-ranks
     // by exact cosine, emitting the top-3. At 100 TB the exact-distance
     // work is bounded by shortlist x queries (a broadcast-scale set) no
@@ -395,12 +433,12 @@ object SimilarityQueries {
     // rows are never read past the one-time encode.
     QueryDef(
       "q85_ann_rerank",
-      "two-stage ANN: ADC shortlist of 10 per query over PQ codes, then exact-cosine re-rank of shortlist rows only (raw vectors fetched just for the shortlist), top-3",
+      "two-stage ANN: ADC shortlist of 30 per query over PQ codes, then exact-cosine re-rank of shortlist rows only (raw vectors fetched just for the shortlist), top-3",
       s"""WITH $sqlAdcCtes,
          |shortlist AS (SELECT q_id, vec_id FROM (
          |  SELECT q_id, vec_id, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, vec_id) AS ark
-         |  FROM scored) WHERE ark <= 10),
+         |  FROM scored) WHERE ark <= 30),
          |rerank AS (SELECT s.q_id, s.vec_id,
          |    ${sqlCosine("qe.v", "ce.v")} AS cosine
          |  FROM shortlist s JOIN e qe ON qe.vec_id = s.q_id
@@ -412,7 +450,7 @@ object SimilarityQueries {
       val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
       val shortlist = adcScored(s, dir)
         .withColumn("ark", row_number().over(wAdc))
-        .filter(col("ark") <= 10)
+        .filter(col("ark") <= 30)
         .select("q_id", "vec_id")
       val e = vecs(s, dir)
       // raw vectors fetched for shortlist rows only; the shortlist is

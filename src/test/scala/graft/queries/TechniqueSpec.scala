@@ -128,10 +128,12 @@ class TechniqueSpec extends SparkSpec {
         case _ => ()
       }
     }
-    // recall@3 against the exact brute-force top-5 (q27): nprobe=1 over
-    // 8 cells caps recall by construction; the planted corpus measures
-    // well above the 1/3 floor asserted here — a regression to chance
-    // (cell assignment or ADC broken) fails this
+    // recall@3 against the exact brute-force top-5 (q27): the corpus is
+    // random unit vectors (no planted clusters), so recall is bounded by
+    // the 3-of-8-cells multi-probe and the 16x4 PQ codebook resolution;
+    // the Hadamard geometry measures 0.53-0.63 across SFs, well above
+    // the 1/3 floor asserted here — a regression to chance (cell
+    // assignment or ADC broken) fails this
     val brute = SparkEntry.queries("q27_ann_bruteforce")(spark, sfDir).collect()
     val bruteTop = brute.groupBy(_.getAs[Long]("q_id"))
       .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
