@@ -352,5 +352,44 @@ object DedupQueries {
           col("sg") === col("bsg") && col("doc_id") =!= col("bench_id"))
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact duplicated-span detection (the exact-substring half of
+    // training-data dedup, cf. "Deduplicating Training Data Makes
+    // Language Models Better": find verbatim token spans repeated across
+    // documents so they can be cut, not just whole-doc dropped). Every
+    // distinct 5-token span is hashed to 48 bits; a span shared by >= 2
+    // docs marks every document carrying it. Per doc we report how much
+    // of it is duplicated material (dup_spans / tot_spans). Plan shape:
+    // shingle-explode -> hash groupBy (span bodies never join; only the
+    // per-hash doc count flows back via a second groupBy join) — at
+    // 100 TB both aggregations are map-side-combinable and the join is
+    // hash-to-hash, never text-to-text.
+    QueryDef(
+      "q91_dup_spans",
+      "duplicated 5-token spans across documents: 48-bit span hashes, per-span doc-frequency, per-doc duplicated/total span counts — the exact-substring cut list of training-data dedup",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 5),
+         |sp AS (SELECT DISTINCT doc_id,
+         |         ${sqlMd5Hash48("sg")} AS h
+         |       FROM (SELECT doc_id, unnest(${sqlShingles("t", 5)}) AS sg FROM toks)),
+         |df AS (SELECT h, count(*) AS n_docs FROM sp GROUP BY h)
+         |SELECT sp.doc_id,
+         |  CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS dup_spans,
+         |  CAST(count(*) AS BIGINT) AS tot_spans
+         |FROM sp JOIN df USING (h)
+         |GROUP BY sp.doc_id""".stripMargin) { (s, dir) =>
+      val n = 5
+      val sp = Tables.documents(s, dir)
+        .filter(size(tokens(col("text"))) >= n)
+        .select(col("doc_id"), explode(shingles(col("text"), n)).as("sg"))
+        .select(col("doc_id"), md5Hash48(col("sg")).as("h"))
+        .distinct()
+      val df = sp.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      sp.join(df, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(when(col("n_docs") >= 2, 1)).as("dup_spans"),
+          count(lit(1)).as("tot_spans"))
     })
 }

@@ -438,5 +438,55 @@ object RelationalExtras {
           lead(col("snap"), 1).over(w).cast(LongType).as("effective_to_snap"))
         .withColumn("is_current",
           when(col("effective_to_snap").isNull, 1L).otherwise(0L))
+    },
+
+    // ------------------------------------------------------------------
+    // Bloom-filter runtime join pruning (the "runtime filter" every
+    // warehouse engine builds for selective joins): the small filtered
+    // build side is hashed into an 8192-bit / 3-hash Bloom set, the set
+    // is broadcast (here: one row carrying the distinct bit positions),
+    // and the fact side drops rows whose keys cannot be in the build
+    // side BEFORE the join shuffle. False positives are removed by the
+    // exact join that follows, so the filter is semantics-preserving by
+    // construction — the oracle states the UNFILTERED join. At 100 TB
+    // this is the difference between shuffling all of lineitem and
+    // shuffling the ~priority-selective fraction of it; Spark's own
+    // spark.sql.optimizer.runtimeFilter does the same rewrite when
+    // statistics justify it, this query pins the plan shape explicitly.
+    // The positions set is built with a distinct-aggregate (never
+    // collect()): the Bloom build is itself distributed.
+    QueryDef(
+      "q88_bloom_prune",
+      "Bloom-filter join pruning: 3-hash/8192-bit filter built from the selective build side, broadcast, probe side pre-filtered before the exact join — oracle is the plain join (false positives provably removed)",
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import graft.functions.CrossEngine.{P, permA, permB}
+      import org.apache.spark.sql.Column
+      val m = 8192
+      def pos(key: Column, j: Int): Column =
+        ((key % P) * permA(j) + permB(j)) % P % m
+      val build = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bloom = build
+        .select(explode(array((0 until 3).map(j =>
+          pos(col("o_orderkey"), j)): _*)).as("p"))
+        .distinct()
+        .groupBy().agg(collect_set(col("p")).as("bset"))
+      val probe = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .crossJoin(broadcast(bloom))
+        .filter((0 until 3)
+          .map(j => array_contains(col("bset"), pos(col("l_orderkey"), j)))
+          .reduce(_ && _))
+      probe.join(build, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
     })
 }

@@ -466,5 +466,67 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(wCos).cast("long"))
         .filter(col("rk") <= 3)
         .select("q_id", "vec_id", "cosine", "rk")
+    },
+
+    // ------------------------------------------------------------------
+    // Distributed k-means (one Lloyd iteration, the building block the
+    // IVF coarse quantizer is trained with): assign every vector to its
+    // nearest of 8 seeds, re-estimate centroids as per-cluster means,
+    // re-assign against the new centroids. Plan shape is the canonical
+    // scalable one — seeds/centroids are always a broadcast k-row side,
+    // the corpus is scanned once per pass, and the re-estimation is one
+    // map-side-combinable groupBy with 64 component sums (no explode:
+    // component sums are plain agg columns). Cross-engine exactness:
+    // components are quantized by floor(x*1024) — *1024 is a power-of-
+    // two scale so the product is exact and floor agrees bit-for-bit —
+    // making every sum an integer-valued double (exact regardless of
+    // order) and each mean a single double division. At 100 TB the two
+    // passes are two corpus scans + one k-row shuffle: Lloyd's at scale
+    // is I/O-bound, exactly this shape.
+    QueryDef(
+      "q90_kmeans",
+      "distributed k-means Lloyd iteration: 8 data seeds, fold-exact quantized distances, per-cluster mean re-estimation via 64 agg columns (no explode), deterministic re-assignment",
+      {
+        val k = NumCells
+        val sums = (0 until Dim).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(",\n    ")
+        val means = (0 until Dim).map(i => s"s$i / c").mkString(", ")
+        s"""WITH e AS ($sqlVecs),
+           |vq AS (SELECT vec_id, list_transform(v, x -> floor(x * 1024.0)) AS q FROM e),
+           |seeds AS (SELECT vec_id AS cid, q AS sv FROM vq WHERE vec_id < $k),
+           |d1 AS (SELECT vec_id, cid, ${sqlSqDistFold("q", "sv")} AS d
+           |  FROM vq CROSS JOIN seeds),
+           |asg1 AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d1) WHERE rk = 1),
+           |cent AS (SELECT cid, count(*) AS c,
+           |    $sums
+           |  FROM asg1 JOIN vq USING (vec_id) GROUP BY cid),
+           |mv AS (SELECT cid, [$means]::DOUBLE[] AS m FROM cent),
+           |d2 AS (SELECT vec_id, cid, ${sqlSqDistFold("q", "m")} AS d
+           |  FROM vq CROSS JOIN mv)
+           |SELECT vec_id, cid AS cluster FROM (
+           |  SELECT vec_id, cid, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d2) WHERE rk = 1""".stripMargin
+      }) { (s, dir) =>
+      val k = NumCells
+      val vq = vecs(s, dir).select(col("vec_id"),
+        transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
+      val seeds = vq.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("q").as("sv"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+      val asg1 = vq.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cid"), sqDistFold(col("q"), col("sv")).as("d"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+      val sums = (0 until Dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      val cent = asg1.join(vq, "vec_id")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("c"), sums: _*)
+      val mv = cent.select(col("cid"),
+        array((0 until Dim).map(i => col(s"s$i") / col("c")): _*).as("m"))
+      vq.crossJoin(broadcast(mv))
+        .select(col("vec_id"), col("cid"), sqDistFold(col("q"), col("m")).as("d"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
     })
 }

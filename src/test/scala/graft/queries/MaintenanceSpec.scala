@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Proves the maintenance operators' scale claims — the parts the DuckDB
+  * oracle cannot see (file layout, pruning, pruning-safety of the Bloom
+  * filter, classification completeness). */
+class MaintenanceSpec extends SparkSpec {
+
+  test("compaction: 64 fragments become 4 range-partitioned files that prune") {
+    // replicate q89's two layouts so the spec can inspect the files the
+    // query-side temp dir hides
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    li.repartition(64).write.mode("overwrite").parquet(s"$base/fragmented")
+    spark.read.parquet(s"$base/fragmented")
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$base/compacted")
+
+    def partFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(partFiles(s"$base/fragmented").length == 64)
+    assert(partFiles(s"$base/compacted").length == 4)
+
+    // content-preserving (the oracle also proves this at sf0.01)
+    val back = spark.read.parquet(s"$base/compacted")
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+
+    // a narrow key-range predicate touches 1 compacted file (ranges are
+    // globally disjoint) but, pre-compaction, every fragment holds rows
+    // from the whole key space
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (lo, hi) = (keys.getLong(0), keys.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    def touched(p: String): Long =
+      spark.read.parquet(p)
+        .filter(col("l_orderkey").between(mid, mid + (hi - lo) / 20))
+        .select(input_file_name()).distinct().count()
+    val (frag, comp) = (touched(s"$base/fragmented"), touched(s"$base/compacted"))
+    assert(comp <= 2, s"compacted layout touched $comp of 4 files")
+    assert(frag >= 32, s"fragmented layout touched only $frag of 64 files " +
+      "— the fragmented baseline is not actually smeared")
+  }
+
+  test("bloom prune: pass-set is a superset of true matches and a real cut") {
+    import graft.functions.CrossEngine.{P, permA, permB}
+    val m = 8192
+    def pos(key: org.apache.spark.sql.Column, j: Int) =
+      ((key % P) * permA(j) + permB(j)) % P % m
+    val build = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      .select(col("o_orderkey"))
+    val bloom = build
+      .select(explode(array((0 until 3).map(j => pos(col("o_orderkey"), j)): _*)).as("p"))
+      .distinct()
+      .groupBy().agg(collect_set(col("p")).as("bset"))
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    val passed = li.crossJoin(broadcast(bloom))
+      .filter((0 until 3)
+        .map(j => array_contains(col("bset"), pos(col("l_orderkey"), j)))
+        .reduce(_ && _))
+      .select("l_orderkey")
+    val trueMatches = li.join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // no false negatives: every true-match key passes the filter
+    assert(trueMatches.except(passed).isEmpty)
+    val (total, pass, exact) = (li.count(), passed.count(), trueMatches.count())
+    assert(pass < total / 2,
+      s"bloom passed $pass of $total rows — filter is not pruning")
+    assert(pass >= exact)
+  }
+
+  test("cdc diff: classification matches the deterministic snapshot edits") {
+    val cdc = SparkEntry.queries("q92_cdc_diff")(spark, sfDir)
+    val byOp = cdc.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sfDir)
+    val dels = o.filter(col("o_orderkey") % 17 === 0).count()
+    val ins = o.filter(col("o_orderkey") % 23 === 0).count()
+    val upd = o.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
+      .count()
+    assert(byOp.getOrElse("D", 0L) == dels)
+    assert(byOp.getOrElse("I", 0L) == ins)
+    // every %13 key whose status was not already 'X' must surface as U;
+    // the generator never emits 'X', so all of them do
+    assert(byOp.getOrElse("U", 0L) == upd)
+  }
+
+  test("kmeans: 8 nonempty clusters, deterministic across runs") {
+    val a = SparkEntry.queries("q90_kmeans")(spark, sfDir)
+    val sizes = a.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0L until 8L).toSet, s"clusters ${sizes.keySet}")
+    assert(sizes.values.forall(_ > 0))
+    val b = SparkEntry.queries("q90_kmeans")(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}

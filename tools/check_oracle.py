@@ -48,8 +48,9 @@ for name in sorted(oracle):
             elif a.dtype.kind in "fc" or b.dtype.kind in "fc":
                 eq = ((a.astype(float) == b.astype(float)) | (a.isna() & b.isna())).all()
             else:
-                eq = (a.astype(object).where(~a.isna(), None)
-                      == b.astype(object).where(~b.isna(), None)).all()
+                av = a.astype(object).where(~a.isna(), None)
+                bv = b.astype(object).where(~b.isna(), None)
+                eq = ((av == bv) | (a.isna() & b.isna())).all()
         except Exception as e:
             eq = False
         if not eq:
