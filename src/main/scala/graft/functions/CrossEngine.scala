@@ -47,13 +47,21 @@ object CrossEngine {
   /** Whitespace tokens (single-space-joined corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: space-joined sliding windows of `n` tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Word n-gram shingles over a PRE-SPLIT tokens column. The tokens
+    * must be a bound column (project `tokens(text).as("t")` first), not
+    * an inline `split(...)` expression: Spark does not subexpression-
+    * eliminate inside lambda bodies, so an inline split is re-evaluated
+    * by every `element_at` — n splits per shingle, O(tokens^2) per doc
+    * (measured 10.5s -> 0.5s on q86's 13-grams at sf0.1; same trap as
+    * the q69 note in TextQueries). */
+  def shinglesOf(t: Column, n: Int): Column =
     transform(
       sequence(lit(0), size(t) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
-  }
+
+  /** Word n-gram shingles from raw text. Convenience for SMALL inputs
+    * only — inlines `split` into the lambda (see [[shinglesOf]]). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   /** Sequential-fold dot product of two array<double> columns — the order
     * of additions is the array order, matching the DuckDB fold exactly.

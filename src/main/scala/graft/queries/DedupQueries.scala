@@ -55,14 +55,10 @@ object DedupQueries {
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(${sqlShingles("t", ShingleN)}) AS sg FROM toks)""".stripMargin
 
-  /** The MinHash+LSH candidate/verify pipeline as a reusable plan:
-    * (doc_a, doc_b, jaccard) pairs at-or-above the threshold, doc_a <
-    * doc_b. Shared by q24 (which declares the pairs) and q54 (which
-    * clusters them into connected components). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // staged once (see object Scaladoc): consumed by the signature
-    // pipeline, the per-doc counts, and both sides of the verify join
-    val sh = shingleDf(s, dir).localCheckpoint()
+  /** (doc_id, band_idx, band_key): the per-doc LSH band index — the
+    * thing a production pipeline stages as a bucketed table and every
+    * dedup consumer (all-pairs q24/q54, incremental q93) joins against. */
+  private def sigBands(sh: DataFrame): DataFrame = {
     val h = sh.select(col("doc_id"), tokenHash(col("sg")).as("h"))
     val sig = h.groupBy("doc_id")
       .agg(min(permHash(col("h"), 0)).as("m0"),
@@ -71,8 +67,19 @@ object DedupQueries {
       concat_ws("_", (0 until RowsPerBand)
         .map(r => col(s"m${b * RowsPerBand + r}")): _*)
     }
-    val bands = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** The MinHash+LSH candidate/verify pipeline as a reusable plan:
+    * (doc_a, doc_b, jaccard) pairs at-or-above the threshold, doc_a <
+    * doc_b. Shared by q24 (which declares the pairs) and q54 (which
+    * clusters them into connected components). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // staged once (see object Scaladoc): consumed by the signature
+    // pipeline, the per-doc counts, and both sides of the verify join
+    val sh = shingleDf(s, dir).localCheckpoint()
+    val bands = sigBands(sh)
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band_idx") === col("b.band_idx")
@@ -95,9 +102,10 @@ object DedupQueries {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), jac.as("jaccard"))
   }
 
-  /** Oracle text for [[minhashPairs]]: the CTE list and the final pair
-    * select, split so q54 can extend the WITH-list. */
-  private val sqlMinhashCtes: String = {
+  /** Oracle CTEs through `sh`/`h`/`sig`/`bands` — the per-doc signature
+    * index every LSH consumer shares (q24/q54 all-pairs, q93 delta-vs-
+    * corpus). */
+  private val sqlSigBandsCtes: String = {
     val sigCols = (0 until NumPerms)
       .map(i => s"min(${sqlPermHash("h", i)}) AS m$i").mkString(",\n  ")
     val bandSelects = (0 until Bands).map { b =>
@@ -111,7 +119,13 @@ object DedupQueries {
        |  $sigCols
        |FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** Oracle text for [[minhashPairs]]: the CTE list and the final pair
+    * select, split so q54 can extend the WITH-list. */
+  private val sqlMinhashCtes: String =
+    s"""$sqlSigBandsCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -121,7 +135,6 @@ object DedupQueries {
        |  FROM cand JOIN sh x ON x.doc_id = da
        |            JOIN sh y ON y.doc_id = db AND y.sg = x.sg
        |  GROUP BY da, db)""".stripMargin
-  }
 
   private val sqlMinhashPairSelect: String =
     s"""SELECT da AS doc_a, db AS doc_b,
@@ -335,21 +348,29 @@ object DedupQueries {
       "benchmark decontamination: corpus docs sharing any 13-gram with the benchmark slice (doc_id % 5 = 0), via broadcast shingle equi-join — per (doc, bench) distinct shared-13-gram counts",
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
          |              WHERE len(string_split(text, ' ')) >= 13),
-         |sh13 AS (SELECT DISTINCT doc_id,
-         |           unnest(${sqlShingles("t", 13)}) AS sg FROM toks),
-         |bench AS (SELECT doc_id AS bench_id, sg FROM sh13 WHERE doc_id % 5 = 0)
+         |sh13 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash48("sg")} AS h
+         |         FROM (SELECT doc_id, unnest(${sqlShingles("t", 13)}) AS sg
+         |               FROM toks)),
+         |bench AS (SELECT doc_id AS bench_id, h FROM sh13 WHERE doc_id % 5 = 0)
          |SELECT a.doc_id, b.bench_id, count(*) AS n_shared
-         |FROM sh13 a JOIN bench b ON a.sg = b.sg AND a.doc_id <> b.bench_id
+         |FROM sh13 a JOIN bench b ON a.h = b.h AND a.doc_id <> b.bench_id
          |GROUP BY a.doc_id, b.bench_id""".stripMargin) { (s, dir) =>
       val n = 13
+      // 48-bit span hashes, not 100-byte 13-gram strings, cross the
+      // broadcast + join (collisions are mirrored by the oracle, which
+      // hashes identically); staged once so the bench slice is a filter
+      // over the same materialization, not a second tokenize pass
       val sh13 = Tables.documents(s, dir)
-        .filter(size(tokens(col("text"))) >= n)
-        .select(col("doc_id"), explode(shingles(col("text"), n)).as("sg"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(shinglesOf(col("t"), n)).as("sg"))
+        .select(col("doc_id"), md5Hash48(col("sg")).as("h"))
         .distinct()
+        .localCheckpoint()
       val bench = sh13.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("bench_id"), col("sg").as("bsg"))
+        .select(col("doc_id").as("bench_id"), col("h").as("bh"))
       sh13.join(broadcast(bench),
-          col("sg") === col("bsg") && col("doc_id") =!= col("bench_id"))
+          col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
     },
@@ -381,15 +402,73 @@ object DedupQueries {
          |FROM sp JOIN df USING (h)
          |GROUP BY sp.doc_id""".stripMargin) { (s, dir) =>
       val n = 5
+      // staged once: `sp` feeds both the doc-frequency aggregation and
+      // the join-back — without the checkpoint the tokenize-explode-
+      // hash-distinct subtree runs twice (the q24/q26 staging lesson)
       val sp = Tables.documents(s, dir)
-        .filter(size(tokens(col("text"))) >= n)
-        .select(col("doc_id"), explode(shingles(col("text"), n)).as("sg"))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(shinglesOf(col("t"), n)).as("sg"))
         .select(col("doc_id"), md5Hash48(col("sg")).as("h"))
         .distinct()
+        .localCheckpoint()
       val df = sp.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       sp.join(df, Seq("h"))
         .groupBy(col("doc_id"))
         .agg(count(when(col("n_docs") >= 2, 1)).as("dup_spans"),
           count(lit(1)).as("tot_spans"))
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental dedup — the mode a 100-TB pipeline actually runs in:
+    // a small arriving batch (here: doc_id % 10 == 7 stands in for
+    // "today's crawl") is checked against the already-indexed corpus
+    // WITHOUT ever forming corpus x corpus candidates. The band index
+    // (sigBands) is the thing production stages as a bucketed table;
+    // the candidate join is delta-bands (broadcast — delta-sized)
+    // against corpus-bands, so per-batch cost scales with the delta and
+    // the matched buckets, never with corpus^2 or a corpus rescan of
+    // any non-indexed column. Verification (exact Jaccard) then touches
+    // only candidate pairs, with the delta's shingles on the broadcast
+    // side of both probes.
+    QueryDef(
+      "q93_incremental_dedup",
+      s"incremental MinHash dedup: arriving batch (doc_id%10==7) LSH-joined against the corpus band index, delta side broadcast, exact-Jaccard >= $JaccardThreshold verify on candidates only — per-batch cost scales with the delta",
+      s"""WITH $sqlSigBandsCtes,
+         |cand AS (SELECT DISTINCT d.doc_id AS dd, c.doc_id AS cd
+         |  FROM bands d JOIN bands c
+         |    ON d.band_idx = c.band_idx AND d.band_key = c.band_key
+         |  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT dd, cd, count(*) AS c
+         |  FROM cand JOIN sh x ON x.doc_id = dd
+         |            JOIN sh y ON y.doc_id = cd AND y.sg = x.sg
+         |  GROUP BY dd, cd)
+         |SELECT dd AS delta_id, cd AS corpus_id,
+         |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+         |FROM common JOIN cnt xa ON xa.doc_id = dd
+         |            JOIN cnt yb ON yb.doc_id = cd
+         |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+      val sh = shingleDf(s, dir).localCheckpoint()
+      val bands = sigBands(sh)
+      val deltaBands = bands.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("dd"), col("band_idx"), col("band_key"))
+      val corpusBands = bands.filter(col("doc_id") % 10 =!= 7)
+      val cand = corpusBands.join(broadcast(deltaBands), Seq("band_idx", "band_key"))
+        .select(col("dd"), col("doc_id").as("cd"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = sh.select(col("doc_id").as("xd"), col("sg"))
+      val y = sh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
+      val common = broadcast(cand)
+        .join(x, col("xd") === col("dd"))
+        .join(y, col("yd") === col("cd") && col("ysg") === col("sg"))
+        .groupBy("dd", "cd").agg(count(lit(1)).as("c"))
+      val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+      common
+        .join(cnt.select(col("doc_id").as("xd2"), col("n").as("xn")), col("xd2") === col("dd"))
+        .join(cnt.select(col("doc_id").as("yd2"), col("n").as("yn")), col("yd2") === col("cd"))
+        .filter(jac >= JaccardThreshold.toDouble)
+        .select(col("dd").as("delta_id"), col("cd").as("corpus_id"), jac.as("jaccard"))
     })
 }

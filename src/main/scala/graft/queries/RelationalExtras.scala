@@ -473,17 +473,22 @@ object RelationalExtras {
         .filter(col("o_orderpriority") === "1-URGENT"
           && col("o_totalprice") > 150000)
         .select(col("o_orderkey"), col("o_orderpriority"))
-      val bloom = build
+      // the set-bit table: one row per distinct bit position. The probe
+      // checks membership via three broadcast-hash LEFT SEMI joins (an
+      // O(1) hash lookup per row) — NOT array_contains over a collected
+      // array, which is a linear scan of up to 8192 entries per row and
+      // measured 13.7s at sf0.1 against ~1s for the join form.
+      val bits = build
         .select(explode(array((0 until 3).map(j =>
           pos(col("o_orderkey"), j)): _*)).as("p"))
         .distinct()
-        .groupBy().agg(collect_set(col("p")).as("bset"))
-      val probe = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_extendedprice"))
-        .crossJoin(broadcast(bloom))
-        .filter((0 until 3)
-          .map(j => array_contains(col("bset"), pos(col("l_orderkey"), j)))
-          .reduce(_ && _))
+      val probe = (0 until 3).foldLeft(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"))) { (df, j) =>
+        df.withColumn(s"p$j", pos(col("l_orderkey"), j))
+          .join(broadcast(bits.withColumnRenamed("p", s"p$j")),
+            Seq(s"p$j"), "left_semi")
+      }
       probe.join(build, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),

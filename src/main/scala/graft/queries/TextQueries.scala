@@ -257,5 +257,62 @@ object TextQueries {
           size(filter(sequence(lit(2), size(t)),
             i => element_at(t, i) === element_at(t, i - 1)))
             .cast(LongType).as("n_consec_dup"))
+    },
+
+    // ------------------------------------------------------------------
+    // Collocation mining by PMI-style lift: which bigrams occur far more
+    // often than their unigrams predict. lift = P(w1 w2) / (P(w1)P(w2))
+    // computed as one double division of two exact integer products
+    // (all counts are corpus-level BIGINTs; numerator and denominator
+    // each fit int64, their long->double casts and the single division
+    // are identical IEEE ops on both engines). Corpus-scale shape:
+    // two map-side-combinable count aggregations (bigrams, unigrams),
+    // the unigram table joined twice by key — at 100 TB both joins
+    // shuffle token-count tables, never documents; the min-count cut
+    // (>= 5) bounds the ranked set before the top-k heap.
+    QueryDef(
+      "q94_collocations",
+      "PMI-style bigram lift: count(bigram)/N vs unigram expectation, exact integer products + one division, min-count 5, top-20 by (lift, bigram)",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 2),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+         |un AS (SELECT count(*) AS n1 FROM uni),
+         |big AS (SELECT unnest(${sqlShingles("t", 2)}) AS bg FROM toks),
+         |bcnt AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg)
+         |SELECT bg AS bigram, cb AS n_pair,
+         |  CAST((cb * n1 * n1) AS DOUBLE)
+         |    / CAST((nbig * c1 * c2) AS DOUBLE) AS lift
+         |FROM (
+         |  SELECT bg, cb,
+         |    (SELECT sum(cb) FROM bcnt) AS nbig,
+         |    (SELECT n1 FROM un) AS n1,
+         |    u1.cw AS c1, u2.cw AS c2
+         |  FROM bcnt
+         |  JOIN ucnt u1 ON u1.w = string_split(bg, ' ')[1]
+         |  JOIN ucnt u2 ON u2.w = string_split(bg, ' ')[2]
+         |  WHERE cb >= 5)
+         |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .filter(size(tokens(col("text"))) >= 2)
+      val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      val ucnt = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+      val n1 = uni.groupBy().agg(count(lit(1)).as("n1"))
+      val bcnt = docs.select(tokens(col("text")).as("t"))
+        .select(explode(shinglesOf(col("t"), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cb"))
+      val nbig = bcnt.groupBy().agg(sum(col("cb")).as("nbig"))
+      val parts = split(col("bg"), " ")
+      bcnt.filter(col("cb") >= 5)
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(nbig))
+        .withColumn("w1", element_at(parts, 1))
+        .withColumn("w2", element_at(parts, 2))
+        .join(ucnt.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(ucnt.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .select(col("bg").as("bigram"), col("cb").as("n_pair"),
+          ((col("cb") * col("n1") * col("n1")).cast("double")
+            / (col("nbig") * col("c1") * col("c2")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
     })
 }
