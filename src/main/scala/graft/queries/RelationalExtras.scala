@@ -493,5 +493,48 @@ object RelationalExtras {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    },
+
+    // ------------------------------------------------------------------
+    // Fuzzy-match join (entity resolution): dirty strings matched to a
+    // deduplicated reference catalog (distinct name -> canonical key: the
+    // resolution target is the ENTITY, not each duplicate row) by edit
+    // distance — but NEVER as an all-pairs
+    // levenshtein: candidates come from an equality join on a blocking
+    // key (last name-token + |length diff| <= 1), and the O(len^2) DP
+    // runs on candidates only. Every 7th part name gets a deterministic
+    // first-character typo in-query (the q42 synthetic-PII pattern), so
+    // the matcher is non-vacuous and the oracle computes the identical
+    // blocked join. At 100 TB the blocking key is the shuffle key and
+    // per-block fan-out is bounded by block size, not table size.
+    QueryDef(
+      "q95_fuzzy_match",
+      "blocked fuzzy join: typo'd names resolved against the distinct-entity catalog via last-token blocking + levenshtein <= 1 verify on candidates only — never all-pairs",
+      """WITH dirty AS (SELECT p_partkey AS v_id,
+        |    'x' || substr(p_name, 2) AS v_name
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |catalog AS (SELECT min(p_partkey) AS entity_key, p_name,
+        |    string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT v_id, entity_key,
+        |  CAST(levenshtein(v_name, p_name) AS BIGINT) AS dist
+        |FROM dirty JOIN catalog
+        |  ON string_split(v_name, ' ')[-1] = blk
+        | AND abs(length(v_name) - length(p_name)) <= 1
+        |WHERE levenshtein(v_name, p_name) <= 1""".stripMargin) { (s, dir) =>
+      val dirty = Tables.part(s, dir)
+        .filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("v_id"),
+          concat(lit("x"), expr("substr(p_name, 2)")).as("v_name"))
+        .withColumn("blk", element_at(split(col("v_name"), " "), -1))
+      val catalog = Tables.part(s, dir)
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("entity_key"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      broadcast(dirty).join(catalog, Seq("blk"))
+        .filter(abs(length(col("v_name")) - length(col("p_name"))) <= 1)
+        .filter(levenshtein(col("v_name"), col("p_name")) <= 1)
+        .select(col("v_id"), col("entity_key"),
+          levenshtein(col("v_name"), col("p_name")).cast(LongType).as("dist"))
     })
 }

@@ -91,6 +91,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(byOp.getOrElse("U", 0L) == upd)
   }
 
+  test("incremental dedup equals the delta-crossing subset of all-pairs dedup") {
+    // q24 finds every near-dup pair; q93 checks only the arriving batch
+    // (doc_id%10==7) against the corpus. Exactly the pairs with one
+    // endpoint on each side must coincide (orientation normalized).
+    val all = SparkEntry.queries("q24_minhash_lsh")(spark, sfDir)
+    val inc = SparkEntry.queries("q93_incremental_dedup")(spark, sfDir)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+    val crossing = all
+      .filter((col("doc_a") % 10 === 7) =!= (col("doc_b") % 10 === 7))
+      .select(
+        when(col("doc_a") % 10 === 7, col("doc_a")).otherwise(col("doc_b")).as("delta_id"),
+        when(col("doc_a") % 10 === 7, col("doc_b")).otherwise(col("doc_a")).as("corpus_id"),
+        col("jaccard"))
+    assert(inc.exceptAll(crossing).isEmpty && crossing.exceptAll(inc).isEmpty)
+    assert(inc.count() > 0, "no delta-crossing near-dup pairs — vacuous check")
+  }
+
   test("kmeans: 8 nonempty clusters, deterministic across runs") {
     val a = SparkEntry.queries("q90_kmeans")(spark, sfDir)
     val sizes = a.groupBy("cluster").count().collect()
