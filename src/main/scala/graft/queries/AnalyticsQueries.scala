@@ -355,5 +355,42 @@ object AnalyticsQueries {
         .select(when(col("t3").isNotNull, 3)
           .when(col("t2").isNotNull, 2).otherwise(1).cast(LongType).as("stage"))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cohort retention: the canonical product-analytics matrix. Each
+    // user's cohort is the week of their first event; a cell
+    // (cohort_week, offset_weeks) counts the distinct users of that
+    // cohort active offset weeks later. Plan shape: one pass builds the
+    // per-user cohort table (min agg), one pass the distinct
+    // (user, week) activity set, and the join is user_id-co-partitioned
+    // — both sides shuffle once on the same key, then one
+    // count-distinct aggregate. No self-join of events against events:
+    // at 100 TB the event log is read twice and reduced immediately
+    // both times, never joined at event granularity. Week arithmetic is
+    // exact: both engines truncate to Monday and the day difference of
+    // two week-truncations is a multiple of 7, so the /7 is an exact
+    // integer in double.
+    QueryDef(
+      "q96_cohort_retention",
+      "cohort retention matrix: first-event week cohorts x offset weeks -> distinct active users; two reduced passes + one user-keyed join, never an event-granularity self-join",
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |cohort AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, w FROM ev)
+        |SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+        |  CAST(date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) / 7 AS BIGINT)
+        |    AS offset_weeks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val cohort = ev.groupBy("user_id").agg(min(col("w")).as("cw"))
+      val act = ev.distinct()
+      act.join(cohort, "user_id")
+        .select(col("user_id"), col("cw").as("cohort_week"),
+          (datediff(col("w"), col("cw")) / 7).cast(LongType).as("offset_weeks"))
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(countDistinct(col("user_id")).as("n_users"))
     })
 }

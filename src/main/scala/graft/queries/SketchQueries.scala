@@ -203,5 +203,62 @@ object SketchQueries {
         .groupBy("p", "target_rank").agg(min(col("bin")).as("qbin"))
         .select(col("p"), col("target_rank"),
           ((col("qbin") + 1) * QWidth).cast("long").as("est_upper_bound"))
+    },
+
+    // ------------------------------------------------------------------
+    // Equi-depth binning at scale (feature bucketing): decile edges are
+    // derived from the q56-style histogram sketch — NOT from ntile(),
+    // whose empty OVER () is a single-partition global sort that dies at
+    // data scale. Pass 1 builds the equi-width histogram (one
+    // map-side-combinable groupBy); the 9 decile edges come from rank
+    // lookups on the sketch-sized cumulative bin table; pass 2 assigns
+    // every row its bucket by counting edges <= value against the
+    // broadcast 9-element edge array and aggregates per-bucket stats.
+    // Buckets are equal-depth to within one histogram bin; the OUTPUT
+    // is exactly deterministic (integer edge math, exact decimal sums).
+    QueryDef(
+      "q97_equidepth",
+      "equi-depth decile binning via histogram-sketch edges + broadcast assignment (no global sort): per-bucket row count, min/max, exact decimal revenue",
+      s"""WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+         |hist AS (SELECT CAST(floor(x / 100.0) AS BIGINT) AS bin, count(*) AS c
+         |  FROM v GROUP BY 1),
+         |cum AS (SELECT bin,
+         |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM hist),
+         |n AS (SELECT count(*) AS n FROM v),
+         |ds AS (SELECT unnest(range(1, 10)) AS d),
+         |t AS (SELECT d, CAST(ceil(d * n / 10.0) AS BIGINT) AS target_rank
+         |  FROM ds CROSS JOIN n),
+         |edge AS (SELECT d, CAST((min(bin) + 1) * 100 AS BIGINT) AS e
+         |  FROM t JOIN cum ON cum >= target_rank GROUP BY d, target_rank),
+         |earr AS (SELECT list_sort(list(e)) AS edges FROM edge)
+         |SELECT CAST(len(list_filter(edges, e -> x >= e)) AS BIGINT) AS bucket,
+         |  count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
+         |FROM v CROSS JOIN earr
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val hist = v.select(floor(col("x") / 100.0).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nDf = v.agg(count(lit(1)).as("n"))
+      val targets = s.range(1, 10).select(col("id").as("d"))
+        .crossJoin(broadcast(nDf))
+        .select(col("d"), ceil(col("d") * col("n") / 10.0).cast("long").as("target_rank"))
+      val edges = targets.join(broadcast(cum), col("cum") >= col("target_rank"))
+        .groupBy("d", "target_rank")
+        .agg(((min(col("bin")) + 1) * 100).cast("long").as("e"))
+      val earr = edges.groupBy().agg(sort_array(collect_list(col("e"))).as("edges"))
+      v.crossJoin(broadcast(earr))
+        .select(col("x"),
+          size(filter(col("edges"), e => col("x") >= e)).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          sum(col("x").cast("decimal(18,2)")).cast("double").as("sum_x"))
     })
 }
