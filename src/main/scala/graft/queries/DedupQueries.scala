@@ -143,6 +143,68 @@ object DedupQueries {
        |            JOIN cnt yb ON yb.doc_id = db
        |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
 
+  /** Connected components over an undirected pair list via min-label
+    * propagation with pointer doubling: each round takes the min over
+    * each vertex's neighbors' labels (one equi-join + groupBy), then
+    * path-halves — label(v) <- label(label(v)) via a self-join — so a
+    * chain of diameter D converges in O(log D) rounds, not O(D)
+    * (GraphSpec proves the round count on a 256-node chain). Both steps
+    * only ever LOWER labels toward the component minimum (labels are
+    * always ids of reachable vertices), so the fixpoint is the exact
+    * component min and the monotone label-sum convergence test applies.
+    * The loop runs ONLY over vertices that appear in the pair list —
+    * near-dup pairs are a vanishing fraction of a corpus, so each round
+    * touches |pairs|-scale rows, never |corpus|-scale (at 100 TB:
+    * millions, not billions; label table hash-partitioned on doc_id).
+    * Returns ((doc_id, label) for every pair-graph vertex, rounds). */
+  private[queries] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    // undirected: both directions, materialized once so the loop never
+    // re-runs the upstream candidate pipeline
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .unionByName(pairs.toDF("doc_a", "doc_b")
+        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    // Labels are monotonically non-increasing, so the fixpoint test is
+    // sum(label) unchanged — one aggregate per round instead of a
+    // self-join + count.
+    def labelSum(): Long = Option(labels.agg(sum(col("label"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum()
+    var converged = labels.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v2"), col("label").as("vl")),
+          col("v") === col("v2"))
+        .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      val propagated = labels
+        .join(nbrMin, col("doc_id") === col("u"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer doubling: follow the label one more hop through the
+      // label table itself (labels are vertex ids, so the lookup is a
+      // self-join); halves the remaining path length every round.
+      // lazy checkpoint: materializes during the convergence aggregate
+      // (one job per round, not two) while still truncating lineage
+      labels = propagated
+        .join(propagated.select(col("doc_id").as("jid"), col("label").as("jl")),
+          col("label") === col("jid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("jl"), col("label"))).as("label"))
+        .localCheckpoint(eager = false)
+      val s2 = labelSum()
+      converged = s2 == prevSum
+      prevSum = s2
+    }
+    (labels, rounds)
+  }
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Exact dedup: hash-groupBy on the md5 digest. The corpus has no
@@ -258,14 +320,19 @@ object DedupQueries {
     // turns pairwise similarity into a dedup DECISION: transitive
     // closure groups (a~b, b~c => {a,b,c}), one canonical (min) id per
     // cluster, every other member a drop candidate. Spark side is
-    // iterative min-label propagation (label(v) <- min over v and its
-    // neighbors, repeated to fixpoint): each round is one equi-join +
-    // groupBy, rounds = component diameter (2-3 here; bounded by the
-    // longest near-dup chain in practice). localCheckpoint truncates
-    // the growing lineage per round. At 100 TB the same loop runs with
-    // the label table hash-partitioned on doc_id; for adversarial
-    // diameters switch to alternating large-star/small-star, which
-    // converges in O(log n) rounds with the same per-round join shape.
+    // iterative min-label propagation with POINTER DOUBLING: each round
+    // first takes the min over each vertex's neighbors' labels (one
+    // equi-join + groupBy), then path-halves — label(v) <-
+    // label(label(v)) via a self-join of the label table — so a chain
+    // component of diameter D converges in O(log D) rounds, not O(D):
+    // after the neighbor step moves a label one hop, the jump step
+    // doubles how far the minimum has traveled. Both steps only ever
+    // LOWER labels toward the component minimum (labels are always ids
+    // of reachable vertices), so the fixpoint is unchanged and the
+    // monotone label-sum convergence test still applies.
+    // localCheckpoint truncates the growing lineage per round. At
+    // 100 TB the same loop runs with the label table hash-partitioned
+    // on doc_id.
     // The oracle is an independent algorithm entirely: DuckDB's
     // recursive CTE computing full reachability, then min per vertex.
     QueryDef(
@@ -285,44 +352,7 @@ object DedupQueries {
          |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
          |FROM labeled""".stripMargin) { (s, dir) =>
       val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      // undirected: both directions, materialized once so the loop never
-      // re-runs the LSH pipeline
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("u", "v")
-        .localCheckpoint()
-      // The loop runs ONLY over vertices that appear in the pair graph —
-      // near-dup pairs are a vanishing fraction of the corpus, so the
-      // per-round join touches |pairs|-scale rows, not |corpus|-scale
-      // (at 100 TB: millions, not billions). Non-pair documents are
-      // singleton clusters and join back in after the fixpoint.
-      var labels = edges.select(col("u").as("doc_id"))
-        .distinct()
-        .select(col("doc_id"), col("doc_id").as("label"))
-        .localCheckpoint()
-      // Labels are monotonically non-increasing, so the fixpoint test is
-      // sum(label) unchanged — one aggregate per round instead of the
-      // old self-join + count.
-      def labelSum(): Long = Option(labels.agg(sum(col("label"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      var prevSum = labelSum()
-      var converged = labels.isEmpty
-      while (!converged) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("v2"), col("label").as("vl")),
-            col("v") === col("v2"))
-          .groupBy(col("u")).agg(min(col("vl")).as("nl"))
-        // lazy checkpoint: materializes during the convergence aggregate
-        // (one job per round, not two) while still truncating lineage
-        labels = labels
-          .join(nbrMin, col("doc_id") === col("u"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .localCheckpoint(eager = false)
-        val s2 = labelSum()
-        converged = s2 == prevSum
-        prevSum = s2
-      }
+      val (labels, _) = connectedComponents(pairs)
       Tables.documents(s, dir)
         .select(col("doc_id"))
         .join(labels.withColumnRenamed("label", "lbl"), Seq("doc_id"), "left")
