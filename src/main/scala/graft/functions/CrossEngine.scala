@@ -47,6 +47,13 @@ object CrossEngine {
   /** Whitespace tokens (single-space-joined corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Bloom-filter bit position j of a non-negative integer key in an
+    * m-bit filter, drawn from the same universal-hash family as the
+    * minhash permutations. Shared by q88 and MaintenanceSpec so the
+    * tested filter and the production filter can never drift apart. */
+  def bloomPos(key: Column, j: Int, m: Int): Column =
+    ((key % P) * permA(j) + permB(j)) % P % m
+
   /** Word n-gram shingles over a PRE-SPLIT tokens column. The tokens
     * must be a bound column (project `tokens(text).as("t")` first), not
     * an inline `split(...)` expression: Spark does not subexpression-

@@ -41,12 +41,7 @@ object DedupQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("t")) - ShingleN),
-          i => concat_ws(" ",
-            (0 until ShingleN).map(k => element_at(col("t"), i + k + 1)): _*)))
-          .as("sg"))
+      .select(col("doc_id"), explode(shinglesOf(col("t"), ShingleN)).as("sg"))
       .distinct()
 
   private val sqlShingleCte =
@@ -171,9 +166,13 @@ object DedupQueries {
       .localCheckpoint()
     // Labels are monotonically non-increasing, so the fixpoint test is
     // sum(label) unchanged — one aggregate per round instead of a
-    // self-join + count.
-    def labelSum(): Long = Option(labels.agg(sum(col("label"))).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // self-join + count. Summed as DECIMAL(38,0): a Long sum wraps mod
+    // 2^64 silently at billion-vertex scale, and a wrap that lands on
+    // the previous sum would end the loop before the fixpoint.
+    def labelSum(): java.math.BigDecimal =
+      Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum()
     var converged = labels.isEmpty
     var rounds = 0
@@ -183,10 +182,14 @@ object DedupQueries {
         .join(labels.select(col("doc_id").as("v2"), col("label").as("vl")),
           col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      // lazy checkpoint: the self-join below consumes propagated twice;
+      // without it the labels-vs-nbrMin join and projection run twice
+      // per round
       val propagated = labels
         .join(nbrMin, col("doc_id") === col("u"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(eager = false)
       // pointer doubling: follow the label one more hop through the
       // label table itself (labels are vertex ids, so the lookup is a
       // self-join); halves the remaining path length every round.
@@ -199,7 +202,7 @@ object DedupQueries {
           least(col("label"), coalesce(col("jl"), col("label"))).as("label"))
         .localCheckpoint(eager = false)
       val s2 = labelSum()
-      converged = s2 == prevSum
+      converged = s2.compareTo(prevSum) == 0
       prevSum = s2
     }
     (labels, rounds)

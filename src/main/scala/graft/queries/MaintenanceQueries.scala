@@ -35,7 +35,12 @@ object MaintenanceQueries {
       """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
         |  l_quantity, l_extendedprice
         |FROM lineitem""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      // fixed per-JVM path + overwrite mode: repeated invocations (the
+      // bench runs every query k times) reuse the same disk footprint
+      // instead of leaking a fresh temp copy per run; the fragmented
+      // intermediate is deleted as soon as the compacted copy is written
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q89_compaction").toString
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       Tables.lineitem(s, dir).select(cols.map(col): _*)
         .repartition(64) // simulate the fragmented state
@@ -44,6 +49,8 @@ object MaintenanceQueries {
         .repartitionByRange(4, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .write.mode("overwrite").parquet(s"$tmp/compacted")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tmp/fragmented"))
       s.read.parquet(s"$tmp/compacted")
     },
 

@@ -464,11 +464,10 @@ object RelationalExtras {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-      import graft.functions.CrossEngine.{P, permA, permB}
+      import graft.functions.CrossEngine.bloomPos
       import org.apache.spark.sql.Column
       val m = 8192
-      def pos(key: Column, j: Int): Column =
-        ((key % P) * permA(j) + permB(j)) % P % m
+      def pos(key: Column, j: Int): Column = bloomPos(key, j, m)
       val build = Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT"
           && col("o_totalprice") > 150000)
@@ -533,8 +532,10 @@ object RelationalExtras {
         .withColumn("blk", element_at(split(col("p_name"), " "), -1))
       broadcast(dirty).join(catalog, Seq("blk"))
         .filter(abs(length(col("v_name")) - length(col("p_name"))) <= 1)
-        .filter(levenshtein(col("v_name"), col("p_name")) <= 1)
-        .select(col("v_id"), col("entity_key"),
-          levenshtein(col("v_name"), col("p_name")).cast(LongType).as("dist"))
+        // bind the DP result once: Spark does no CSE across Filter and
+        // Project, so filter-then-reproject would run levenshtein twice
+        .withColumn("dist", levenshtein(col("v_name"), col("p_name")).cast(LongType))
+        .filter(col("dist") <= 1)
+        .select(col("v_id"), col("entity_key"), col("dist"))
     })
 }

@@ -262,10 +262,11 @@ object TextQueries {
     // ------------------------------------------------------------------
     // Collocation mining by PMI-style lift: which bigrams occur far more
     // often than their unigrams predict. lift = P(w1 w2) / (P(w1)P(w2))
-    // computed as one double division of two exact integer products
-    // (all counts are corpus-level BIGINTs; numerator and denominator
-    // each fit int64, their long->double casts and the single division
-    // are identical IEEE ops on both engines). Corpus-scale shape:
+    // computed in probability-ratio form — (cb/nb) / ((c1/n1)*(c2/n1))
+    // — as a fixed sequence of IEEE double ops mirrored exactly in the
+    // oracle. NOT as integer products: cb*n1*n1 overflows int64 already
+    // at ~10^7 tokens, where DuckDB errors and Spark wraps silently.
+    // Corpus-scale shape:
     // two map-side-combinable count aggregations (bigrams, unigrams),
     // the unigram table joined twice by key — at 100 TB both joins
     // shuffle token-count tables, never documents; the min-count cut
@@ -277,12 +278,13 @@ object TextQueries {
          |              WHERE len(string_split(text, ' ')) >= 2),
          |uni AS (SELECT unnest(t) AS w FROM toks),
          |ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
-         |un AS (SELECT count(*) AS n1 FROM uni),
+         |un AS (SELECT sum(cw) AS n1 FROM ucnt),
          |big AS (SELECT unnest(${sqlShingles("t", 2)}) AS bg FROM toks),
          |bcnt AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg)
          |SELECT bg AS bigram, cb AS n_pair,
-         |  CAST((cb * n1 * n1) AS DOUBLE)
-         |    / CAST((nbig * c1 * c2) AS DOUBLE) AS lift
+         |  (CAST(cb AS DOUBLE) / CAST(nbig AS DOUBLE))
+         |    / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         |       * (CAST(c2 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS lift
          |FROM (
          |  SELECT bg, cb,
          |    (SELECT sum(cb) FROM bcnt) AS nbig,
@@ -297,7 +299,9 @@ object TextQueries {
         .filter(size(tokens(col("text"))) >= 2)
       val uni = docs.select(explode(tokens(col("text"))).as("w"))
       val ucnt = uni.groupBy("w").agg(count(lit(1)).as("cw"))
-      val n1 = uni.groupBy().agg(count(lit(1)).as("n1"))
+      // n1 = sum of the word counts already aggregated — not a second
+      // tokenize-explode pass over the corpus
+      val n1 = ucnt.groupBy().agg(sum(col("cw")).as("n1"))
       val bcnt = docs.select(tokens(col("text")).as("t"))
         .select(explode(shinglesOf(col("t"), 2)).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cb"))
@@ -310,8 +314,9 @@ object TextQueries {
         .join(ucnt.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
         .join(ucnt.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
         .select(col("bg").as("bigram"), col("cb").as("n_pair"),
-          ((col("cb") * col("n1") * col("n1")).cast("double")
-            / (col("nbig") * col("c1") * col("c2")).cast("double")).as("lift"))
+          ((col("cb").cast("double") / col("nbig").cast("double"))
+            / ((col("c1").cast("double") / col("n1").cast("double"))
+              * (col("c2").cast("double") / col("n1").cast("double")))).as("lift"))
         .orderBy(col("lift").desc, col("bigram"))
         .limit(20)
     })

@@ -49,10 +49,9 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("bloom prune: pass-set is a superset of true matches and a real cut") {
-    import graft.functions.CrossEngine.{P, permA, permB}
+    import graft.functions.CrossEngine.bloomPos
     val m = 8192
-    def pos(key: org.apache.spark.sql.Column, j: Int) =
-      ((key % P) * permA(j) + permB(j)) % P % m
+    def pos(key: org.apache.spark.sql.Column, j: Int) = bloomPos(key, j, m)
     val build = Tables.orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
       .select(col("o_orderkey"))
