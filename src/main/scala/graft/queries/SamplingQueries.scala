@@ -17,6 +17,11 @@ import graft.sources.Tables
   */
 object SamplingQueries {
 
+  /** Tokens per training shard for q98 (small so the sf gates produce
+    * a multi-shard assignment: ~27k corpus tokens at sf0.01 -> ~13
+    * shards). */
+  private val TokenBudget = 2048L
+
   private val UniformK = 50
   private val PerStratumK = 10
   private val Salt = "graft-sample-1"
@@ -76,5 +81,61 @@ object SamplingQueries {
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang"),
         when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"))
+    },
+
+    // ------------------------------------------------------------------
+    // Token-budget shard packing — the last step before a corpus feeds a
+    // trainer: assign documents (in stable doc_id order) to shards of
+    // ~TokenBudget tokens each, so every shard is a near-equal unit of
+    // training work. shard(d) = floor(exclusive-prefix-sum(n_tokens) /
+    // budget), which needs a GLOBAL running sum — the operation a naive
+    // `sum() OVER (ORDER BY ...)` computes on a single partition. This
+    // uses the S12/SurrogateKeys two-pass shape instead: range-partition
+    // by doc_id + sort within partitions (one balanced shuffle), a
+    // one-long-per-partition totals job, driver-side offsets (numShuffle-
+    // Partitions entries, not rows), then a map-side pass attaches each
+    // partition's running sum on top of its offset. The genuine
+    // per-partition imperative case where the RDD layer is the right
+    // Spark idiom. The oracle states the semantic spec — the global
+    // window running sum — which DuckDB can afford at oracle scale.
+    QueryDef(
+      "q98_shard_packing",
+      s"token-budget shard packing: shard = floor(exclusive global running token sum / $TokenBudget) via range-partition + per-partition offsets (no single-partition window), doc_id order",
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS cumx
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(cumx / $TokenBudget.0) AS BIGINT) AS shard
+         |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField}
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val parts = s.sessionState.conf.numShufflePartitions
+      val sorted = base
+        .repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .localCheckpoint() // totals and assignment must see the same blocks
+      val totals = sorted.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          Iterator.single((pid, it.map(_.getLong(1)).sum))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+      val outSchema = sorted.schema.add(StructField("shard", LongType, nullable = false))
+      val packed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = offsets(pid)
+        it.map { r =>
+          val n = r.getLong(1)
+          val shard = acc / TokenBudget // non-negative long div == floor
+          acc += n
+          Row(r.getLong(0), n, shard)
+        }
+      }
+      s.createDataFrame(packed, outSchema)
     })
 }

@@ -107,6 +107,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(inc.count() > 0, "no delta-crossing near-dup pairs — vacuous check")
   }
 
+  test("shard packing: contiguous shards, budget respected, order preserved") {
+    val budget = 2048L
+    val rows = SparkEntry.queries("q98_shard_packing")(spark, sfDir)
+      .orderBy("doc_id").collect()
+    assert(rows.length > 0)
+    // shard ids are monotone in doc_id order and contiguous from 0
+    val shards = rows.map(_.getLong(2))
+    assert(shards.head == 0L)
+    assert(shards.sliding(2).forall { case Array(a, b) => b == a || b == a + 1; case _ => true },
+      "shard ids must be contiguous and non-decreasing in doc_id order")
+    // no shard exceeds the budget by more than its last doc's tokens
+    // (greedy packing overshoots by at most one document)
+    rows.groupBy(_.getLong(2)).foreach { case (sh, docs) =>
+      val tot = docs.map(_.getLong(1)).sum
+      val lastDoc = docs.maxBy(_.getLong(0)).getLong(1)
+      assert(tot - lastDoc < budget,
+        s"shard $sh holds $tot tokens; all but its last doc must fit $budget")
+    }
+  }
+
   test("kmeans: 8 nonempty clusters, deterministic across runs") {
     val a = SparkEntry.queries("q90_kmeans")(spark, sfDir)
     val sizes = a.groupBy("cluster").count().collect()
