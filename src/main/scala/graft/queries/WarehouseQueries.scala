@@ -249,29 +249,34 @@ object WarehouseQueries {
         |UNION ALL SELECT 'qty_above_cap', count(*) FROM lineitem WHERE l_quantity > 45
         |UNION ALL SELECT 'ship_before_order', count(*) FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate""".stripMargin) { (s, dir) =>
+      // three aggregation passes total (orders, lineitem-with-FK-probe,
+      // customer) — the three lineitem rules share ONE scan + ONE join
+      // as conditional counts, and the six metrics are assembled as a
+      // single row then unpivoted with stack(); the previous shape
+      // union'd six separate aggregates and scanned lineitem 3x
       val orders = Tables.orders(s, dir)
-      val li = Tables.lineitem(s, dir)
-      def metric(name: String, df: DataFrame): DataFrame =
-        df.select(lit(name).as("metric"), col("violations"))
       val orderStats = orders.agg(
-        count(lit(1)).as("rows"),
+        count(lit(1)).as("o_rows"),
         (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dups"))
-      metric("orders_rows", orderStats.select(col("rows").as("violations")))
-        .unionByName(metric("dup_orderkey",
-          orderStats.select(col("dups").as("violations"))))
-        .unionByName(metric("orphan_lineitem",
-          li.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
-            .agg(count(lit(1)).as("violations"))))
-        .unionByName(metric("neg_acctbal",
-          Tables.customer(s, dir).filter(col("c_acctbal") < 0)
-            .agg(count(lit(1)).as("violations"))))
-        .unionByName(metric("qty_above_cap",
-          li.filter(col("l_quantity") > 45)
-            .agg(count(lit(1)).as("violations"))))
-        .unionByName(metric("ship_before_order",
-          li.join(orders, col("l_orderkey") === col("o_orderkey"))
-            .filter(col("l_shipdate") < col("o_orderdate"))
-            .agg(count(lit(1)).as("violations"))))
+      val liStats = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_shipdate")
+        .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          count(when(col("o_orderkey").isNull, 1)).as("orphans"),
+          count(when(col("l_quantity") > 45, 1)).as("qty_cap"),
+          count(when(col("o_orderkey").isNotNull
+            && col("l_shipdate") < col("o_orderdate"), 1)).as("ship_b4"))
+      val custStats = Tables.customer(s, dir)
+        .agg(count(when(col("c_acctbal") < 0, 1)).as("negs"))
+      orderStats.crossJoin(liStats).crossJoin(custStats)
+        .select(expr("""stack(6,
+          'orders_rows', o_rows,
+          'dup_orderkey', dups,
+          'orphan_lineitem', orphans,
+          'neg_acctbal', negs,
+          'qty_above_cap', qty_cap,
+          'ship_before_order', ship_b4) AS (metric, violations)"""))
     },
 
     // ------------------------------------------------------------------
