@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: a `levenshtein(a, b) <= k` conjunct implies the far
+  * cheaper `abs(length(a) - length(b)) <= k` (edit distance is bounded
+  * below by the length difference — each insert/delete changes length
+  * by one). The rule injects that implied conjunct next to the original
+  * predicate, where Catalyst's own rules can then push it through joins
+  * toward the scans and evaluate it before the O(len^2) DP runs — the
+  * blocked fuzzy join's manual length prefilter (q95), derived
+  * automatically for any user query.
+  *
+  * Semantics-preserving by construction: the conjunct is implied, so it
+  * never removes a row the original predicate would keep (null inputs
+  * make both the original and the implied conjunct null — same row
+  * fate). Idempotent: an already-present semantically-equal conjunct is
+  * not re-added, so the fixed-point optimizer batch terminates.
+  *
+  * Registered through `SparkSessionExtensions.injectOptimizerRule`
+  * (GraftExtensions) — the standard extension point, usable as
+  * `spark.sql.extensions` on any cluster, no Spark fork.
+  */
+object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def lengthBound(mk: (Expression, Expression) => Expression,
+      lev: Levenshtein, k: Expression): Expression =
+    mk(Abs(Subtract(Length(lev.left), Length(lev.right))), k)
+
+  /** The condition with implied bounds added, or None if unchanged. */
+  private def augmented(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val implied = conjuncts.collect {
+      case LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
+          if lev.threshold.isEmpty =>
+        lengthBound(LessThanOrEqual, lev, k)
+      case LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
+          if lev.threshold.isEmpty =>
+        lengthBound(LessThan, lev, k)
+      case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein)
+          if lev.threshold.isEmpty =>
+        lengthBound(LessThanOrEqual, lev, k)
+    }.filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+    if (implied.isEmpty) None
+    else Some((conjuncts ++ implied).reduce(And))
+  }
+
+  // matched in both Filter and Join conditions: Catalyst's own pushdown
+  // may fold the user's filter into a join condition before this rule
+  // runs in the fixed-point operator batch
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      augmented(cond).map(Filter(_, child)).getOrElse(f)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      augmented(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
+  }
+}
