@@ -26,13 +26,18 @@ class BenchFormatSpec extends AnyFunSuite {
         "Trim the format (or the query-name budget) before adding queries.")
   }
 
-  test("compact line keeps >=25% headroom at a simulated 100 queries") {
-    val hundred = (1 to 100).map(i => s"q${i}_some_realistic_query_name" ->
+  test("compact line survives growth to a simulated 130 queries") {
+    // the real set is 98; this pins the growth margin. With qNN keys and
+    // 1-decimal seconds the format breaks around ~140 queries — when
+    // THIS test starts failing, shrink the format (e.g. drop the 'q'
+    // prefix from keys) BEFORE adding more queries, not after a round's
+    // numbers are lost.
+    val many = (1 to 130).map(i => s"q${i}_some_realistic_query_name" ->
       Seq(13.3713, 9.0401, 10.5512, 8.4477, 12.0009))
-    val line = Bench.compactJson(hundred, Nil, "/root/testdata/sf0.1")
-    assert(line.length <= (1880 * 0.75).toInt,
-      s"line is ${line.length} chars at 100 queries; need <=1410 so the " +
-        "format survives query growth without another emergency trim.")
+    val line = Bench.compactJson(many, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 1880,
+      s"line is ${line.length} chars at 130 queries; the driver tail " +
+        "window holds ~1880 — shrink the compact format now.")
   }
 
   test("compact line is valid JSON shape with per-query numbers") {
