@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -99,5 +100,64 @@ object MaintenanceQueries {
             .otherwise("U").as("op"),
           coalesce(col("pst"), lit("-")).as("old_status"),
           coalesce(col("cst"), lit("-")).as("new_status"))
+    },
+
+    // ------------------------------------------------------------------
+    // Time-travel read over a versioned change log — the snapshot-
+    // isolation primitive of every table format (Iceberg/Delta/Hudi):
+    // a base snapshot (v0) plus an ordered log of (version, op, key,
+    // value) changes; "read as of v" = base overridden by the LATEST
+    // log entry per key with version <= v (D drops the key). One read
+    // costs one key-shuffle: union base (as version-0 upserts) with the
+    // in-range log slice, keep row_number()=1 per key by version desc,
+    // drop deletes. Never a per-version rescan — the 100-TB cost is the
+    // log slice plus one shuffle, however many versions exist. The log
+    // here is derived deterministically from customer (v1 restates
+    // acctbal for key%7==0, inserts fresh -key-1 rows for key%13==0;
+    // v2 deletes key%11==0), and the query returns all three as-of
+    // states so the oracle proves every historical read, not just HEAD.
+    QueryDef(
+      "q99_time_travel",
+      "time-travel reads over a versioned change log: base + latest-entry-per-key replay at v0/v1/v2 in one keyed shuffle per read; Iceberg-style snapshot isolation from plain parquet",
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |log AS (
+        |  SELECT 1 AS v, 'U' AS op, k, bal + 50.0 AS bal FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT 1, 'I', -k - 1, 10.0 FROM base WHERE k % 13 = 0
+        |  UNION ALL
+        |  SELECT 2, 'D', k, NULL FROM base WHERE k % 11 = 0),
+        |versions AS (SELECT unnest(range(0, 3)) AS as_of),
+        |entries AS (
+        |  SELECT as_of, k, bal, op, v FROM versions
+        |  JOIN (SELECT 0 AS v, 'U' AS op, k, bal FROM base
+        |        UNION ALL SELECT v, op, k, bal FROM log) e
+        |    ON e.v <= as_of),
+        |latest AS (SELECT as_of, k, bal, op FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY as_of, k ORDER BY v DESC) AS rn
+        |    FROM entries) WHERE rn = 1)
+        |SELECT CAST(as_of AS BIGINT) AS as_of, k AS c_custkey, bal AS c_acctbal
+        |FROM latest WHERE op <> 'D'""".stripMargin) { (s, dir) =>
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val log = base.filter(col("k") % 7 === 0)
+        .select(lit(1).as("v"), lit("U").as("op"), col("k"), (col("bal") + 50.0).as("bal"))
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .select(lit(1).as("v"), lit("I").as("op"), (-col("k") - 1).as("k"),
+            lit(10.0).as("bal")))
+        .unionByName(base.filter(col("k") % 11 === 0)
+          .select(lit(2).as("v"), lit("D").as("op"), col("k"),
+            lit(null).cast("double").as("bal")))
+      val allEntries = base
+        .select(lit(0).as("v"), lit("U").as("op"), col("k"), col("bal"))
+        .unionByName(log)
+      val versions = s.range(0, 3).select(col("id").cast("int").as("as_of"))
+      val w = Window.partitionBy(col("as_of"), col("k")).orderBy(col("v").desc)
+      allEntries
+        .join(broadcast(versions), col("v") <= col("as_of"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("as_of").cast("long").as("as_of"),
+          col("k").as("c_custkey"), col("bal").as("c_acctbal"))
     })
 }
