@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: a `levenshtein(a, b) <= k` conjunct implies the far
   * cheaper `abs(length(a) - length(b)) <= k` (edit distance is bounded
@@ -26,23 +26,36 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** The unthresholded DP, possibly behind an integral up-cast (a user
+    * writing `.cast("long") <= 1L` must not silently lose the bound). */
+  private object LevDp {
+    def unapply(e: Expression): Option[Levenshtein] = e match {
+      case lev: Levenshtein if lev.threshold.isEmpty => Some(lev)
+      case Cast(lev: Levenshtein, IntegerType | LongType, _, _)
+          if lev.threshold.isEmpty => Some(lev)
+      case _ => None
+    }
+  }
+
   private def lengthBound(mk: (Expression, Expression) => Expression,
-      lev: Levenshtein, k: Expression): Expression =
-    mk(Abs(Subtract(Length(lev.left), Length(lev.right))), k)
+      lev: Levenshtein, k: Literal): Expression = {
+    val diff: Expression = Abs(Subtract(Length(lev.left), Length(lev.right)))
+    val lhs = if (k.dataType == LongType) Cast(diff, LongType) else diff
+    mk(lhs, k)
+  }
 
   /** The condition with implied bounds added, or None if unchanged. */
   private def augmented(cond: Expression): Option[Expression] = {
     val conjuncts = splitConjunctivePredicates(cond)
     val implied = conjuncts.collect {
-      case LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType))
-          if lev.threshold.isEmpty =>
+      case LessThanOrEqual(LevDp(lev), k @ Literal(_, IntegerType | LongType)) =>
         lengthBound(LessThanOrEqual, lev, k)
-      case LessThan(lev: Levenshtein, k @ Literal(_, IntegerType))
-          if lev.threshold.isEmpty =>
+      case LessThan(LevDp(lev), k @ Literal(_, IntegerType | LongType)) =>
         lengthBound(LessThan, lev, k)
-      case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein)
-          if lev.threshold.isEmpty =>
+      case GreaterThanOrEqual(k @ Literal(_, IntegerType | LongType), LevDp(lev)) =>
         lengthBound(LessThanOrEqual, lev, k)
+      case GreaterThan(k @ Literal(_, IntegerType | LongType), LevDp(lev)) =>
+        lengthBound(LessThan, lev, k)
     }.filterNot(e => conjuncts.exists(_.semanticEquals(e)))
     if (implied.isEmpty) None
     else Some((conjuncts ++ implied).reduce(And))

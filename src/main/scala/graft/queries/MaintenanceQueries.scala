@@ -17,6 +17,18 @@ import graft.sources.Tables
   */
 object MaintenanceQueries {
 
+  /** One temp workspace per JVM for q89, removed on exit: a fixed
+    * machine-global path would let two concurrent JVMs (Verify during a
+    * Bench run, say) overwrite each other's files mid-read, while a
+    * fresh directory per invocation leaks a table copy every bench
+    * iteration. Per-JVM + overwrite mode is the bounded middle. */
+  private lazy val compactionDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_q89_compaction")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    d.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -36,12 +48,10 @@ object MaintenanceQueries {
       """SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
         |  l_quantity, l_extendedprice
         |FROM lineitem""".stripMargin) { (s, dir) =>
-      // fixed per-JVM path + overwrite mode: repeated invocations (the
-      // bench runs every query k times) reuse the same disk footprint
-      // instead of leaking a fresh temp copy per run; the fragmented
-      // intermediate is deleted as soon as the compacted copy is written
-      val tmp = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q89_compaction").toString
+      // per-JVM workspace + overwrite mode: repeated invocations (the
+      // bench runs every query k times) reuse one disk footprint; the
+      // fragmented intermediate is deleted once the compacted copy lands
+      val tmp = compactionDir
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       Tables.lineitem(s, dir).select(cols.map(col): _*)
         .repartition(64) // simulate the fragmented state

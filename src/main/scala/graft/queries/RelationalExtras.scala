@@ -530,12 +530,16 @@ object RelationalExtras {
         .groupBy(col("p_name"))
         .agg(min(col("p_partkey")).as("entity_key"))
         .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      // threshold form: the DP runs banded (O(len*k), early exit past
+      // the bound, returning -1) instead of the full O(len^2) table.
+      // Catalyst rewrites the filter through the alias and evaluates the
+      // expression in both Filter and Project — there is no cross-
+      // operator CSE — so bounding each evaluation is what matters.
       broadcast(dirty).join(catalog, Seq("blk"))
         .filter(abs(length(col("v_name")) - length(col("p_name"))) <= 1)
-        // bind the DP result once: Spark does no CSE across Filter and
-        // Project, so filter-then-reproject would run levenshtein twice
-        .withColumn("dist", levenshtein(col("v_name"), col("p_name")).cast(LongType))
-        .filter(col("dist") <= 1)
+        .withColumn("dist",
+          levenshtein(col("v_name"), col("p_name"), 1).cast(LongType))
+        .filter(col("dist") >= 0)
         .select(col("v_id"), col("entity_key"), col("dist"))
     })
 }

@@ -249,27 +249,31 @@ object WarehouseQueries {
         |UNION ALL SELECT 'qty_above_cap', count(*) FROM lineitem WHERE l_quantity > 45
         |UNION ALL SELECT 'ship_before_order', count(*) FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate""".stripMargin) { (s, dir) =>
-      // three aggregation passes total (orders, lineitem-with-FK-probe,
-      // customer) — the three lineitem rules share ONE scan + ONE join
-      // as conditional counts, and the six metrics are assembled as a
-      // single row then unpivoted with stack(); the previous shape
-      // union'd six separate aggregates and scanned lineitem 3x
+      // four aggregation passes total (orders, lineitem, lineitem-with-
+      // FK-probe, customer), assembled as one row and unpivoted with
+      // stack(); the previous shape union'd six separate aggregates.
+      // qty_above_cap deliberately aggregates lineitem BEFORE the join:
+      // a duplicated o_orderkey (the very defect dup_orderkey measures)
+      // would amplify post-join lineitem rows and inflate a pre-join
+      // count; orphan/ship_before_order are join-defined, matching the
+      // oracle's own join semantics under duplicates.
       val orders = Tables.orders(s, dir)
       val orderStats = orders.agg(
         count(lit(1)).as("o_rows"),
         (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dups"))
-      val liStats = Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_quantity", "l_shipdate")
+      val li = Tables.lineitem(s, dir)
+      val qtyStats = li.agg(count(when(col("l_quantity") > 45, 1)).as("qty_cap"))
+      val fkStats = li
+        .select("l_orderkey", "l_shipdate")
         .join(orders.select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"), "left")
         .agg(
           count(when(col("o_orderkey").isNull, 1)).as("orphans"),
-          count(when(col("l_quantity") > 45, 1)).as("qty_cap"),
           count(when(col("o_orderkey").isNotNull
             && col("l_shipdate") < col("o_orderdate"), 1)).as("ship_b4"))
       val custStats = Tables.customer(s, dir)
         .agg(count(when(col("c_acctbal") < 0, 1)).as("negs"))
-      orderStats.crossJoin(liStats).crossJoin(custStats)
+      orderStats.crossJoin(fkStats).crossJoin(qtyStats).crossJoin(custStats)
         .select(expr("""stack(6,
           'orders_rows', o_rows,
           'dup_orderkey', dups,

@@ -36,6 +36,17 @@ class LevenshteinPrefilterSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("flipped, long-literal, and cast predicate spellings also gain the bound") {
+    val a = names.select(col("id").as("a_id"), col("name").as("a_name"))
+    val b = names.select(col("id").as("b_id"), col("name").as("b_name"))
+    def planOf(c: org.apache.spark.sql.Column): String =
+      a.crossJoin(b).filter(c).queryExecution.optimizedPlan.toString
+    assert(planOf(lit(2) > levenshtein(col("a_name"), col("b_name")))
+      .contains("abs("), "k > lev spelling missed")
+    assert(planOf(levenshtein(col("a_name"), col("b_name")).cast("long") <= 1L)
+      .contains("abs("), "cast-to-long spelling missed")
+  }
+
   test("rule is semantics-preserving and idempotent") {
     val a = names.select(col("id").as("a_id"), col("name").as("a_name"))
     val b = names.select(col("id").as("b_id"), col("name").as("b_name"))

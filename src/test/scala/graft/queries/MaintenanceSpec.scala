@@ -107,16 +107,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(inc.count() > 0, "no delta-crossing near-dup pairs — vacuous check")
   }
 
-  test("shard packing: contiguous shards, budget respected, order preserved") {
+  test("shard packing: monotone shard ids, budget respected, order preserved") {
     val budget = 2048L
     val rows = SparkEntry.queries("q98_shard_packing")(spark, sfDir)
       .orderBy("doc_id").collect()
     assert(rows.length > 0)
-    // shard ids are monotone in doc_id order and contiguous from 0
+    // shard ids start at 0 and are non-decreasing in doc_id order
+    // (floor(prefix/budget) can legitimately SKIP an id when a single
+    // document is longer than 2x the budget, so no +1-contiguity claim)
     val shards = rows.map(_.getLong(2))
     assert(shards.head == 0L)
-    assert(shards.sliding(2).forall { case Array(a, b) => b == a || b == a + 1; case _ => true },
-      "shard ids must be contiguous and non-decreasing in doc_id order")
+    assert(shards.sliding(2).forall { case Array(a, b) => b >= a; case _ => true },
+      "shard ids must be non-decreasing in doc_id order")
     // no shard exceeds the budget by more than its last doc's tokens
     // (greedy packing overshoots by at most one document)
     rows.groupBy(_.getLong(2)).foreach { case (sh, docs) =>
