@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, DedupQueries, IngestQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, QueryDef, RelationalExtras, SamplingQueries, SimilarityQueries, SketchQueries, StreamingQueries, TextQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusPipelineQueries, DedupQueries, IngestQueries, MaintenanceQueries, MultimodalQueries, PipelineQueries, QueryDef, RelationalExtras, SamplingQueries, SimilarityQueries, SketchQueries, StreamingQueries, TextQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
       SimilarityQueries.all ++ MultimodalQueries.all ++
       PipelineQueries.all ++ StreamingQueries.all ++ SketchQueries.all ++
       IngestQueries.all ++ SamplingQueries.all ++ AnalyticsQueries.all ++
-      WarehouseQueries.all ++ MaintenanceQueries.all
+      WarehouseQueries.all ++ MaintenanceQueries.all ++ CorpusPipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

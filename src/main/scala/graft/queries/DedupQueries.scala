@@ -70,7 +70,7 @@ object DedupQueries {
     * (doc_a, doc_b, jaccard) pairs at-or-above the threshold, doc_a <
     * doc_b. Shared by q24 (which declares the pairs) and q54 (which
     * clusters them into connected components). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // staged once (see object Scaladoc): consumed by the signature
     // pipeline, the per-doc counts, and both sides of the verify join
     val sh = shingleDf(s, dir).localCheckpoint()
@@ -119,7 +119,7 @@ object DedupQueries {
 
   /** Oracle text for [[minhashPairs]]: the CTE list and the final pair
     * select, split so q54 can extend the WITH-list. */
-  private val sqlMinhashCtes: String =
+  private[queries] val sqlMinhashCtes: String =
     s"""$sqlSigBandsCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
@@ -131,7 +131,7 @@ object DedupQueries {
        |            JOIN sh y ON y.doc_id = db AND y.sg = x.sg
        |  GROUP BY da, db)""".stripMargin
 
-  private val sqlMinhashPairSelect: String =
+  private[queries] val sqlMinhashPairSelect: String =
     s"""SELECT da AS doc_a, db AS doc_b,
        |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
        |FROM common JOIN cnt xa ON xa.doc_id = da

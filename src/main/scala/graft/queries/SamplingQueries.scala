@@ -24,7 +24,7 @@ object SamplingQueries {
 
   private val UniformK = 50
   private val PerStratumK = 10
-  private val Salt = "graft-sample-1"
+  private[queries] val Salt = "graft-sample-1"
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(

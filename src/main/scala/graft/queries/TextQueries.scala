@@ -16,12 +16,12 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "is", "in")
+  private[queries] val stopEn = Seq("the", "a", "of", "and", "to", "is", "in")
   private val stopFr = Seq("le", "la", "de", "et", "un", "les")
   private val stopDe = Seq("der", "die", "das", "und", "ein", "ist")
   private val stopEs = Seq("el", "la", "de", "y", "un", "los")
 
-  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private[queries] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
     * the same pattern compiles identically under Java regex and RE2. */
