@@ -50,6 +50,28 @@ object DedupQueries {
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(${sqlShingles("t", ShingleN)}) AS sg FROM toks)""".stripMargin
 
+  /** (doc_id, h): distinct 48-bit 13-gram span hashes per document,
+    * staged once per query run — the contamination-check index shared
+    * by q86 and the q100 corpus pipeline (hash collisions are mirrored
+    * by the oracle, which hashes identically). */
+  private[queries] def spanHashes13(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 13)
+      .select(col("doc_id"), explode(shinglesOf(col("t"), 13)).as("sg"))
+      .select(col("doc_id"), md5Hash48(col("sg")).as("h"))
+      .distinct()
+      .localCheckpoint()
+
+  /** Oracle CTEs `toks13`/`sh13(doc_id, h)` — the SQL twin of
+    * [[spanHashes13]]. */
+  private[queries] val sqlSh13Ctes: String =
+    s"""toks13 AS (SELECT doc_id, string_split(text, ' ') t FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 13),
+       |sh13 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash48("sg")} AS h
+       |         FROM (SELECT doc_id, unnest(${sqlShingles("t", 13)}) AS sg
+       |               FROM toks13))""".stripMargin
+
   /** (doc_id, band_idx, band_key): the per-doc LSH band index — the
     * thing a production pipeline stages as a bucketed table and every
     * dedup consumer (all-pairs q24/q54, incremental q93) joins against. */
@@ -379,27 +401,15 @@ object DedupQueries {
     QueryDef(
       "q86_decontaminate",
       "benchmark decontamination: corpus docs sharing any 13-gram with the benchmark slice (doc_id % 5 = 0), via broadcast shingle equi-join — per (doc, bench) distinct shared-13-gram counts",
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
-         |              WHERE len(string_split(text, ' ')) >= 13),
-         |sh13 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash48("sg")} AS h
-         |         FROM (SELECT doc_id, unnest(${sqlShingles("t", 13)}) AS sg
-         |               FROM toks)),
+      s"""WITH $sqlSh13Ctes,
          |bench AS (SELECT doc_id AS bench_id, h FROM sh13 WHERE doc_id % 5 = 0)
          |SELECT a.doc_id, b.bench_id, count(*) AS n_shared
          |FROM sh13 a JOIN bench b ON a.h = b.h AND a.doc_id <> b.bench_id
          |GROUP BY a.doc_id, b.bench_id""".stripMargin) { (s, dir) =>
-      val n = 13
       // 48-bit span hashes, not 100-byte 13-gram strings, cross the
-      // broadcast + join (collisions are mirrored by the oracle, which
-      // hashes identically); staged once so the bench slice is a filter
-      // over the same materialization, not a second tokenize pass
-      val sh13 = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= n)
-        .select(col("doc_id"), explode(shinglesOf(col("t"), n)).as("sg"))
-        .select(col("doc_id"), md5Hash48(col("sg")).as("h"))
-        .distinct()
-        .localCheckpoint()
+      // broadcast + join; staged once (spanHashes13) so the bench slice
+      // is a filter over the same materialization, not a second pass
+      val sh13 = spanHashes13(s, dir)
       val bench = sh13.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("bench_id"), col("h").as("bh"))
       sh13.join(broadcast(bench),

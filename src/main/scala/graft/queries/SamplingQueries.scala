@@ -26,6 +26,15 @@ object SamplingQueries {
   private val PerStratumK = 10
   private[queries] val Salt = "graft-sample-1"
 
+  /** Salted split bucket 0-9 of a doc_id column — the q87 assignment,
+    * shared with the q100 corpus pipeline. */
+  private[queries] def splitBucket(docId: org.apache.spark.sql.Column) =
+    md5Hash48(concat(lit(s"$Salt:split:"), docId.cast("string"))) % 10
+
+  /** SQL twin of [[splitBucket]]. */
+  private[queries] def sqlSplitBucket(x: String): String =
+    s"${sqlMd5Hash48(s"'$Salt:split:' || $x::VARCHAR")} % 10"
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q55_deterministic_sample",
@@ -77,7 +86,7 @@ object SamplingQueries {
          |FROM (SELECT doc_id, lang,
          |    ${sqlMd5Hash48(s"'$Salt:split:' || doc_id::VARCHAR")} % 10 AS b
          |  FROM documents)""".stripMargin) { (s, dir) =>
-      val b = md5Hash48(concat(lit(s"$Salt:split:"), col("doc_id").cast("string"))) % 10
+      val b = splitBucket(col("doc_id"))
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang"),
         when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"))

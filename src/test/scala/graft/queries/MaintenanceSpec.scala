@@ -129,6 +129,22 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("corpus pipeline: all five dispositions non-vacuous, splits only for kept") {
+    // sf0.01 plants near-dups and shared 13-grams, so every disposition
+    // class must be exercised — a logic change that silently empties a
+    // class would otherwise still pass the equality-only oracle gate
+    val rows = SparkEntry.queries("q100_corpus_pipeline")(spark, "/root/testdata/sf0.01")
+      .groupBy("disposition", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byDisp = rows.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    for (d <- Seq("kept", "benchmark", "contaminated", "near_dup", "low_quality"))
+      assert(byDisp.getOrElse(d, 0L) > 0L, s"disposition '$d' is vacuous: $byDisp")
+    // only kept docs get a split; every kept doc gets one
+    assert(rows.keys.filter(_._1 != "kept").forall(_._2 == "-"))
+    assert(rows.keys.filter(_._1 == "kept").map(_._2).toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
+
   test("kmeans: 8 nonempty clusters, deterministic across runs") {
     val a = SparkEntry.queries("q90_kmeans")(spark, sfDir)
     val sizes = a.groupBy("cluster").count().collect()
