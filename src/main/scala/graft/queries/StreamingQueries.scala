@@ -64,6 +64,43 @@ object StreamingQueries {
     },
 
     // ------------------------------------------------------------------
+    // Native session windows: the built-in session_window(ts, gap)
+    // aggregation — one groupBy, no window-function pass; Spark merges
+    // overlapping [ts, ts+gap) intervals per key inside the aggregate.
+    // Cross-validates the manual q35 pipeline with an INDEPENDENT
+    // mechanism (note the boundary difference, encoded in the oracle:
+    // the native form starts a new session when the gap is exactly
+    // reached — interval end is exclusive — where q35's `>` keeps it).
+    // At 100 TB this is one map-side-combinable shuffle on user_id,
+    // the same cost shape as any keyed aggregate; the q35 form needs a
+    // per-key SORT for its window functions first.
+    QueryDef(
+      "q101_session_window",
+      "native session_window(ts, 30 min) batch aggregation: interval-merge sessions in one keyed aggregate (no window-function sort pass); oracle = lag/running-sum sessionization with exclusive-boundary semantics",
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('millisecond', ts) AS ts FROM events),
+        |lagged AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("millisecond", col("ts")).as("ts"))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+    },
+
+    // ------------------------------------------------------------------
     QueryDef(
       "q36_stream_sessions",
       "stateful streaming sessionization via flatMapGroupsWithState with EventTimeTimeout: O(1) open-session state per user, gap-closed sessions emitted by data, trailing sessions flushed by watermark timeouts; hash-matches the SQL sessionization oracle",

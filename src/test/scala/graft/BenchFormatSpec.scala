@@ -27,7 +27,7 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line survives growth to a simulated 130 queries") {
-    // the real set is 100; this pins the growth margin. With qNN keys and
+    // the real set is 101; this pins the growth margin. With qNN keys and
     // 1-decimal seconds the format breaks around ~140 queries — when
     // THIS test starts failing, shrink the format (e.g. drop the 'q'
     // prefix from keys) BEFORE adding more queries, not after a round's
