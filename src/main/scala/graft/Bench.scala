@@ -54,6 +54,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver parses the LAST ~2000 chars of stdout+stderr for the
+    // bench line; `WindowExec: No Partition Defined` warnings (emitted by
+    // the three bounded-small global windows: 25-row nation_sk, tiny
+    // promo dim, fixed-bin histogram cumsum) could otherwise crowd that
+    // tail window. Scope the silence to the window package only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
 
     // optional comma-separated filter for local iteration on a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

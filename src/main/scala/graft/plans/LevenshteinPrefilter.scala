@@ -44,19 +44,48 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
     mk(lhs, k)
   }
 
+  /** True iff `conjuncts` already carries ANY |len(a)-len(b)| upper
+    * bound over this DP's operands, in any cast/operand-order shape.
+    * Exact semanticEquals against the freshly regenerated conjunct is
+    * too brittle an idempotence check: another fixed-point rule could
+    * canonicalize the previously injected bound (cast unwrap, operand
+    * swap) into a shape the regenerated one no longer matches, and the
+    * rule would then re-add a conjunct every optimizer iteration until
+    * maxIterations. Recognizing the bound structurally keeps the rule
+    * idempotent under any semantics-preserving rewrite of it. */
+  private def hasLengthBound(conjuncts: Seq[Expression], lev: Levenshtein): Boolean = {
+    def strip(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => strip(c)
+      case other => other
+    }
+    def isAbsLenDiff(e: Expression): Boolean = strip(e) match {
+      case Abs(Subtract(Length(a), Length(b), _), _) =>
+        (a.semanticEquals(lev.left) && b.semanticEquals(lev.right)) ||
+          (a.semanticEquals(lev.right) && b.semanticEquals(lev.left))
+      case _ => false
+    }
+    conjuncts.exists {
+      case LessThanOrEqual(l, _: Literal) => isAbsLenDiff(l)
+      case LessThan(l, _: Literal) => isAbsLenDiff(l)
+      case GreaterThanOrEqual(_: Literal, r) => isAbsLenDiff(r)
+      case GreaterThan(_: Literal, r) => isAbsLenDiff(r)
+      case _ => false
+    }
+  }
+
   /** The condition with implied bounds added, or None if unchanged. */
   private def augmented(cond: Expression): Option[Expression] = {
     val conjuncts = splitConjunctivePredicates(cond)
     val implied = conjuncts.collect {
       case LessThanOrEqual(LevDp(lev), k @ Literal(_, IntegerType | LongType)) =>
-        lengthBound(LessThanOrEqual, lev, k)
+        (lev, lengthBound(LessThanOrEqual, lev, k))
       case LessThan(LevDp(lev), k @ Literal(_, IntegerType | LongType)) =>
-        lengthBound(LessThan, lev, k)
+        (lev, lengthBound(LessThan, lev, k))
       case GreaterThanOrEqual(k @ Literal(_, IntegerType | LongType), LevDp(lev)) =>
-        lengthBound(LessThanOrEqual, lev, k)
+        (lev, lengthBound(LessThanOrEqual, lev, k))
       case GreaterThan(k @ Literal(_, IntegerType | LongType), LevDp(lev)) =>
-        lengthBound(LessThan, lev, k)
-    }.filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+        (lev, lengthBound(LessThan, lev, k))
+    }.collect { case (lev, e) if !hasLengthBound(conjuncts, lev) => e }
     if (implied.isEmpty) None
     else Some((conjuncts ++ implied).reduce(And))
   }

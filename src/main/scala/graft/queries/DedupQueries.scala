@@ -198,8 +198,20 @@ object DedupQueries {
     var prevSum = labelSum()
     var converged = labels.isEmpty
     var rounds = 0
+    // Without unpersisting, block-manager storage grows O(rounds x
+    // vertices) within a run — bounded by the O(log D) round count but
+    // avoidable: once the convergence aggregate has materialized the new
+    // round's labels (truncating their lineage), the previous round's
+    // checkpointed blocks are dead.
+    def unpersistBlocks(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false): Unit
+        case _ => ()
+      }
     while (!converged) {
       rounds += 1
+      val prevLabels = labels
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("v2"), col("label").as("vl")),
           col("v") === col("v2"))
@@ -223,10 +235,13 @@ object DedupQueries {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("jl"), col("label"))).as("label"))
         .localCheckpoint(eager = false)
-      val s2 = labelSum()
+      val s2 = labelSum() // materializes labels (and propagated)
+      unpersistBlocks(propagated)
+      unpersistBlocks(prevLabels)
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
     }
+    unpersistBlocks(edges)
     (labels, rounds)
   }
 
@@ -400,7 +415,7 @@ object DedupQueries {
     // is exactly the number of distinct shared 13-grams.
     QueryDef(
       "q86_decontaminate",
-      "benchmark decontamination: corpus docs sharing any 13-gram with the benchmark slice (doc_id % 5 = 0), via broadcast shingle equi-join — per (doc, bench) distinct shared-13-gram counts",
+      "benchmark decontamination: corpus docs sharing any 13-gram with the benchmark slice (doc_id % 5 = 0), via broadcast equi-join on 48-bit span hashes — n_shared counts distinct shared hashes (collision-conflating, mirrored by the oracle)",
       s"""WITH $sqlSh13Ctes,
          |bench AS (SELECT doc_id AS bench_id, h FROM sh13 WHERE doc_id % 5 = 0)
          |SELECT a.doc_id, b.bench_id, count(*) AS n_shared

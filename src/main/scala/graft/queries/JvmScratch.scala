@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-JVM scratch database for queries that materialize managed tables
+  * mid-plan (q41's bucketed join, the q93 band-index stage table).
+  *
+  * A fixed machine-global name/path would let two concurrent JVMs
+  * (Verify running while a Bench run is live, say) drop or overwrite
+  * each other's tables mid-read; a fresh directory per invocation would
+  * leak a table copy every bench iteration. Per-JVM name + location is
+  * the bounded middle: repeated in-JVM invocations overwrite one disk
+  * footprint, concurrent JVMs never share a path, and the shutdown hook
+  * removes the directory on exit.
+  */
+object JvmScratch {
+
+  private val pid = ProcessHandle.current().pid()
+
+  /** Per-JVM database name — distinct across JVMs, stable within one. */
+  val dbName = s"graft_scratch_$pid"
+
+  private lazy val location: String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_scratch_$pid")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    d.toString
+  }
+
+  /** Ensure the scratch database exists; returns its name. */
+  def ensure(s: SparkSession): String = synchronized {
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $dbName LOCATION '$location'")
+    dbName
+  }
+
+  /** Drop any prior catalog entry and on-disk copy of `table`, returning
+    * the fully qualified name ready for a fresh write. */
+  def resetTable(s: SparkSession, table: String): String = synchronized {
+    ensure(s)
+    s.sql(s"DROP TABLE IF EXISTS $dbName.$table")
+    val loc = new org.apache.hadoop.fs.Path(s"$location/$table")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    s"$dbName.$table"
+  }
+
+  /** Fully qualified name of an existing scratch table. */
+  def tableName(table: String): String = s"$dbName.$table"
+}

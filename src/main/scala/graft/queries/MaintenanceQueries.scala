@@ -29,6 +29,13 @@ object MaintenanceQueries {
     d.toString
   }
 
+  /** Serializes q89's eager fragment/compact rewrite: two concurrent
+    * in-JVM builds (a parallelized bench/verify harness) would race
+    * overwrite-vs-read on the shared per-JVM workspace. The rewrite runs
+    * eagerly at DataFrame-BUILD time, so a timing harness that builds
+    * inside its timed region (Bench does) measures write + read. */
+  private val compactionLock = new Object
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -51,18 +58,20 @@ object MaintenanceQueries {
       // per-JVM workspace + overwrite mode: repeated invocations (the
       // bench runs every query k times) reuse one disk footprint; the
       // fragmented intermediate is deleted once the compacted copy lands
-      val tmp = compactionDir
-      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      Tables.lineitem(s, dir).select(cols.map(col): _*)
-        .repartition(64) // simulate the fragmented state
-        .write.mode("overwrite").parquet(s"$tmp/fragmented")
-      s.read.parquet(s"$tmp/fragmented")
-        .repartitionByRange(4, col("l_orderkey"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber")
-        .write.mode("overwrite").parquet(s"$tmp/compacted")
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$tmp/fragmented"))
-      s.read.parquet(s"$tmp/compacted")
+      compactionLock.synchronized {
+        val tmp = compactionDir
+        val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        Tables.lineitem(s, dir).select(cols.map(col): _*)
+          .repartition(64) // simulate the fragmented state
+          .write.mode("overwrite").parquet(s"$tmp/fragmented")
+        s.read.parquet(s"$tmp/fragmented")
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey", "l_linenumber")
+          .write.mode("overwrite").parquet(s"$tmp/compacted")
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$tmp/fragmented"))
+        s.read.parquet(s"$tmp/compacted")
+      }
     },
 
     // ------------------------------------------------------------------

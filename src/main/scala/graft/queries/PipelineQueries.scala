@@ -87,23 +87,18 @@ object PipelineQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus IN ('P', 'F')
         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
-      s.sql("DROP TABLE IF EXISTS graft_tmp.roundtrip_orders")
-      // a previous JVM's in-memory catalog may have left the physical
-      // dir behind without metadata -> CREATE would hit
-      // LOCATION_ALREADY_EXISTS; clear the orphan first.
-      val loc = new org.apache.hadoop.fs.Path("/tmp/graft_tmp_db/roundtrip_orders")
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      // per-JVM scratch db (JvmScratch) — also clears a previous run's
+      // orphaned physical dir so CREATE never hits LOCATION_ALREADY_EXISTS
+      val table = JvmScratch.resetTable(s, "roundtrip_orders")
       val o = Tables.orders(s, dir)
       o.filter(col("o_orderstatus") === "P")
         .write.format("parquet").mode("overwrite")
-        .saveAsTable("graft_tmp.roundtrip_orders")
+        .saveAsTable(table)
       val delta = o.filter(col("o_orderstatus") === "F")
       if (!delta.isEmpty) // the reference's count()>0 guard, done lazily
         delta.write.format("parquet").mode("append")
-          .saveAsTable("graft_tmp.roundtrip_orders")
-      s.table("graft_tmp.roundtrip_orders")
+          .saveAsTable(table)
+      s.table(table)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))

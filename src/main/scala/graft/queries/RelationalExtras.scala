@@ -165,28 +165,25 @@ object RelationalExtras {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
-      Seq("bucketed_orders", "bucketed_customer").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS graft_tmp.$t")
-        val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft_tmp_db/$t")
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      // per-JVM scratch db (JvmScratch): a fixed machine-global path let
+      // two concurrent JVMs drop each other's bucketed tables mid-read
+      val ordersTbl = JvmScratch.resetTable(s, "bucketed_orders")
+      val customerTbl = JvmScratch.resetTable(s, "bucketed_customer")
       Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
         .write.format("parquet")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_tmp.bucketed_orders")
+        .saveAsTable(ordersTbl)
       Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
         .write.format("parquet")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_tmp.bucketed_customer")
+        .saveAsTable(customerTbl)
       // merge hint: at test SF Catalyst would broadcast the small side,
       // which also avoids a shuffle but hides the point — forcing SMJ
       // shows the bucket layout satisfying the join's distribution with
       // no Exchange on either side (the 100-TB case, where neither side
       // broadcasts).
-      s.table("graft_tmp.bucketed_orders").hint("merge")
-        .join(s.table("graft_tmp.bucketed_customer"),
+      s.table(ordersTbl).hint("merge")
+        .join(s.table(customerTbl),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),

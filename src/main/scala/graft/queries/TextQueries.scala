@@ -273,7 +273,7 @@ object TextQueries {
     // (>= 5) bounds the ranked set before the top-k heap.
     QueryDef(
       "q94_collocations",
-      "PMI-style bigram lift: count(bigram)/N vs unigram expectation, exact integer products + one division, min-count 5, top-20 by (lift, bigram)",
+      "PMI-style bigram lift: count(bigram)/N vs unigram expectation in probability-ratio double form mirrored in the oracle (integer products would overflow int64), min-count 5, top-20 by (lift, bigram)",
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
          |              WHERE len(string_split(text, ' ')) >= 2),
          |uni AS (SELECT unnest(t) AS w FROM toks),

@@ -97,16 +97,10 @@ object StreamingOps {
     (stageDir.toString, staged.toString)
   }
 
-  /** Drop + location-clean a graft_tmp managed table; returns its name. */
-  private def freshTable(spark: SparkSession, name: String): String = {
-    val table = s"graft_tmp.$name"
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft_tmp_db/$name")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    table
-  }
+  /** Drop + location-clean a per-JVM scratch managed table; returns its
+    * qualified name (JvmScratch: concurrent JVMs never share a path). */
+  private def freshTable(spark: SparkSession, name: String): String =
+    graft.queries.JvmScratch.resetTable(spark, name)
 
   /** Append one sentinel row 3h past max(ts) to the staged source so a
     * same-checkpoint restart advances the watermark past all real data —
@@ -275,12 +269,7 @@ object StreamingOps {
     * equals the batch result regardless of how the input was split into
     * batches (the declared, oracle-checked property). */
   def foreachBatchToTable(spark: SparkSession, dir: String): DataFrame = {
-    val table = "graft_tmp.stream_events"
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '/tmp/graft_tmp_db'")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path("/tmp/graft_tmp_db/stream_events")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val table = freshTable(spark, "stream_events")
 
     val q = eventStream(spark, dir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
