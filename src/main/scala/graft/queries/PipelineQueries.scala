@@ -102,5 +102,27 @@ object PipelineQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+
+    // ------------------------------------------------------------------
+    // Session-context smoke probe (ref: step_1_check_connection.py:46-49
+    // queries current_role/database/schema/warehouse before touching
+    // data; SURVEY §2.8). Spark has catalog + database natively; role
+    // and warehouse have no Spark analog, so per SURVEY they are config
+    // strings with declared defaults. Constant single-row output — the
+    // oracle states the same literals; the probe's value is that a
+    // misconfigured session (non-default catalog/database) fails the
+    // gate before any data-path query runs, exactly the reference's
+    // connection-check intent.
+    QueryDef(
+      "q102_session_context",
+      "session-context probe: current_catalog()/current_database() + role/warehouse config-string stand-ins (step_1 connection-check parity, SURVEY §2.8)",
+      """SELECT 'spark_catalog' AS catalog_name, 'default' AS database_name,
+        |  'data_engineer' AS role_name, 'graft_wh' AS warehouse_name""".stripMargin) { (s, _) =>
+      s.sql("SELECT current_catalog() AS catalog_name, current_database() AS database_name")
+        .withColumn("role_name",
+          lit(s.conf.get("spark.graft.role", "data_engineer")))
+        .withColumn("warehouse_name",
+          lit(s.conf.get("spark.graft.warehouse", "graft_wh")))
     })
 }

@@ -146,5 +146,56 @@ object SamplingQueries {
         }
       }
       s.createDataFrame(packed, outSchema)
+    },
+
+    // ------------------------------------------------------------------
+    // Domain-mixture resampling — the op that turns a raw crawl into a
+    // training mixture: given target mixture weights per domain (lang
+    // stands in for the domain key), carve a half-corpus token target
+    // and fill each domain's share greedily in salted-hash order.
+    // budget_d = (w_pct * total_tokens) div 200 (= pct of half the
+    // corpus) — integer arithmetic end-to-end, exact on both engines.
+    // A document is kept while its domain's EXCLUSIVE running token sum
+    // is under budget (greedy packing: each domain overshoots by at
+    // most its last document), so per-domain quotas are exact given the
+    // deterministic hash order — the sample is a pure function of the
+    // data, like q55/q87; domains without a declared weight drop out
+    // (weight zero). Scale shape: the weights table and the one-row
+    // total broadcast; the only shuffle is the per-domain running sum
+    // (at 100 TB: the q98 range-partition + per-partition-offset pass
+    // keyed by domain — the window states the semantics).
+    QueryDef(
+      "q103_domain_mixture",
+      "domain-mixture resampling: per-domain token budgets = weight% of a half-corpus target, filled greedily in salted-hash order — deterministic quota-exact mixture rebalancing (weights en40/zh20/de15/es15/fr10)",
+      s"""WITH w(lang, w_pct) AS (VALUES
+         |    ('de', 15), ('en', 40), ('es', 15), ('fr', 10), ('zh', 20)),
+         |d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${sqlMd5Hash48(s"'$Salt:mix:' || doc_id::VARCHAR")} AS hk
+         |  FROM documents),
+         |t AS (SELECT sum(n_tokens) AS total_tokens FROM d),
+         |c AS (SELECT d.doc_id, d.lang, d.n_tokens, w.w_pct,
+         |    sum(n_tokens) OVER (PARTITION BY d.lang
+         |      ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cumx
+         |  FROM d JOIN w ON d.lang = w.lang)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((w_pct * total_tokens) // 200 AS BIGINT) AS domain_budget
+         |FROM c, t
+         |WHERE cumx < (w_pct * total_tokens) // 200""".stripMargin) { (s, dir) =>
+      val wDf = s.createDataFrame(
+        Seq(("de", 15L), ("en", 40L), ("es", 15L), ("fr", 10L), ("zh", 20L)))
+        .toDF("lang", "w_pct")
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5Hash48(concat(lit(s"$Salt:mix:"), col("doc_id").cast("string"))).as("hk"))
+      val total = d.agg(sum(col("n_tokens")).as("total_tokens"))
+      val win = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(wDf), Seq("lang"))
+        .withColumn("cumx", sum(col("n_tokens")).over(win) - col("n_tokens"))
+        .crossJoin(broadcast(total))
+        .withColumn("domain_budget", expr("(w_pct * total_tokens) div 200"))
+        .filter(col("cumx") < col("domain_budget"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("domain_budget"))
     })
 }
