@@ -9,33 +9,95 @@ import graft.sources.Tables
 /** Multimodal-column operators: opaque binary payloads carried alongside
   * typed metadata, joined to the embedding corpus.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic fake (see `FakeDecode`) — the Spark-side
-  * plumbing (binary column, schema, partition-parallel typed decode,
-  * batch shape) is real and tested.
+  * The decode path (q30) is a REAL binary-format codec: each document is
+  * rendered as a genuine 24-bit uncompressed BMP (BITMAPFILEHEADER +
+  * BITMAPINFOHEADER + bottom-up stride-padded pixel rows — no external
+  * codec library needed), and the decoder recovers every field by
+  * parsing the little-endian headers and walking the padded rows. The
+  * oracle restates the generation arithmetic independently, so a decoder
+  * that misreads any header offset, endianness, or the 4-byte row
+  * stride fails the gate.
   */
 object MultimodalQueries {
 
-  /** The partition-parallel fake decode, array-shaped: each payload row
-    * becomes (doc_id, width, height, features[8]). Exposed so the spec
-    * can cover the array<double> output directly (the declared q30
-    * unrolls it to scalars for the driver's row-sorting compare). */
+  /** Render `text` as a real 24bpp BMP: width 4-8 from the byte count,
+    * height 3-6 from the first byte, pixel bytes = text bytes cycled
+    * row-major (bottom-up, BMP's native order), rows padded to 4-byte
+    * stride. Runs executor-side; `text` must be non-empty. */
+  private[queries] def bmpEncode(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val w = 4 + n % 5
+    val h = 3 + (text(0) & 0xff) % 4
+    val stride = ((3 * w + 3) / 4) * 4
+    val size = 54 + stride * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(size) // file size
+    buf.putShort(0: Short).putShort(0: Short) // reserved
+    buf.putInt(54) // pixel-data offset
+    buf.putInt(40) // BITMAPINFOHEADER size
+    buf.putInt(w)
+    buf.putInt(h)
+    buf.putShort(1: Short) // color planes
+    buf.putShort(24: Short) // bits per pixel
+    buf.putInt(0) // BI_RGB, uncompressed
+    buf.putInt(stride * h) // image size
+    buf.putInt(2835).putInt(2835) // 72 DPI
+    buf.putInt(0).putInt(0) // palette (none)
+    var j = 0
+    var row = 0
+    while (row < h) {
+      var i = 0
+      while (i < 3 * w) { buf.put(text(j % n)); j += 1; i += 1 }
+      var p = 3 * w
+      while (p < stride) { buf.put(0: Byte); p += 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24bpp BMP from its bytes alone: validate the magic, read
+    * the little-endian header fields, and sum pixel bytes by walking
+    * the bottom-up rows at the declared data offset with the 4-byte
+    * row stride (padding excluded). Returns
+    * (doc_id, width, height, bpp, data_offset, file_size, pixel_sum). */
+  private[queries] def bmpDecode(id: Long, b: Array[Byte])
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte)
+      throw new IllegalArgumentException(s"doc $id: not a BMP payload")
+    val fileSize = u32(2)
+    val off = u32(10)
+    val w = u32(18) // signed i32 in the spec; always positive here
+    val h = u32(22)
+    val bpp = u16(28)
+    if (bpp != 24)
+      throw new IllegalArgumentException(s"doc $id: expected 24bpp, got $bpp")
+    val stride = ((3 * w + 3) / 4) * 4
+    var sum = 0L
+    var row = 0L
+    while (row < h) {
+      val base = (off + row * stride).toInt
+      var i = 0
+      while (i < 3 * w) { sum += b(base + i) & 0xff; i += 1 }
+      row += 1
+    }
+    (id, w, h, bpp.toLong, off, fileSize, sum)
+  }
+
+  /** The partition-parallel typed decode over a binary BMP column —
+    * the operator shape (per-partition batch iteration, typed output
+    * schema, no driver round-trip) a production decoder runs with. */
   def decoded(src: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
       : org.apache.spark.sql.DataFrame = {
     import src.sparkSession.implicits._
-    src.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val width = 16L + (bytes.length % 16)
-        val height = 16L + (bytes.headOption.getOrElse(0: Byte).toInt & 15)
-        val features = Array.tabulate(8) { k =>
-          var acc = 0L
-          var i = k
-          while (i < bytes.length) { acc = (acc * 131 + (bytes(i) & 255)) % 1000003L; i += 8 }
-          acc.toDouble / 1000003.0
-        }
-        (id, width, height, features)
-      }
-    }.toDF("doc_id", "width", "height", "features")
+    src.mapPartitions(_.map { case (id, bytes) => bmpDecode(id, bytes) })
+      .toDF("doc_id", "width", "height", "bpp", "data_offset",
+        "file_size", "pixel_sum")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -66,45 +128,44 @@ object MultimodalQueries {
     },
 
     // ------------------------------------------------------------------
-    // Partition-parallel typed decode over the binary column. The
-    // mapPartitions operator itself isn't ANSI SQL, but the fake decode's
-    // arithmetic IS — so the gate checks the full (rows, schema, hash)
-    // contract against a DuckDB restatement of the decode (round-3
-    // verdict: the raw array<double> output crashed the driver's
-    // rows-only pandas sort, leaving the operator unjudged; the 8
-    // features are now unrolled into scalar f0..f7 columns, and the
-    // array-shaped variant stays covered by MultimodalSpec).
+    // Partition-parallel typed decode of a REAL binary image format.
+    // Each document renders as a genuine 24bpp BMP (bmpEncode, executor-
+    // side), and the decoder recovers width/height/bpp/offset/file-size/
+    // pixel-sum by actually parsing the bytes: the little-endian multi-
+    // byte header fields, the declared pixel-data offset, and the 4-byte
+    // row stride with bottom-up rows. The mapPartitions operator isn't
+    // ANSI SQL, but the generation arithmetic IS — the oracle restates
+    // width/height from the formulas, file_size from 54 + stride*h, and
+    // pixel_sum as the fold over the text bytes cycled through 3*w*h
+    // pixel positions. A decoder that misreads endianness, the data
+    // offset, or the stride padding fails the hash compare.
     QueryDef(
       "q30_multimodal_decode",
-      "typed mapPartitions decode of binary payloads -> (width, height, f0..f7) rows; the decode itself is a deterministic FAKE (no codecs in-container), the batch plumbing is real; features unrolled to scalars so the gate can sort + hash them",
-      {
-        // documents.text is ASCII by construction, so byte i (0-based in
-        // the Scala decode) == char i+1 (1-based in DuckDB substr).
-        val featureSql = (k: Int) =>
-          s"""list_reduce(list_prepend(0::BIGINT,
-             |    list_transform(range(${k + 1}, octet_length(encode(text)) + 1, 8),
-             |      i -> ascii(substr(text, i, 1)))),
-             |    (acc, b) -> (acc * 131 + b) % 1000003) / 1000003.0 AS f$k""".stripMargin
-        s"""SELECT doc_id,
-           |  CAST(16 + octet_length(encode(text)) % 16 AS BIGINT) AS width,
-           |  CAST(16 + ascii(substr(text, 1, 1)) % 16 AS BIGINT) AS height,
-           |  ${(0 until 8).map(featureSql).mkString(",\n  ")}
-           |FROM documents""".stripMargin
-      }) { (s, dir) =>
+      "typed mapPartitions decode of real 24bpp BMP payloads (LE header parse, stride-padded bottom-up rows) -> width/height/bpp/data_offset/file_size/pixel_sum; oracle restates the header arithmetic",
+      // documents.text is ASCII by construction, so byte j (0-based in
+      // the Scala encode) == char j+1 (1-based in DuckDB substr).
+      """SELECT doc_id,
+        |  CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS bpp,
+        |  CAST(54 AS BIGINT) AS data_offset,
+        |  CAST(54 + ((3 * width + 3) // 4) * 4 * height AS BIGINT) AS file_size,
+        |  CAST(list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, 3 * width * height),
+        |        j -> ascii(substr(text, CAST(j % n AS INTEGER) + 1, 1)))),
+        |      (acc, b) -> acc + b) AS BIGINT) AS pixel_sum
+        |FROM (SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |        4 + octet_length(encode(text)) % 5 AS width,
+        |        3 + ascii(substr(text, 1, 1)) % 4 AS height
+        |      FROM documents
+        |      WHERE octet_length(encode(text)) > 0)""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val src = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      // FAKE DECODE: stands in for an image/audio codec. Deterministic
-      // features derived from the payload bytes so tests are stable;
-      // swap the body for a real codec without touching the plumbing:
-      // the operator shape (per-partition batch iteration, typed output
-      // schema, no driver round-trip) is exactly what a real decoder
-      // needs.
-      decoded(src)
-        .select(col("doc_id") +: col("width") +: col("height") +:
-          (0 until 8).map(k =>
-            element_at(col("features"), k + 1).as(s"f$k")): _*)
+      val payloads = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, bmpEncode(t.getBytes("UTF-8"))) }
+      decoded(payloads)
     },
 
     // ------------------------------------------------------------------
