@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+import graft.SparkEntry
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+/** Regression-proofs the plan-shape claims the heavy queries make in
+  * their Scaladocs: no cartesian products anywhere, declared broadcasts
+  * planned as broadcast-hash joins, shuffle counts bounded, and the
+  * persisted band-index stage read without a corpus-side Exchange. A
+  * future plan regression (a lost broadcast, an extra shuffle, a join
+  * degrading to nested-loop) fails CI here instead of waiting for a
+  * bench diff or a judge review.
+  *
+  * All plans are FINAL adaptive plans (the query is executed first), so
+  * what is asserted is what actually ran, not the pre-AQE guess.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Execute `df` and return its final (post-AQE) physical plan. */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Every node in the plan, descending through AQE stage wrappers.
+    * Reused exchanges are not re-descended (their referent is counted at
+    * its original site). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case r: ReusedExchangeExec => Seq(r)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  /** Root-to-node path to the first node satisfying `pred`, or None. */
+  private def pathTo(p: SparkPlan, pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+    if (pred(p)) Some(List(p))
+    else {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      kids.view.flatMap(k => pathTo(k, pred)).headOption.map(p :: _)
+    }
+
+  private def shuffles(nodes: Seq[SparkPlan]): Int =
+    nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+  private def bhjs(nodes: Seq[SparkPlan]): Int =
+    nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+
+  /** (max shuffles in the final plan, min broadcast-hash joins). Bounds
+    * are the measured plan +1 shuffle of headroom where AQE has latitude;
+    * a query whose staging localCheckpoints subtrees is audited on the
+    * post-staging plan (the staged pass's shuffles are its documented
+    * one-time cost). */
+  private val audited: Map[String, (Int, Int)] = Map(
+    "q1_pricing_summary" -> (2, 0),
+    "q14_fact_assembly" -> (1, 5), // 6-way dim chain: all dims broadcast
+    "q24_minhash_lsh" -> (3, 4),
+    "q26_ngram_jaccard" -> (3, 3),
+    "q82_ivfpq_adc" -> (3, 1),
+    "q85_ann_rerank" -> (4, 3),
+    "q86_decontaminate" -> (2, 1), // bench side broadcast
+    "q91_dup_spans" -> (3, 1),
+    "q100_corpus_pipeline" -> (7, 6),
+    "q103_domain_mixture" -> (2, 1)) // weights broadcast
+
+  test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
+    audited.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, minBhj)) =>
+      val nodes = flatten(finalPlan(SparkEntry.queries(name)(spark, sfDir)))
+      val (sh, bh) = (shuffles(nodes), bhjs(nodes))
+      info(s"$name: shuffles=$sh bhj=$bh nodes=${nodes.size}")
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name: CartesianProductExec in the final plan")
+      assert(sh <= maxShuffles,
+        s"$name: $sh shuffles in the final plan, budget $maxShuffles")
+      assert(bh >= minBhj,
+        s"$name: only $bh broadcast-hash joins, expected >= $minBhj")
+    }
+  }
+
+  test("q93 reads the persisted band index broadcast-joined with zero corpus-side shuffle") {
+    val plan = finalPlan(SparkEntry.queries("q93_incremental_dedup")(spark, sfDir))
+    def isBandScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("band_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("band_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isBandScan),
+      "q93's plan does not read the persisted band-index table")
+    val path = pathTo(plan, isBandScan).get
+    // the lowest join above the scan is the candidate join: it must be
+    // broadcast-hash (delta side broadcast), and the corpus-side segment
+    // between it and the scan must carry no Exchange of any kind
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the band-index scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"candidate join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    val corpusSegment = path.drop(joinIdx + 1)
+    assert(!corpusSegment.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "corpus-side Exchange between the band-index scan and the candidate join")
+  }
+
+  test("band-index self-join is co-located by the bucket layout: no shuffle under the join") {
+    // the q41 property, proven on the persisted stage table itself: a
+    // non-broadcast (merge-hinted) equi-join on a superset of the bucket
+    // key plans with ZERO Exchange under the join — the bucket layout IS
+    // the shuffle, paid once at stage-write time
+    val a = DedupQueries.bandIndexTable(spark, sfDir)
+    val b = DedupQueries.bandIndexTable(spark, sfDir)
+    val joined = a.hint("merge").join(b, Seq("band_key"))
+    val plan = finalPlan(joined)
+    val smj = flatten(plan).collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "merge-hinted self-join did not plan as sort-merge")
+    assert(!flatten(smj.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "Exchange under the bucketed self-join — bucket layout not used")
+  }
+
+  test("q41 bucketed join plans with zero Exchange on either side") {
+    val plan = finalPlan(SparkEntry.queries("q41_bucketed_join")(spark, sfDir))
+    val smj = flatten(plan).collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "q41's merge-hinted join did not plan as sort-merge")
+    assert(!flatten(smj.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "Exchange under q41's bucketed join")
+  }
+}
