@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-scale test-data generator: writes an N-times-larger copy of a
+  * test SF directory by unioning N key-shifted replicas of each table,
+  * preserving the star schema's referential integrity (each replica's
+  * foreign keys shift together) and the distributional shape the
+  * queries depend on.
+  *
+  * Key offsets are powers of 10, so `key % 10`-style slicing predicates
+  * (the q87 split buckets, q93's arriving-batch stand-in) keep exactly
+  * the same per-replica selectivity. Document text is vowel-remapped
+  * per replica (a 1:1 char translate: token counts and char lengths are
+  * preserved, planted near-dup pairs stay near-dups WITHIN a replica)
+  * so replicas don't read as verbatim duplicates of each other and the
+  * shingle-based dedup queries keep sf-proportional candidate volumes.
+  *
+  * Usage: runMain graft.tools.ScaleGen [srcDir] [outDir] [copies]
+  * Default: /root/testdata/sf0.1 -> /tmp/graft_sf1 x10 (i.e. sf1).
+  */
+object ScaleGen {
+
+  /** Smallest power of 10 strictly above the column's max value. */
+  private def cap(df: DataFrame, c: String): Long = {
+    val mx = df.agg(max(col(c))).first().getLong(0)
+    var p = 10L
+    while (p <= mx) p *= 10
+    p
+  }
+
+  /** Per-replica 1:1 vowel->digit remap; replica 0 is the original. */
+  private def remapText(textCol: String, i: Int) = {
+    val from = Seq("ae", "ei", "io", "ou", "ua")((i - 1) % 5)
+    val to = s"${(i - 1) % 10}${i % 10}"
+    translate(col(textCol), from, to)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    // fixed-size dims replicate as-is (TPC-H keeps them constant per SF)
+    write("region", t("region"))
+    write("nation", t("nation"))
+
+    val custCap = cap(t("customer"), "c_custkey")
+    val suppCap = cap(t("supplier"), "s_suppkey")
+    val partCap = cap(t("part"), "p_partkey")
+    val orderCap = cap(t("orders"), "o_orderkey")
+    val docCap = cap(t("documents"), "doc_id")
+    val userCap = cap(t("events"), "user_id")
+    val eventCap = cap(t("events"), "event_id")
+
+    def replicate(name: String, shifts: Map[String, Long],
+        extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      val base = t(name)
+      val scaled = (0 until copies).map { i =>
+        val shifted = shifts.foldLeft(base) { case (df, (c, capV)) =>
+          df.withColumn(c, col(c) + lit(capV * i))
+        }
+        extra(shifted, i)
+      }.reduce(_ unionByName _)
+      write(name, scaled)
+    }
+
+    replicate("customer", Map("c_custkey" -> custCap))
+    replicate("supplier", Map("s_suppkey" -> suppCap))
+    replicate("part", Map("p_partkey" -> partCap))
+    replicate("orders", Map("o_orderkey" -> orderCap, "o_custkey" -> custCap))
+    replicate("lineitem", Map("l_orderkey" -> orderCap,
+      "l_partkey" -> partCap, "l_suppkey" -> suppCap))
+    replicate("events", Map("event_id" -> eventCap, "user_id" -> userCap))
+    replicate("documents", Map("doc_id" -> docCap),
+      (df, i) => if (i == 0) df else df.withColumn("text", remapText("text", i)))
+    // embeddings share the documents key space (q29 joins vec_id = doc_id)
+    replicate("embeddings", Map("vec_id" -> docCap))
+
+    spark.stop()
+  }
+}
