@@ -98,7 +98,7 @@ object Bench {
     val compact = compactJson(results, failed.toSeq, sfDir)
     println(compact)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"),
-      fullJson(results, failed.toSeq, iters, sfDir))
+      fullJson(results, failed.toSeq, iters, sfDir, peakHeapMb()))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
@@ -138,10 +138,22 @@ object Bench {
     s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfLabel"}"""
   }
 
+  /** High-water heap across all pools — the cross-scale memory-headroom
+    * evidence (an sf1 run fitting the same heap as sf0.1 is the no-OOM
+    * claim made measurable). Peak-usage counters, not current usage, so
+    * GC timing doesn't hide the high-water mark. */
+  def peakHeapMb(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum / (1024 * 1024)
+  }
+
   /** Belt-and-braces full-precision record written to bench_out.json:
     * 4-decimal minima plus ALL samples so stall spikes stay visible. */
   def fullJson(results: Seq[(String, Seq[Double])], failed: Seq[String],
-      iters: Int, sfDir: String): String = {
+      iters: Int, sfDir: String, peakMb: Long = -1L): String = {
     val qs = results.map { case (k, ss) =>
       val v = if (ss.isEmpty) "null" else f(ss.min, 4)
       s""""$k":$v"""
@@ -151,6 +163,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fs = failed.map(x => s""""$x"""").mkString("[", ",", "]")
     val total = results.flatMap { case (_, ss) => ss.minOption }.sum
-    s"""{"metric":"total","value":${f(total, 4)},"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$fs,"iters":$iters,"stat":"min","sf":"$sfDir"}"""
+    val peak = if (peakMb >= 0) s""","peak_heap_mb":$peakMb""" else ""
+    s"""{"metric":"total","value":${f(total, 4)},"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$fs,"iters":$iters,"stat":"min"$peak,"sf":"$sfDir"}"""
   }
 }

@@ -319,5 +319,46 @@ object TextQueries {
               * (col("c2").cast("double") / col("n1").cast("double")))).as("lift"))
         .orderBy(col("lift").desc, col("bigram"))
         .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // Overlapping document chunking — the op that feeds both RAG
+    // ingestion and fixed-context training: each document splits into
+    // 32-token windows on a 24-token stride (8-token overlap, so no
+    // boundary-crossing span is lost), each chunk carrying its offset,
+    // clamped length, and a content hash for downstream chunk-level
+    // dedup. Differs from q38's byte-frame sampling in the two ways a
+    // text chunker differs from a frame sampler: boundaries are TOKEN
+    // positions, and windows overlap. Plan shape: bind the token array
+    // once, explode the chunk starts, slice per chunk — a stateless
+    // projection chain, zero shuffle; at 100 TB throughput is bounded by
+    // scan bandwidth, and the emitted chunk table (id, hash, offsets) is
+    // what downstream stages join, never the source text.
+    QueryDef(
+      "q104_chunking",
+      "overlapping token chunking: 32-token windows, 24-token stride, per-chunk offset + clamped length + 48-bit content hash — stateless explode+slice, zero shuffle (RAG/training chunk prep)",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |        unnest(range(0, (len(t) - 1) // 24 + 1)) AS chunk_idx
+         |      FROM d)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_tok,
+         |  CAST(least(32, len(t) - chunk_idx * 24) AS BIGINT) AS chunk_len,
+         |  ${sqlMd5Hash48("array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ')")}
+         |    AS chunk_hash
+         |FROM c""".stripMargin) { (s, dir) =>
+      val (win, stride) = (32, 24)
+      val t = col("t")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), t, explode(sequence(lit(0L),
+          ((size(t) - 1).cast("long")).divide(stride).cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride + 1).as("start_tok"),
+          least(lit(win.toLong), size(t) - col("chunk_idx") * stride)
+            .cast(LongType).as("chunk_len"),
+          md5Hash48(concat_ws(" ",
+            slice(t, (col("chunk_idx") * stride + 1).cast("int"), lit(win))))
+            .as("chunk_hash"))
     })
 }
