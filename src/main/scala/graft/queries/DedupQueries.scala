@@ -37,12 +37,15 @@ object DedupQueries {
   private val DfCut = 50 // inverted-index document-frequency cut
 
   /** (doc_id, sg): distinct word-3-gram shingles per document. */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def shingle(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)
       .select(col("doc_id"), explode(shinglesOf(col("t"), ShingleN)).as("sg"))
       .distinct()
+
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    shingle(Tables.documents(s, dir))
 
   private val sqlShingleCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents
@@ -523,8 +526,11 @@ object DedupQueries {
     // so per-batch cost scales with the delta and the matched buckets,
     // never with corpus^2 or a corpus re-minhash. PlanAuditSpec asserts
     // the plan reads the bucketed table with zero corpus-side Exchange.
-    // Verification (exact Jaccard) then touches only candidate pairs,
-    // with the delta's shingles on the broadcast side of both probes.
+    // Verification (exact Jaccard) touches only candidate pairs, and
+    // even the shingle pass it needs is candidate-pruned: a broadcast
+    // semi-join restricts document tokenization to the matched corpus
+    // docs, so NO stage of the batch re-reads corpus text at corpus
+    // granularity.
     QueryDef(
       "q93_incremental_dedup",
       s"incremental MinHash dedup: arriving batch (doc_id%10==7) minhashed fresh and LSH-joined (broadcast) against the PERSISTED bucketed corpus band-index table, exact-Jaccard >= $JaccardThreshold verify on candidates only — per-batch cost scales with the delta",
@@ -542,11 +548,11 @@ object DedupQueries {
          |FROM common JOIN cnt xa ON xa.doc_id = dd
          |            JOIN cnt yb ON yb.doc_id = cd
          |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
-      // sh: the verify-stage shingles (both the delta's and the matched
-      // corpus docs' spans are probed); staged once per run as before
-      val sh = shingleDf(s, dir).localCheckpoint()
-      // the arriving batch's bands, minhashed fresh — delta-sized
-      val deltaBands = sigBands(sh.filter(col("doc_id") % 10 === 7))
+      val docs = Tables.documents(s, dir)
+      // the arriving batch, shingled + minhashed fresh — delta-sized
+      val deltaSh = shingle(docs.filter(col("doc_id") % 10 === 7))
+        .localCheckpoint()
+      val deltaBands = sigBands(deltaSh)
         .select(col("doc_id").as("dd"), col("band_key"))
       // the standing index: read the persisted bucketed table, never
       // re-minhash the corpus; the join key IS the bucket column
@@ -554,9 +560,18 @@ object DedupQueries {
       val cand = corpusBands.join(broadcast(deltaBands), Seq("band_key"))
         .select(col("dd"), col("doc_id").as("cd"))
         .distinct()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val x = sh.select(col("doc_id").as("xd"), col("sg"))
-      val y = sh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
+      // exact-Jaccard verify needs full shingle sets ONLY for the matched
+      // corpus docs: a broadcast semi-join prunes the documents pass to
+      // the candidate set, so per-batch tokenize/shingle cost is
+      // delta + candidates — never a corpus re-shingle (at 100 TB, with
+      // documents bucketed on doc_id, the semi-join also prunes the scan)
+      val candIds = cand.select(col("cd").as("doc_id")).distinct()
+      val candSh = shingle(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .localCheckpoint()
+      val cnt = deltaSh.unionByName(candSh)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = deltaSh.select(col("doc_id").as("xd"), col("sg"))
+      val y = candSh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
       val common = broadcast(cand)
         .join(x, col("xd") === col("dd"))
         .join(y, col("yd") === col("cd") && col("ysg") === col("sg"))
