@@ -90,8 +90,21 @@ object ScaleGen {
     replicate("events", Map("event_id" -> eventCap, "user_id" -> userCap))
     replicate("documents", Map("doc_id" -> docCap),
       (df, i) => if (i == 0) df else df.withColumn("text", remapText("text", i)))
-    // embeddings share the documents key space (q29 joins vec_id = doc_id)
-    replicate("embeddings", Map("vec_id" -> docCap))
+    // embeddings share the documents key space (q29 joins vec_id = doc_id).
+    // Per-replica dimension ROTATION: permuting coordinates preserves
+    // norms and every intra-replica pairwise cosine exactly (planted
+    // near-dup structure intact), but a vector and its rotated twin are
+    // no longer parallel — without this, 10 verbatim copies per vector
+    // inflate the cosine-near-dup set ~100x per bucket and the sf1 run
+    // measures duplicate-blowup, not scale.
+    replicate("embeddings", Map("vec_id" -> docCap), (df, i) =>
+      if (i == 0) df
+      else {
+        val d = size(col("embedding"))
+        df.withColumn("embedding",
+          concat(slice(col("embedding"), lit(i * 7 + 1), d - lit(i * 7)),
+            slice(col("embedding"), lit(1), lit(i * 7))))
+      })
 
     spark.stop()
   }
