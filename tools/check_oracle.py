@@ -13,7 +13,11 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # a table is either a single parquet file (driver testdata) or a
+    # directory of part files (Spark-written, e.g. ScaleGen sf1 output)
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
