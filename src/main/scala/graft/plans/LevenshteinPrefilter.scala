@@ -44,16 +44,19 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
     mk(lhs, k)
   }
 
-  /** True iff `conjuncts` already carries ANY |len(a)-len(b)| upper
-    * bound over this DP's operands, in any cast/operand-order shape.
+  /** The tightest |len(a)-len(b)| upper bound already present in
+    * `conjuncts` over this DP's operands (as an effective inclusive
+    * value), recognized structurally in any cast/operand-order shape.
     * Exact semanticEquals against the freshly regenerated conjunct is
     * too brittle an idempotence check: another fixed-point rule could
     * canonicalize the previously injected bound (cast unwrap, operand
     * swap) into a shape the regenerated one no longer matches, and the
     * rule would then re-add a conjunct every optimizer iteration until
-    * maxIterations. Recognizing the bound structurally keeps the rule
-    * idempotent under any semantics-preserving rewrite of it. */
-  private def hasLengthBound(conjuncts: Seq[Expression], lev: Levenshtein): Boolean = {
+    * maxIterations. Returning the VALUE (not just presence) keeps the
+    * rule useful when a user wrote a strictly looser manual bound: the
+    * tighter implied one is still injected. */
+  private def existingLengthBound(conjuncts: Seq[Expression],
+      lev: Levenshtein): Option[Long] = {
     def strip(e: Expression): Expression = e match {
       case Cast(c, _, _, _) => strip(c)
       case other => other
@@ -64,28 +67,45 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
           (a.semanticEquals(lev.right) && b.semanticEquals(lev.left))
       case _ => false
     }
-    conjuncts.exists {
-      case LessThanOrEqual(l, _: Literal) => isAbsLenDiff(l)
-      case LessThan(l, _: Literal) => isAbsLenDiff(l)
-      case GreaterThanOrEqual(_: Literal, r) => isAbsLenDiff(r)
-      case GreaterThan(_: Literal, r) => isAbsLenDiff(r)
-      case _ => false
+    def litVal(l: Literal): Option[Long] = l.value match {
+      case i: Int => Some(i.toLong)
+      case j: Long => Some(j)
+      case _ => None
     }
+    conjuncts.flatMap {
+      case LessThanOrEqual(x, k: Literal) if isAbsLenDiff(x) => litVal(k)
+      case LessThan(x, k: Literal) if isAbsLenDiff(x) => litVal(k).map(_ - 1)
+      case GreaterThanOrEqual(k: Literal, x) if isAbsLenDiff(x) => litVal(k)
+      case GreaterThan(k: Literal, x) if isAbsLenDiff(x) => litVal(k).map(_ - 1)
+      case _ => None
+    }.minOption
   }
 
   /** The condition with implied bounds added, or None if unchanged. */
   private def augmented(cond: Expression): Option[Expression] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    // (lev, effective inclusive bound value, conjunct to inject)
     val implied = conjuncts.collect {
-      case LessThanOrEqual(LevDp(lev), k @ Literal(_, IntegerType | LongType)) =>
-        (lev, lengthBound(LessThanOrEqual, lev, k))
-      case LessThan(LevDp(lev), k @ Literal(_, IntegerType | LongType)) =>
-        (lev, lengthBound(LessThan, lev, k))
-      case GreaterThanOrEqual(k @ Literal(_, IntegerType | LongType), LevDp(lev)) =>
-        (lev, lengthBound(LessThanOrEqual, lev, k))
-      case GreaterThan(k @ Literal(_, IntegerType | LongType), LevDp(lev)) =>
-        (lev, lengthBound(LessThan, lev, k))
-    }.collect { case (lev, e) if !hasLengthBound(conjuncts, lev) => e }
+      case LessThanOrEqual(LevDp(lev), k @ Literal(i: Int, IntegerType)) =>
+        (lev, i.toLong, lengthBound(LessThanOrEqual, lev, k))
+      case LessThanOrEqual(LevDp(lev), k @ Literal(j: Long, LongType)) =>
+        (lev, j, lengthBound(LessThanOrEqual, lev, k))
+      case LessThan(LevDp(lev), k @ Literal(i: Int, IntegerType)) =>
+        (lev, i.toLong - 1, lengthBound(LessThan, lev, k))
+      case LessThan(LevDp(lev), k @ Literal(j: Long, LongType)) =>
+        (lev, j - 1, lengthBound(LessThan, lev, k))
+      case GreaterThanOrEqual(k @ Literal(i: Int, IntegerType), LevDp(lev)) =>
+        (lev, i.toLong, lengthBound(LessThanOrEqual, lev, k))
+      case GreaterThanOrEqual(k @ Literal(j: Long, LongType), LevDp(lev)) =>
+        (lev, j, lengthBound(LessThanOrEqual, lev, k))
+      case GreaterThan(k @ Literal(i: Int, IntegerType), LevDp(lev)) =>
+        (lev, i.toLong - 1, lengthBound(LessThan, lev, k))
+      case GreaterThan(k @ Literal(j: Long, LongType), LevDp(lev)) =>
+        (lev, j - 1, lengthBound(LessThan, lev, k))
+    }.collect {
+      // inject unless an existing bound is already at least as tight
+      case (lev, eff, e) if existingLengthBound(conjuncts, lev).forall(_ > eff) => e
+    }
     if (implied.isEmpty) None
     else Some((conjuncts ++ implied).reduce(And))
   }

@@ -78,6 +78,13 @@ object MultimodalQueries {
     if (bpp != 24)
       throw new IllegalArgumentException(s"doc $id: expected 24bpp, got $bpp")
     val stride = ((3 * w + 3) / 4) * 4
+    // bounds-check the declared geometry BEFORE walking: a payload
+    // truncated below its declared size must be rejected with a typed
+    // error, not an ArrayIndexOutOfBounds from an executor task
+    val need = off + h * stride
+    if (need > b.length)
+      throw new IllegalArgumentException(
+        s"doc $id: truncated BMP — pixel walk needs $need bytes, have ${b.length}")
     var sum = 0L
     var row = 0L
     while (row < h) {

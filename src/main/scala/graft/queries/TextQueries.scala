@@ -352,7 +352,7 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), t, explode(sequence(lit(0L),
-          ((size(t) - 1).cast("long")).divide(stride).cast("long"))).as("chunk_idx"))
+          expr(s"(size(t) - 1) div $stride").cast("long"))).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"),
           (col("chunk_idx") * stride + 1).as("start_tok"),
           least(lit(win.toLong), size(t) - col("chunk_idx") * stride)

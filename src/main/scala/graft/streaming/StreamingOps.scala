@@ -136,14 +136,19 @@ object StreamingOps {
   /** Append one sentinel row 3h past max(ts) to the staged source so a
     * same-checkpoint restart advances the watermark past all real data —
     * exactly how a live stream's trailing state gets flushed: later
-    * events arrive. Raw schema carries ts as a nano count (nanosAsLong).
+    * events arrive. The raw ts is a nano count under nanosAsLong (the
+    * driver's testdata) or a real TIMESTAMP (ScaleGen output) — the
+    * sentinel honors whichever shape the staged schema has.
     * `overrides` mark the sentinel so results can exclude it. */
   private def writeSentinel(spark: SparkSession, stageDir: String,
       staged: String, overrides: Map[String, org.apache.spark.sql.Column]): Unit = {
     val raw = spark.read.parquet(staged)
-    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
-    overrides.foldLeft(
-        raw.limit(1).withColumn("ts", lit(maxTs + 3L * 3600 * 1000000000L))) {
+    val newTs: org.apache.spark.sql.Column =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        lit(raw.agg(max(col("ts"))).first().getLong(0) + 3L * 3600 * 1000000000L)
+      else lit(new java.sql.Timestamp(
+        raw.agg(max(col("ts"))).first().getTimestamp(0).getTime + 3L * 3600 * 1000))
+    overrides.foldLeft(raw.limit(1).withColumn("ts", newTs)) {
         case (df, (c, v)) => df.withColumn(c, v)
       }
       .write.mode("append").parquet(stageDir)

@@ -87,7 +87,15 @@ object ScaleGen {
     replicate("orders", Map("o_orderkey" -> orderCap, "o_custkey" -> custCap))
     replicate("lineitem", Map("l_orderkey" -> orderCap,
       "l_partkey" -> partCap, "l_suppkey" -> suppCap))
-    replicate("events", Map("event_id" -> eventCap, "user_id" -> userCap))
+    // events.ts arrives as a TIMESTAMP(NANOS) column that the
+    // nanosAsLong session reads as a bare nano count; writing that long
+    // back verbatim would drop the timestamp logical type and break
+    // every events oracle (DuckDB would see BIGINT where the SQL does
+    // date_trunc/epoch_ms). Convert to a microsecond TIMESTAMP on the
+    // way out — every consumer (Spark's normalizeEventTs and the
+    // oracles) truncates to milliseconds, so no fidelity is lost.
+    replicate("events", Map("event_id" -> eventCap, "user_id" -> userCap),
+      (df, _) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     replicate("documents", Map("doc_id" -> docCap),
       (df, i) => if (i == 0) df else df.withColumn("text", remapText("text", i)))
     // embeddings share the documents key space (q29 joins vec_id = doc_id).
@@ -101,9 +109,10 @@ object ScaleGen {
       if (i == 0) df
       else {
         val d = size(col("embedding"))
+        val off = lit(i * 7) % d // mod the dim so any copy count is valid
         df.withColumn("embedding",
-          concat(slice(col("embedding"), lit(i * 7 + 1), d - lit(i * 7)),
-            slice(col("embedding"), lit(1), lit(i * 7))))
+          concat(slice(col("embedding"), off + 1, d - off),
+            slice(col("embedding"), lit(1), off)))
       })
 
     spark.stop()

@@ -111,8 +111,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinIdx >= 0, "no join found above the band-index scan")
     assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
       s"candidate join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    // no Exchange of ANY kind on the scan's side of the join: a shuffle
+    // is the obvious regression, but a BROADCAST of the corpus index
+    // (the thing that cannot scale) would also appear on this path and
+    // must fail too — the delta, not the corpus, is the broadcast side
     val corpusSegment = path.drop(joinIdx + 1)
-    assert(!corpusSegment.exists(_.isInstanceOf[ShuffleExchangeExec]),
+    assert(!corpusSegment.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
       "corpus-side Exchange between the band-index scan and the candidate join")
   }
 

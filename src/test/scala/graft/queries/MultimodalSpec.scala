@@ -61,6 +61,10 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](MultimodalQueries.bmpDecode(2L, badBpp))
     val truncated = good.take(20)
     intercept[IllegalArgumentException](MultimodalQueries.bmpDecode(3L, truncated))
+    // truncated below the declared pixel-data size but past the header:
+    // must be a typed rejection, not an ArrayIndexOutOfBounds mid-walk
+    val shortPixels = good.take(60)
+    intercept[IllegalArgumentException](MultimodalQueries.bmpDecode(4L, shortPixels))
   }
 
   test("the encoded payload is a byte-valid BMP (round-trips through decode)") {
