@@ -27,7 +27,6 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumPlanes = 8
   private val Dim = 64
-  private val PlanesPerBand = 4
   private val NearDupThreshold = "0.38"
   private val NumCells = 8
 
@@ -52,6 +51,77 @@ object SimilarityQueries {
     * generated here and embedded as literals in both plans. */
   private def plane(j: Int): Seq[Double] =
     (0 until Dim).map(i => (((i * 31 + j * 17) % 7) - 3).toDouble)
+
+  // ---- adaptive banded LSH (q37): planes-per-band from corpus size ----
+
+  /** Target mean bucket occupancy for the near-dup LSH: bucket count per
+    * band ~ n / 32, so candidate volume (sum of bucket-size-choose-2)
+    * stays LINEAR in the corpus instead of quadratic-at-fixed-buckets. */
+  private[graft] val NearDupOccupancy = 32L
+  private[graft] val NearDupMinPlanes = 4
+  private[graft] val NearDupMaxPlanes = 12
+
+  /** Planes per band for a corpus of n vectors: the smallest p in
+    * [Min, Max] with n <= occupancy * 2^p (i.e. ceil(log2(n/32)),
+    * clamped). Integer thresholds, so Spark/DuckDB agree exactly.
+    * Driver-side mirror of [[nearDupPlanesCol]] / the oracle CASE;
+    * TechniqueSpec pins all three to the same escalation points. */
+  private[graft] def nearDupPlanes(n: Long): Int = {
+    var k = NearDupMinPlanes
+    while (k < NearDupMaxPlanes && n > (NearDupOccupancy << k)) k += 1
+    k
+  }
+
+  private def nearDupPlanesCol(n: Column): Column =
+    (NearDupMinPlanes until NearDupMaxPlanes)
+      .foldRight(lit(NearDupMaxPlanes): Column) { (k, rest) =>
+        when(n <= lit(NearDupOccupancy << k), lit(k)).otherwise(rest)
+      }
+
+  private def sqlNearDupPlanes: String =
+    "CASE " + (NearDupMinPlanes until NearDupMaxPlanes)
+      .map(k => s"WHEN n_corpus <= ${NearDupOccupancy << k} THEN $k")
+      .mkString(" ") + s" ELSE $NearDupMaxPlanes END"
+
+  /** Hyperplane (band, j) of the adaptive family: component i =
+    * ((i*29 + j*17 + i*j*7 + band*41) mod 13) - 6. The i*j cross term
+    * matters: the fixed [[plane]] family repeats with period 7 in j, so
+    * any band wider than 7 planes would have perfectly correlated bits
+    * and its bucket count would silently cap at 2^7. Here two planes
+    * j1 != j2 (< 13) differ at every component except i = 5 mod 13
+    * (d*(17+7i) mod 13 has a single root), so all MaxPlanes=12 planes
+    * per band are distinct and the 2^p bucket-count claim is real. */
+  private def adaptivePlane(band: Int, j: Int): Seq[Double] =
+    (0 until Dim).map(i =>
+      (((i * 29 + j * 17 + i * j * 7 + band * 41) % 13) - 6).toDouble)
+
+  /** Distinct near-dup candidate pairs (a_id < b_id) from the adaptive
+    * banded LSH — the blocking stage of q37, exposed so TechniqueSpec
+    * can measure candidate-volume growth across scale factors. The
+    * corpus count rides in via a broadcast one-row aggregate (no driver
+    * action), and inactive planes short-circuit in the CASE, so a small
+    * corpus pays for p dot products, not MaxPlanes. */
+  private[graft] def nearDupCandidates(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val stats = e.agg(count(lit(1)).as("n_corpus"))
+    def bucket(band: Int): Column = (0 until NearDupMaxPlanes).map { j =>
+      when(lit(j) < col("p") &&
+          dotFold(col("v"), array(adaptivePlane(band, j).map(lit): _*)) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bands = e.crossJoin(broadcast(stats))
+      .withColumn("p", nearDupPlanesCol(col("n_corpus")))
+      .withColumn("b0", bucket(0)).withColumn("b1", bucket(1))
+      .select(col("vec_id"),
+        posexplode(array(col("b0"), col("b1"))).as(Seq("band_idx", "band_key")))
+    val a = bands.as("a"); val y = bands.as("y")
+    a.join(y,
+        col("a.band_idx") === col("y.band_idx")
+          && col("a.band_key") === col("y.band_key")
+          && col("a.vec_id") < col("y.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+  }
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -264,28 +334,32 @@ object SimilarityQueries {
 
     // ------------------------------------------------------------------
     // Embedding-cosine near-dup (the dedup-family variant of LSH): every
-    // vector is a query. Banded OR-construction — 2 bands of 4
-    // hyperplanes each — for recall; candidates come from a band-exploded
-    // EQUI-join (band_idx, band_key), never an OR-join (Spark would
-    // execute `b0=b0 OR b1=b1` as a nested-loop cross product). At
-    // sf0.01 this blocks 124,750 possible pairs down to ~19k candidates
-    // and 38 survivors at cosine >= 0.38 — non-vacuous by construction.
-    // At 100 TB: more planes per band shrinks buckets (candidate count is
-    // sum of bucket-size-choose-2), and the distinct() on pairs keeps the
-    // verify stage linear in candidates.
+    // vector is a query. Banded OR-construction for recall; candidates
+    // come from a band-exploded EQUI-join (band_idx, band_key), never an
+    // OR-join (Spark would execute `b0=b0 OR b1=b1` as a nested-loop
+    // cross product). SCALE-ADAPTIVE since round 9: planes-per-band is
+    // derived from the corpus count (p = ceil(log2(n/32)) clamped to
+    // [4,12]) in BOTH engines from the same integer thresholds, so the
+    // per-band bucket count tracks n/32 and candidate volume — the sum
+    // of bucket-size-choose-2 — stays linear in the corpus instead of
+    // quadratic-at-fixed-16-buckets (the round-8 `weak` flag). Measured:
+    // sf0.01 (n=500, p=4) -> sf0.1 (n=2000, p=6) grows candidates ~4x at
+    // 4x data (TechniqueSpec asserts < 8x; quadratic would be 16x).
     QueryDef(
       "q37_embedding_neardup",
-      s"embedding-cosine near-dup: banded hyperplane LSH (2 bands x 4 planes) -> distinct candidate pairs via band-bucket equi-join -> exact cosine verify >= $NearDupThreshold",
+      s"embedding-cosine near-dup: banded hyperplane LSH (2 bands, planes-per-band = ceil(log2(n/$NearDupOccupancy)) in [$NearDupMinPlanes,$NearDupMaxPlanes]) -> distinct candidate pairs via band-bucket equi-join -> exact cosine verify >= $NearDupThreshold",
       {
-        def bucketSql(band: Int) = (0 until PlanesPerBand).map { j =>
-          val arr = plane(band * PlanesPerBand + j).map(d => s"$d").mkString(", ")
-          s"CASE WHEN ${sqlDotFold("v", s"[$arr]::DOUBLE[]")} > 0 THEN ${1 << j} ELSE 0 END"
+        def bucketSql(band: Int) = (0 until NearDupMaxPlanes).map { j =>
+          val arr = adaptivePlane(band, j).map(d => s"$d").mkString(", ")
+          s"CASE WHEN $j < p AND ${sqlDotFold("v", s"[$arr]::DOUBLE[]")} > 0 THEN ${1 << j} ELSE 0 END"
         }.mkString(" +\n      ")
         s"""WITH e AS ($sqlVecs),
+           |params AS (SELECT $sqlNearDupPlanes AS p
+           |  FROM (SELECT count(*) AS n_corpus FROM e)),
            |b AS (SELECT vec_id, v,
            |    ${bucketSql(0)} AS b0,
            |    ${bucketSql(1)} AS b1
-           |  FROM e),
+           |  FROM e CROSS JOIN params),
            |bands AS (
            |  SELECT vec_id, 0 AS band_idx, b0 AS band_key FROM b
            |  UNION ALL
@@ -302,21 +376,7 @@ object SimilarityQueries {
            |WHERE cosine >= $NearDupThreshold""".stripMargin
       }) { (s, dir) =>
       val e = vecs(s, dir)
-      def bucket(band: Int): Column = (0 until PlanesPerBand).map { j =>
-        val h = array(plane(band * PlanesPerBand + j).map(lit): _*)
-        when(dotFold(col("v"), h) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val bands = e
-        .withColumn("b0", bucket(0)).withColumn("b1", bucket(1))
-        .select(col("vec_id"),
-          posexplode(array(col("b0"), col("b1"))).as(Seq("band_idx", "band_key")))
-      val a = bands.as("a"); val y = bands.as("y")
-      val cand = a.join(y,
-          col("a.band_idx") === col("y.band_idx")
-            && col("a.band_key") === col("y.band_key")
-            && col("a.vec_id") < col("y.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
+      val cand = nearDupCandidates(s, dir)
       val x2 = e.select(col("vec_id").as("xid"), col("v").as("xv"))
       val y2 = e.select(col("vec_id").as("yid"), col("v").as("yv"))
       cand

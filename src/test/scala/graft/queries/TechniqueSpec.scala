@@ -222,4 +222,32 @@ class TechniqueSpec extends SparkSpec {
       s"z-ordered layout touched $clustered of $n files vs $unclustered " +
         "unclustered — clustering is not skipping")
   }
+
+  test("q37 LSH planes-per-band escalates with corpus size") {
+    import SimilarityQueries.nearDupPlanes
+    // the exact escalation points the Column/SQL CASE chains share:
+    // smallest p in [4,12] with n <= 32 * 2^p
+    assert(nearDupPlanes(500) == 4)    // sf0.01 — same granularity as the
+                                       // fixed 2x4 config it replaces
+    assert(nearDupPlanes(512) == 4)
+    assert(nearDupPlanes(513) == 5)
+    assert(nearDupPlanes(2000) == 6)   // sf0.1 -> 64 buckets/band
+    assert(nearDupPlanes(20000) == 10) // sf1 -> 1024 buckets/band
+    assert(nearDupPlanes(1000000) == 12) // clamped at MaxPlanes
+  }
+
+  test("q37 candidate volume grows sub-quadratically across scale factors") {
+    // 500 -> 2000 vectors is 4x data: quadratic (fixed-bucket) growth
+    // would be ~16x candidate pairs; the adaptive bucket count
+    // (p=4 -> p=6, 16 -> 64 buckets/band) holds it near-linear.
+    val small = SimilarityQueries
+      .nearDupCandidates(spark, "/root/testdata/sf0.01").count()
+    val large = SimilarityQueries
+      .nearDupCandidates(spark, "/root/testdata/sf0.1").count()
+    assert(small > 0, "blocking stage must produce candidates at sf0.01")
+    assert(large > 0, "blocking stage must produce candidates at sf0.1")
+    assert(large < small * 8,
+      s"candidates grew ${large.toDouble / small}x at 4x data — " +
+        "the LSH parameterization is not scale-adaptive")
+  }
 }
