@@ -61,6 +61,13 @@ object Bench {
     // tail window. Scope the silence to the window package only.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // Same tail-budget risk, different logger (round 8): every read of a
+    // locally-checkpointed staging RDD logs a `MapPartitionsRDD ... was
+    // locally checkpointed` WARN — wall-to-wall in the r08 tail. The
+    // checkpoint semantics are intentional (single-JVM staging); silence
+    // the RDD package's advisory WARNs for the bench process only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // optional comma-separated filter for local iteration on a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
