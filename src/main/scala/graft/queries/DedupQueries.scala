@@ -97,34 +97,102 @@ object DedupQueries {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
   }
 
-  /** The PERSISTED corpus band index: the standing artifact an
-    * incremental dedup pipeline maintains between batches, here a real
-    * managed parquet table bucketed 16 ways on band_key (a subset of
-    * the (band_idx, band_key) join key, so the bucket layout satisfies
-    * the join's required distribution — a future non-broadcast consumer
-    * joins it with ZERO corpus-side Exchange, the q41 property, proven
-    * on this table by PlanAuditSpec). Built once per (JVM, corpus dir)
-    * over the already-indexed docs (doc_id % 10 != 7 — everything but
-    * the q93 stand-in arriving batch) and read by every subsequent q93
-    * invocation: per-batch cost is the delta's minhash plus the index
-    * probe, never a corpus re-minhash. This retires the Scaladoc note
-    * above for the incremental path: the localCheckpoint staging remains
-    * only for the single-query all-pairs consumers (q24/q54). */
-  private val bandIndexTables = scala.collection.mutable.Map[String, String]()
-  private[graft] def bandIndexTable(s: SparkSession, dir: String): DataFrame = {
-    val table = synchronized {
-      bandIndexTables.getOrElseUpdate(dir, {
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val qualified = JvmScratch.resetTable(s, s"band_index$tag")
-        sigBands(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7))
-          .write.format("parquet")
-          .bucketBy(16, "band_key").sortBy("band_key")
-          .saveAsTable(qualified)
-        qualified
-      })
+  /** Database holding the durable band-index tables (external; its
+    * catalog entry is per-session, the DATA lives under the warehouse
+    * and outlives every session). */
+  private val IndexDb = "graft_index"
+
+  /** Cheap content fingerprint of the corpus `documents` table: a
+    * 48-bit fold over (part-file name, length, mtime). Driver-side FS
+    * metadata only — no data read — so calling it on every index access
+    * costs microseconds and gives the staleness contract the per-JVM
+    * cache lacked: regenerate the corpus in place and the fingerprint
+    * (hence the index identity) changes, forcing a rebuild instead of a
+    * silent stale join. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(p))
+    val acc = parts.sortBy(_.getPath.getName).foldLeft(1125899906842597L) {
+      (h, f) =>
+        val x = f.getPath.getName.hashCode.toLong ^ f.getLen ^
+          f.getModificationTime
+        (h * 31 + x) & 0xFFFFFFFFFFFFL
     }
-    s.table(table)
+    java.lang.Long.toHexString(acc)
   }
+
+  /** The PERSISTED corpus band index: the standing artifact an
+    * incremental dedup pipeline maintains between batches — a DURABLE
+    * cross-session parquet table bucketed 16 ways on band_key (a subset
+    * of the (band_idx, band_key) join key, so the bucket layout
+    * satisfies the join's required distribution — a future non-broadcast
+    * consumer joins it with ZERO corpus-side Exchange, the q41 property,
+    * proven on this table by PlanAuditSpec).
+    *
+    * Durability contract (the 100-TB shape, round-8 verdict #3): the
+    * data lives at `<warehouse>/graft_band_index/band_index_<tag>_<fp>`
+    * where fp fingerprints the corpus content — a FRESH SparkSession
+    * (empty catalog) re-attaches an external bucketed table over the
+    * existing files and never re-minhashes (BandIndexSpec asserts the
+    * part files are byte-for-byte untouched by a re-attach, and that
+    * the read is a bucketed scan). Build-and-publish is atomic (write
+    * to a pid-suffixed tmp dir, rename into place), so concurrent JVMs
+    * sharing a warehouse race benignly: one rename wins, the loser
+    * deletes its copy and reads the winner's. Stale fingerprints of the
+    * same corpus are retired when a new version publishes. Built over
+    * the already-indexed docs (doc_id % 10 != 7 — everything but the
+    * q93 stand-in arriving batch); per-batch cost is the delta's
+    * minhash plus the index probe, never a corpus re-minhash. The
+    * localCheckpoint staging remains only for the single-query
+    * all-pairs consumers (q24/q54). */
+  private[graft] def bandIndexTable(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fp = corpusFingerprint(s, dir)
+      val tableName = s"band_index_${tag}_$fp"
+      val qualified = s"$IndexDb.$tableName"
+      if (!s.catalog.databaseExists(IndexDb))
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $IndexDb")
+      if (!s.catalog.tableExists(qualified)) {
+        val base = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_band_index")
+        val loc = new org.apache.hadoop.fs.Path(base, tableName)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(loc)) {
+          val pid = ProcessHandle.current().pid()
+          val tmp = new org.apache.hadoop.fs.Path(base, s"$tableName.build$pid")
+          val buildTable = s"$IndexDb.${tableName}_build$pid"
+          s.sql(s"DROP TABLE IF EXISTS $buildTable")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          sigBands(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7))
+            .write.format("parquet")
+            .bucketBy(16, "band_key").sortBy("band_key")
+            .option("path", tmp.toString)
+            .saveAsTable(buildTable)
+          s.sql(s"DROP TABLE IF EXISTS $buildTable") // external: files stay
+          if (!fs.rename(tmp, loc)) fs.delete(tmp, true) // lost the race
+          // retire superseded versions of this corpus (staleness contract)
+          fs.listStatus(base).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(s"band_index_${tag}_") && n != tableName &&
+                !n.contains(".build")) {
+              s.sql(s"DROP TABLE IF EXISTS $IndexDb.$n")
+              fs.delete(st.getPath, true)
+            }
+          }
+        }
+        val ddl = s.read.parquet(loc.toString).schema.toDDL
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $qualified ($ddl)
+                 |USING parquet
+                 |CLUSTERED BY (band_key) SORTED BY (band_key) INTO 16 BUCKETS
+                 |LOCATION '$loc'""".stripMargin)
+      }
+      s.table(qualified)
+    }
 
   /** The MinHash+LSH candidate/verify pipeline as a reusable plan:
     * (doc_a, doc_b, jaccard) pairs at-or-above the threshold, doc_a <
