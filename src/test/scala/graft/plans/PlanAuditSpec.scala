@@ -136,6 +136,57 @@ class PlanAuditSpec extends SparkSpec {
       "Exchange under the bucketed self-join — bucket layout not used")
   }
 
+  test("TPC-H silhouettes: selective predicates reach the parquet scans as PushedFilters") {
+    // the filter-before-join claims in the q72/q73/q74 Scaladocs, made
+    // mechanical: a refactor that hides a predicate behind a cast or an
+    // opaque expression silently turns a pruned scan into a full scan —
+    // at 100 TB that is the whole query budget. Assert the predicate
+    // text appears in each scan's PushedFilters metadata.
+    def scanFilters(name: String): Map[String, String] =
+      flatten(finalPlan(SparkEntry.queries(name)(spark, sfDir)))
+        .collect { case f: FileSourceScanExec =>
+          val table = f.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?")
+          table -> f.metadata.getOrElse("PushedFilters", "[]")
+        }.toMap
+
+    val q72 = scanFilters("q72_tpch3")
+    assert(q72("customer.parquet").contains("EqualTo(c_mktsegment,BUILDING)"), q72.toString)
+    assert(q72("orders.parquet").contains("LessThan(o_orderdate"), q72.toString)
+    assert(q72("lineitem.parquet").contains("GreaterThan(l_shipdate"), q72.toString)
+
+    val q73 = scanFilters("q73_tpch5")
+    assert(q73("region.parquet").contains("EqualTo(r_name,ASIA)"), q73.toString)
+    assert(q73("orders.parquet").contains("GreaterThanOrEqual(o_orderdate"), q73.toString)
+    assert(q73("orders.parquet").contains("LessThan(o_orderdate"), q73.toString)
+
+    val q74 = scanFilters("q74_tpch10")
+    assert(q74("lineitem.parquet").contains("EqualTo(l_returnflag,R)"), q74.toString)
+    assert(q74("orders.parquet").contains("GreaterThanOrEqual(o_orderdate"), q74.toString)
+  }
+
+  test("q83 aggregates lineitem BELOW the joins (aggregate-then-join ordering)") {
+    // q83's scale claim is ordering, not pushdown: the HAVING cut runs
+    // before the star join, so the biggest shuffle carries (orderkey,
+    // sum) pairs, never the joined width. Assert an aggregate sits
+    // between the lineitem scan and the lowest join above it.
+    val plan = finalPlan(SparkEntry.queries("q83_tpch18")(spark, sfDir))
+    def isLineitemScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.getName == "lineitem.parquet")
+      case _ => false
+    }
+    val path = pathTo(plan, isLineitemScan).getOrElse(
+      fail("no lineitem scan in q83's plan"))
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec])
+    assert(joinIdx >= 0, "no join above the lineitem scan")
+    assert(path.drop(joinIdx + 1).exists(
+        _.nodeName.toLowerCase.contains("aggregate")),
+      "no aggregate between the lineitem scan and the lowest join — " +
+        "the HAVING cut is running after the star join")
+  }
+
   test("q41 bucketed join plans with zero Exchange on either side") {
     val plan = finalPlan(SparkEntry.queries("q41_bucketed_join")(spark, sfDir))
     val smj = flatten(plan).collectFirst { case j: SortMergeJoinExec => j }
