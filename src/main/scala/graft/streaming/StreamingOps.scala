@@ -43,11 +43,18 @@ object StreamingOps {
       sys.props("java.io.tmpdir"),
       s"graft_stream_src_${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(stageDir)
-    // freshness check on total parquet bytes: re-stage only when the
-    // source changed (repeated bench iterations reuse the copy)
-    if (parquetBytes(stageDir) != parquetBytes(src)) {
+    // freshness check on a per-file (name, size, mtime) stamp of the
+    // SOURCE, recorded at copy time: re-stage only when the source
+    // changed (repeated bench iterations reuse the copy). A summed-bytes
+    // check alone would miss an equal-size in-place regeneration.
+    val stampFile = stageDir.resolve(".source_stamp")
+    val stamp = sourceStamp(src)
+    val staleStage = !java.nio.file.Files.exists(stampFile) ||
+      new String(java.nio.file.Files.readAllBytes(stampFile), "UTF-8") != stamp
+    if (staleStage) {
       listParquet(stageDir).foreach(java.nio.file.Files.delete)
       copyEventsInto(dir, stageDir)
+      java.nio.file.Files.write(stampFile, stamp.getBytes("UTF-8"))
     }
     val rawSchema = spark.read.parquet(stageDir.toString).schema
     Tables.normalizeEventTs(
@@ -72,8 +79,14 @@ object StreamingOps {
     } else if (java.nio.file.Files.exists(p)) Seq(p)
     else Seq.empty
 
-  private def parquetBytes(p: java.nio.file.Path): Long =
-    listParquet(p).map(java.nio.file.Files.size).sum
+  /** Content stamp of a source table: (name, size, mtime) per part
+    * file, name-sorted — changes whenever the source is regenerated,
+    * even to the same total byte count. */
+  private def sourceStamp(p: java.nio.file.Path): String =
+    listParquet(p).sortBy(_.getFileName.toString).map { f =>
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    }.mkString("|")
 
   /** Stage the events table into `stageDir` as flat parquet files the
     * file-stream source can list, whatever shape the source has. */

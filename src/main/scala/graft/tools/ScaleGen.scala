@@ -22,18 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  /** Smallest power of 10 strictly above the column's max value. */
+  /** Smallest power of 10 strictly above the column's max value. The
+    * cast-to-long absorbs int-typed key columns in arbitrary source
+    * dirs; an empty (or all-null) table is a clear error, not an NPE. */
   private def cap(df: DataFrame, c: String): Long = {
-    val mx = df.agg(max(col(c))).first().getLong(0)
+    val row = df.agg(max(col(c).cast("long"))).first()
+    require(!row.isNullAt(0), s"cap($c): source table is empty or all-null")
+    val mx = row.getLong(0)
     var p = 10L
     while (p <= mx) p *= 10
     p
   }
 
-  /** Per-replica 1:1 vowel->digit remap; replica 0 is the original. */
+  /** Per-replica 1:1 vowel->digit remap; replica 0 is the original.
+    * The (vowel pair, digit pair) combination is injective in i for up
+    * to 500 replicas: the vowel pair cycles with period 5, and within a
+    * residue class the digit pair ((i-1)/5, (i-1)/50) takes a distinct
+    * value per replica — so no two replicas ever get the identical
+    * mapping (which would produce verbatim-duplicate text and inflate
+    * shingle-dedup candidate volume). */
   private def remapText(textCol: String, i: Int) = {
     val from = Seq("ae", "ei", "io", "ou", "ua")((i - 1) % 5)
-    val to = s"${(i - 1) % 10}${i % 10}"
+    val to = s"${((i - 1) / 5) % 10}${((i - 1) / 50) % 10}"
     translate(col(textCol), from, to)
   }
 
@@ -41,6 +51,8 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    require(copies >= 1 && copies <= 500,
+      s"copies=$copies outside [1,500] — remapText injectivity holds to 500")
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
