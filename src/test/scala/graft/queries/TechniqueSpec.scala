@@ -250,4 +250,21 @@ class TechniqueSpec extends SparkSpec {
       s"candidates grew ${large.toDouble / small}x at 4x data — " +
         "the LSH parameterization is not scale-adaptive")
   }
+
+  test("q37 candidate volume stays sub-quadratic at sf1 (10x data)") {
+    // the full-scale form of the assertion above, run when the
+    // ScaleGen-generated sf1 directory is present (the round driver and
+    // COVERAGE.md campaigns create it; plain CI cancels, it does not
+    // fake a pass). 10x the vectors: quadratic would be ~100x the
+    // pairs; measured 12.1x (97,985 -> 1,183,492).
+    val sf1 = "/tmp/graft_sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
+      s"$sf1 not generated in this environment")
+    val mid = SimilarityQueries
+      .nearDupCandidates(spark, "/root/testdata/sf0.1").count()
+    val big = SimilarityQueries.nearDupCandidates(spark, sf1).count()
+    assert(big < mid * 15,
+      s"candidates grew ${big.toDouble / mid}x at 10x data — " +
+        "the LSH parameterization is not scale-adaptive")
+  }
 }
