@@ -624,39 +624,117 @@ object DedupQueries {
          |FROM common JOIN cnt xa ON xa.doc_id = dd
          |            JOIN cnt yb ON yb.doc_id = cd
          |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      // the arriving batch, shingled + minhashed fresh — delta-sized
-      val deltaSh = shingle(docs.filter(col("doc_id") % 10 === 7))
-        .localCheckpoint()
-      val deltaBands = sigBands(deltaSh)
-        .select(col("doc_id").as("dd"), col("band_key"))
-      // the standing index: read the persisted bucketed table, never
-      // re-minhash the corpus; the join key IS the bucket column
-      val corpusBands = bandIndexTable(s, dir)
-      val cand = corpusBands.join(broadcast(deltaBands), Seq("band_key"))
-        .select(col("dd"), col("doc_id").as("cd"))
-        .distinct()
-      // exact-Jaccard verify needs full shingle sets ONLY for the matched
-      // corpus docs: a broadcast semi-join prunes the documents pass to
-      // the candidate set, so per-batch tokenize/shingle cost is
-      // delta + candidates — never a corpus re-shingle (at 100 TB, with
-      // documents bucketed on doc_id, the semi-join also prunes the scan)
-      val candIds = cand.select(col("cd").as("doc_id")).distinct()
-      val candSh = shingle(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-        .localCheckpoint()
-      val cnt = deltaSh.unionByName(candSh)
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val x = deltaSh.select(col("doc_id").as("xd"), col("sg"))
-      val y = candSh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
-      val common = broadcast(cand)
-        .join(x, col("xd") === col("dd"))
-        .join(y, col("yd") === col("cd") && col("ysg") === col("sg"))
-        .groupBy("dd", "cd").agg(count(lit(1)).as("c"))
-      val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
-      common
-        .join(cnt.select(col("doc_id").as("xd2"), col("n").as("xn")), col("xd2") === col("dd"))
-        .join(cnt.select(col("doc_id").as("yd2"), col("n").as("yn")), col("yd2") === col("cd"))
-        .filter(jac >= JaccardThreshold.toDouble)
-        .select(col("dd").as("delta_id"), col("cd").as("corpus_id"), jac.as("jaccard"))
+      incrementalMatches(s, dir,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))
+    },
+
+    // ------------------------------------------------------------------
+    // The SAME incremental contract, LIVE: the arriving batch lands as
+    // parquet FILE DROPS consumed by a checkpointed Structured Streaming
+    // drain (maxFilesPerTrigger=1 -> one micro-batch per drop), and each
+    // micro-batch runs the identical delta-vs-index pipeline inside
+    // foreachBatch — probe the DURABLE band-index table (broadcast
+    // delta), candidate-pruned exact-Jaccard verify, append matches.
+    // Each arriving doc is scored independently against the standing
+    // corpus index, so the final table equals the batch q93 result
+    // EXACTLY regardless of how the arrivals were micro-batched — the
+    // oracle below is q93's, verbatim. At 100 TB this is the shape of a
+    // continuously-deduplicating ingest: only the trigger changes.
+    QueryDef(
+      "q105_stream_incremental_dedup",
+      s"STREAMING incremental dedup: arriving batch lands as 3 parquet file drops, one checkpointed AvailableNow drain (maxFilesPerTrigger=1 -> 3 micro-batches), each micro-batch LSH-probed (broadcast) against the DURABLE band-index table + exact-Jaccard >= $JaccardThreshold verified; final table == batch q93 result regardless of micro-batching",
+      s"""WITH $sqlSigBandsCtes,
+         |cand AS (SELECT DISTINCT d.doc_id AS dd, c.doc_id AS cd
+         |  FROM bands d JOIN bands c ON d.band_key = c.band_key
+         |  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT dd, cd, count(*) AS c
+         |  FROM cand JOIN sh x ON x.doc_id = dd
+         |            JOIN sh y ON y.doc_id = cd AND y.sg = x.sg
+         |  GROUP BY dd, cd)
+         |SELECT dd AS delta_id, cd AS corpus_id,
+         |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+         |FROM common JOIN cnt xa ON xa.doc_id = dd
+         |            JOIN cnt yb ON yb.doc_id = cd
+         |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      // force-build the index on THIS session before the stream starts
+      // (micro-batches run on a cloned session sharing the catalog)
+      bandIndexTable(s, dir)
+      val delta = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
+      // the arriving batch staged as 3 file drops (split by doc_id)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_q105_src").toString
+      (0 until 3).foreach { i =>
+        delta.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val table = JvmScratch.resetTable(s, "stream_inc_dedup")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q105_ckpt").toString
+      val schema = s.read.parquet(srcDir).schema
+      // micro-batches are delta/3-sized: full-width shuffles are pure
+      // per-batch task overhead (same sizing rule as StreamingOps);
+      // the clone inherits the conf at start, restore after the drain
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // batch.sparkSession is the stream's clone — shares the
+            // catalog, so the index resolves without a rebuild
+            incrementalMatches(batch.sparkSession, dir, batch)
+              .write.format("parquet").mode("append").saveAsTable(table)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.catalog.refreshTable(table) // appends ran on the cloned session
+      s.table(table)
     })
+
+  /** The q93/q105 shared pipeline: match `deltaDocs` (an arriving batch,
+    * any size) against the persisted corpus band index.
+    *
+    * The delta is shingled + minhashed fresh (delta-sized); the
+    * candidate join is delta-bands (broadcast) against the bucketed
+    * index TABLE, so per-batch cost scales with the delta and the
+    * matched buckets, never with corpus^2 or a corpus re-minhash
+    * (PlanAuditSpec asserts zero corpus-side Exchange on q93's plan).
+    * Exact-Jaccard verification touches only candidate pairs, and even
+    * the shingle pass it needs is candidate-pruned: a broadcast
+    * semi-join restricts corpus tokenization to the matched docs, so NO
+    * stage re-reads corpus text at corpus granularity (at 100 TB, with
+    * documents bucketed on doc_id, the semi-join also prunes the scan). */
+  private def incrementalMatches(s: SparkSession, dir: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val deltaSh = shingle(deltaDocs).localCheckpoint()
+    val deltaBands = sigBands(deltaSh)
+      .select(col("doc_id").as("dd"), col("band_key"))
+    val corpusBands = bandIndexTable(s, dir)
+    val cand = corpusBands.join(broadcast(deltaBands), Seq("band_key"))
+      .select(col("dd"), col("doc_id").as("cd"))
+      .distinct()
+    val candIds = cand.select(col("cd").as("doc_id")).distinct()
+    val candSh = shingle(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    val cnt = deltaSh.unionByName(candSh)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = deltaSh.select(col("doc_id").as("xd"), col("sg"))
+    val y = candSh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
+    val common = broadcast(cand)
+      .join(x, col("xd") === col("dd"))
+      .join(y, col("yd") === col("cd") && col("ysg") === col("sg"))
+      .groupBy("dd", "cd").agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+    common
+      .join(cnt.select(col("doc_id").as("xd2"), col("n").as("xn")), col("xd2") === col("dd"))
+      .join(cnt.select(col("doc_id").as("yd2"), col("n").as("yn")), col("yd2") === col("cd"))
+      .filter(jac >= JaccardThreshold.toDouble)
+      .select(col("dd").as("delta_id"), col("cd").as("corpus_id"), jac.as("jaccard"))
+  }
 }

@@ -588,5 +588,77 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid"), sqDistFold(col("q"), col("m")).as("d"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("vec_id"), col("cid").as("cluster"))
+    },
+
+    // ------------------------------------------------------------------
+    // SemDeDup-style SEMANTIC dedup: cluster the embedding space with a
+    // coarse quantizer, then drop near-duplicates WITHIN each cluster —
+    // the embedding-side analog of MinHash dedup, used to prune
+    // semantically-redundant training data. Candidates come only from
+    // the vector's own cell (cell equi-join, never all-pairs), and the
+    // keep rule is deterministic: a vector is dropped iff a LOWER-id
+    // vector in its cell has cosine >= the threshold; its keeper is the
+    // lowest such id. At 100 TB the centroids come from a sampled
+    // k-means (q90) with k ~ n/occupancy, so per-cell candidate volume
+    // stays bounded exactly like q37's adaptive buckets — with the
+    // advantage that cells are DATA-AWARE (semantic clusters), so
+    // near-dups co-locate by construction rather than by hash luck.
+    // Here the 8 fixed unit centroids shared with q39/q82 keep both
+    // engines' assignments bit-identical.
+    QueryDef(
+      "q106_semantic_dedup",
+      s"SemDeDup-style semantic dedup: IVF-cell assignment (argmin of exact fold L2), within-cell cosine >= $NearDupThreshold pairs only, deterministic lowest-id keeper per dropped vector",
+      {
+        val dSql = (0 until NumCells).map { k =>
+          val arr = centroid(k).map(d => s"$d").mkString(", ")
+          s"${sqlSqDistFold("v", s"[$arr]::DOUBLE[]")} AS d$k"
+        }.mkString(",\n    ")
+        val argmin = (0 until NumCells - 1).map { k =>
+          val leLater = (k + 1 until NumCells).map(j => s"d$k <= d$j").mkString(" AND ")
+          s"WHEN $leLater THEN $k"
+        }.mkString("\n    ")
+        s"""WITH e AS ($sqlVecs),
+           |d AS (SELECT vec_id, v, $dSql FROM e),
+           |cells AS (SELECT vec_id, v, CASE
+           |    $argmin
+           |    ELSE ${NumCells - 1} END AS cell
+           |  FROM d),
+           |pairs AS (SELECT a.vec_id AS a_id, y.vec_id AS b_id,
+           |    ${sqlCosine("a.v", "y.v")} AS cosine
+           |  FROM cells a JOIN cells y
+           |    ON a.cell = y.cell AND a.vec_id < y.vec_id),
+           |hits AS (SELECT a_id, b_id, cosine FROM pairs
+           |  WHERE cosine >= $NearDupThreshold),
+           |keep AS (SELECT b_id, min(a_id) AS keeper_id
+           |  FROM hits GROUP BY b_id)
+           |SELECT h.b_id AS vec_id, k.keeper_id, h.cosine
+           |FROM hits h JOIN keep k
+           |  ON h.b_id = k.b_id AND h.a_id = k.keeper_id""".stripMargin
+      }) { (s, dir) =>
+      val e = vecs(s, dir)
+      val cellDists = (0 until NumCells).map { k =>
+        sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
+      }
+      val d = e.select(col("vec_id") +: col("v") +: cellDists: _*)
+      val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
+        (k, rest) =>
+          val leLater = (k + 1 until NumCells)
+            .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
+          when(leLater, lit(k)).otherwise(rest)
+      }
+      val cells = d.select(col("vec_id"), col("v"), cell.as("cell"))
+      val a = cells.select(col("vec_id").as("a_id"), col("v").as("av"), col("cell"))
+      val y = cells.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("cell").as("bcell"))
+      // hits feed two consumers (the keeper argmin and the join-back for
+      // the keeper's cosine): stage once, re-read twice
+      val hits = a.join(y, col("cell") === col("bcell") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), cosine(col("av"), col("bv")).as("cosine"))
+        .filter(col("cosine") >= NearDupThreshold)
+        .localCheckpoint()
+      val keep = hits.groupBy("b_id").agg(min(col("a_id")).as("keeper_id"))
+      hits.join(keep, Seq("b_id"))
+        .filter(col("a_id") === col("keeper_id"))
+        .select(col("b_id").as("vec_id"), col("keeper_id"), col("cosine"))
     })
 }
