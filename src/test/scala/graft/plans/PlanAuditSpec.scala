@@ -74,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     "q86_decontaminate" -> (2, 1), // bench side broadcast
     "q91_dup_spans" -> (3, 1),
     "q100_corpus_pipeline" -> (7, 6),
-    "q103_domain_mixture" -> (2, 1)) // weights broadcast
+    "q103_domain_mixture" -> (2, 1), // weights broadcast
+    "q106_semantic_dedup" -> (3, 0)) // post-stage keeper argmin + join-back
 
   test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
     audited.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, minBhj)) =>
