@@ -84,16 +84,22 @@ object SimilarityQueries {
       .mkString(" ") + s" ELSE $NearDupMaxPlanes END"
 
   /** Hyperplane (band, j) of the adaptive family: component i =
-    * ((i*29 + j*17 + i*j*7 + band*41) mod 13) - 6. The i*j cross term
-    * matters: the fixed [[plane]] family repeats with period 7 in j, so
-    * any band wider than 7 planes would have perfectly correlated bits
-    * and its bucket count would silently cap at 2^7. Here two planes
-    * j1 != j2 (< 13) differ at every component except i = 5 mod 13
-    * (d*(17+7i) mod 13 has a single root), so all MaxPlanes=12 planes
-    * per band are distinct and the 2^p bucket-count claim is real. */
+    * ((i*31 + j*57 + band*97 + i*i*11 + i*j*23) mod 13) - 6.
+    *
+    * Distinct-in-j is NOT enough for the 2^p bucket-count claim — the
+    * family must also avoid (a) constant/zero planes (a linear-in-i
+    * formula degenerates whenever the i-coefficient hits 0 mod 13, as
+    * the first version of this family did at j = 7: its band-2 instance
+    * was the literal zero vector) and (b) NEGATED pairs, which produce
+    * perfectly anti-correlated bits that halve the effective bucket
+    * count (the first version had corr(h0,h1) = -1 in band 2, observed
+    * as `sub` taking 2 of 4 values). The i*i quadratic term breaks the
+    * linear negation structure; the family is verified numerically:
+    * bands 0-2, j < 12 contain no constant plane and worst within-band
+    * |corr| = 0.59. */
   private def adaptivePlane(band: Int, j: Int): Seq[Double] =
     (0 until Dim).map(i =>
-      (((i * 29 + j * 17 + i * j * 7 + band * 41) % 13) - 6).toDouble)
+      (((i * 31 + j * 57 + band * 97 + i * i * 11 + i * j * 23) % 13) - 6).toDouble)
 
   /** Distinct near-dup candidate pairs (a_id < b_id) from the adaptive
     * banded LSH — the blocking stage of q37, exposed so TechniqueSpec
@@ -121,6 +127,101 @@ object SimilarityQueries {
           && col("a.vec_id") < col("y.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
+  }
+
+  // ---- SemDeDup refinement (q106): adaptive sub-bucketing of cells ----
+
+  /** Target mean occupancy of a refined (cell x sub-bucket) block. */
+  private[graft] val SemSubOccupancy = 64L
+  private[graft] val SemMaxSub = 8
+
+  /** Hyperplane bits subdividing each IVF cell once mean cell occupancy
+    * exceeds the target: smallest pc in [0, Max] with n <= NumCells *
+    * occupancy * 2^pc. Same adaptive discipline as [[nearDupPlanes]];
+    * pc = 0 (pure SemDeDup cells) until the corpus outgrows them. */
+  private[graft] def semSubBits(n: Long): Int = {
+    var k = 0
+    while (k < SemMaxSub && n > ((NumCells * SemSubOccupancy) << k)) k += 1
+    k
+  }
+
+  private def semSubBitsCol(n: Column): Column =
+    (0 until SemMaxSub).foldRight(lit(SemMaxSub): Column) { (k, rest) =>
+      when(n <= lit((NumCells * SemSubOccupancy) << k), lit(k)).otherwise(rest)
+    }
+
+  private def sqlSemSubBits: String =
+    "CASE " + (0 until SemMaxSub)
+      .map(k => s"WHEN n_corpus <= ${(NumCells * SemSubOccupancy) << k} THEN $k")
+      .mkString(" ") + s" ELSE $SemMaxSub END"
+
+  /** Exact dot(c_k, h_j) of sub-plane j with centroid k. Every term is
+    * a dyadic (+-0.125) times a small int and every partial sum a
+    * multiple of 0.125 with |.| <= 48 — exactly representable at each
+    * step, so this Scala fold is EXACT and the same literal lands in
+    * both engines' plans.
+    *
+    * Used to DECORRELATE the sub-planes from the cell direction: a
+    * cell's members all point roughly along c_k (that is what a cell
+    * IS), so a raw hyperplane leaves most of a cell on one side
+    * (measured 8.1x candidate growth at 4x data, vs ~4x for an even
+    * split). Projecting the normal orthogonal to the centroid —
+    * bit = dot(v, h) - dot(c,h) * dot(v,c) > 0, i.e. dot(v, h - (c.h)c)
+    * with unit centroids — tests only the within-cell RESIDUAL, which
+    * is near-isotropic, so each plane splits each cone near-evenly
+    * (measured: growth back to ~4.4x at 4x data). */
+  private def semPlaneOffset(k: Int, j: Int): Double =
+    (0 until Dim).map(i => centroid(k)(i) * adaptivePlane(2, j)(i)).sum
+
+  /** (vec_id, v, cell, sub): every vector's refined semantic block —
+    * data-aware IVF cell x adaptive CENTERED-hyperplane sub-bucket
+    * (band 2 of the [[adaptivePlane]] family; bands 0/1 belong to q37).
+    * Exposed so TechniqueSpec can measure block-candidate growth across
+    * SFs. */
+  private[graft] def semDedupBlocks(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val stats = e.agg(count(lit(1)).as("n_corpus"))
+    val cellDists = (0 until NumCells).map { k =>
+      sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
+    }
+    val d = e.crossJoin(broadcast(stats))
+      .withColumn("pc", semSubBitsCol(col("n_corpus")))
+      .select(col("vec_id") +: col("v") +: col("pc") +: cellDists: _*)
+    val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
+      (k, rest) =>
+        val leLater = (k + 1 until NumCells)
+          .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
+        when(leLater, lit(k)).otherwise(rest)
+    }
+    val assigned = d.select(col("vec_id"), col("v"), col("pc"), cell.as("cell"))
+    // the vector's projection on its own cell's centroid (one fold, the
+    // CASE evaluates only the matching branch)
+    val dvc = (0 until NumCells).foldLeft(lit(0.0): Column)((acc, k) =>
+      when(col("cell") === k,
+        dotFold(col("v"), array(centroid(k).map(lit): _*))).otherwise(acc))
+    val centered = assigned.withColumn("dvc", dvc)
+    def offset(j: Int): Column =
+      (0 until NumCells).foldLeft(lit(0.0): Column)((acc, k) =>
+        when(col("cell") === k, lit(semPlaneOffset(k, j))).otherwise(acc))
+    val sub = (0 until SemMaxSub).map { j =>
+      when(lit(j) < col("pc") &&
+          dotFold(col("v"), array(adaptivePlane(2, j).map(lit): _*))
+            > offset(j) * col("dvc"),
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    centered.select(col("vec_id"), col("v"), col("cell"), sub.as("sub"))
+  }
+
+  /** Distinct candidate pairs (a_id < b_id) of the semantic dedup: same
+    * refined (cell, sub) block. */
+  private[graft] def semDedupCandidates(s: SparkSession, dir: String): DataFrame = {
+    val cells = semDedupBlocks(s, dir)
+    val a = cells.select(col("vec_id").as("a_id"), col("cell"), col("sub"))
+    val y = cells.select(col("vec_id").as("b_id"),
+      col("cell").as("ycell"), col("sub").as("ysub"))
+    a.join(y, col("cell") === col("ycell") && col("sub") === col("ysub")
+        && col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
   }
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -343,8 +444,9 @@ object SimilarityQueries {
     // per-band bucket count tracks n/32 and candidate volume — the sum
     // of bucket-size-choose-2 — stays linear in the corpus instead of
     // quadratic-at-fixed-16-buckets (the round-8 `weak` flag). Measured:
-    // sf0.01 (n=500, p=4) -> sf0.1 (n=2000, p=6) grows candidates ~4x at
-    // 4x data (TechniqueSpec asserts < 8x; quadratic would be 16x).
+    // sf0.01 (n=500, p=4) -> sf0.1 (n=2000, p=6) grows candidates 4.6x
+    // at 4x data (TechniqueSpec asserts < 8x; quadratic would be 16x),
+    // and 11.2x at 10x data sf0.1 -> sf1.
     QueryDef(
       "q37_embedding_neardup",
       s"embedding-cosine near-dup: banded hyperplane LSH (2 bands, planes-per-band = ceil(log2(n/$NearDupOccupancy)) in [$NearDupMinPlanes,$NearDupMaxPlanes]) -> distinct candidate pairs via band-bucket equi-join -> exact cosine verify >= $NearDupThreshold",
@@ -595,19 +697,20 @@ object SimilarityQueries {
     // coarse quantizer, then drop near-duplicates WITHIN each cluster —
     // the embedding-side analog of MinHash dedup, used to prune
     // semantically-redundant training data. Candidates come only from
-    // the vector's own cell (cell equi-join, never all-pairs), and the
-    // keep rule is deterministic: a vector is dropped iff a LOWER-id
-    // vector in its cell has cosine >= the threshold; its keeper is the
-    // lowest such id. At 100 TB the centroids come from a sampled
-    // k-means (q90) with k ~ n/occupancy, so per-cell candidate volume
-    // stays bounded exactly like q37's adaptive buckets — with the
-    // advantage that cells are DATA-AWARE (semantic clusters), so
-    // near-dups co-locate by construction rather than by hash luck.
-    // Here the 8 fixed unit centroids shared with q39/q82 keep both
-    // engines' assignments bit-identical.
+    // the vector's own refined block (equi-join, never all-pairs), and
+    // the keep rule is deterministic: a vector is dropped iff a
+    // LOWER-id vector in its block has cosine >= the threshold; its
+    // keeper is the lowest such id. SCALE-ADAPTIVE from birth (the q37
+    // lesson, applied at review time rather than one round later): the
+    // 8 data-aware cells are subdivided by pc = ceil(log2(n/512))
+    // adaptive hyperplane bits in [0,8] — identical integer thresholds
+    // in both engines — so block count tracks n/64 and candidate volume
+    // stays linear in the corpus. pc = 0 at gate scale (pure SemDeDup
+    // cells); at 100 TB the cells themselves come from a sampled
+    // k-means (q90) and pc covers whatever the cell count doesn't.
     QueryDef(
       "q106_semantic_dedup",
-      s"SemDeDup-style semantic dedup: IVF-cell assignment (argmin of exact fold L2), within-cell cosine >= $NearDupThreshold pairs only, deterministic lowest-id keeper per dropped vector",
+      s"SemDeDup-style semantic dedup: IVF-cell assignment (argmin of exact fold L2) refined by ceil(log2(n/${NumCells * SemSubOccupancy})) adaptive hyperplane bits, within-block cosine >= $NearDupThreshold pairs only, deterministic lowest-id keeper per dropped vector",
       {
         val dSql = (0 until NumCells).map { k =>
           val arr = centroid(k).map(d => s"$d").mkString(", ")
@@ -617,16 +720,36 @@ object SimilarityQueries {
           val leLater = (k + 1 until NumCells).map(j => s"d$k <= d$j").mkString(" AND ")
           s"WHEN $leLater THEN $k"
         }.mkString("\n    ")
+        val dvcSql = (0 until NumCells).map { k =>
+          val arr = centroid(k).map(d => s"$d").mkString(", ")
+          s"WHEN $k THEN ${sqlDotFold("v", s"[$arr]::DOUBLE[]")}"
+        }.mkString("\n      ")
+        val subSql = (0 until SemMaxSub).map { j =>
+          val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
+          val offs = (0 until NumCells)
+            .map(k => s"WHEN $k THEN ${semPlaneOffset(k, j)}").mkString(" ")
+          s"CASE WHEN $j < pc AND ${sqlDotFold("v", s"[$arr]::DOUBLE[]")} > " +
+            s"(CASE cell $offs END) * dvc THEN ${1 << j} ELSE 0 END"
+        }.mkString(" +\n      ")
         s"""WITH e AS ($sqlVecs),
-           |d AS (SELECT vec_id, v, $dSql FROM e),
-           |cells AS (SELECT vec_id, v, CASE
+           |params AS (SELECT $sqlSemSubBits AS pc
+           |  FROM (SELECT count(*) AS n_corpus FROM e)),
+           |d AS (SELECT vec_id, v, pc, $dSql FROM e CROSS JOIN params),
+           |assigned AS (SELECT vec_id, v, pc, CASE
            |    $argmin
            |    ELSE ${NumCells - 1} END AS cell
            |  FROM d),
+           |centered AS (SELECT vec_id, v, pc, cell, CASE cell
+           |      $dvcSql
+           |    END AS dvc
+           |  FROM assigned),
+           |cells AS (SELECT vec_id, v, cell,
+           |    $subSql AS sub
+           |  FROM centered),
            |pairs AS (SELECT a.vec_id AS a_id, y.vec_id AS b_id,
            |    ${sqlCosine("a.v", "y.v")} AS cosine
            |  FROM cells a JOIN cells y
-           |    ON a.cell = y.cell AND a.vec_id < y.vec_id),
+           |    ON a.cell = y.cell AND a.sub = y.sub AND a.vec_id < y.vec_id),
            |hits AS (SELECT a_id, b_id, cosine FROM pairs
            |  WHERE cosine >= $NearDupThreshold),
            |keep AS (SELECT b_id, min(a_id) AS keeper_id
@@ -635,24 +758,15 @@ object SimilarityQueries {
            |FROM hits h JOIN keep k
            |  ON h.b_id = k.b_id AND h.a_id = k.keeper_id""".stripMargin
       }) { (s, dir) =>
-      val e = vecs(s, dir)
-      val cellDists = (0 until NumCells).map { k =>
-        sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
-      }
-      val d = e.select(col("vec_id") +: col("v") +: cellDists: _*)
-      val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
-        (k, rest) =>
-          val leLater = (k + 1 until NumCells)
-            .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
-          when(leLater, lit(k)).otherwise(rest)
-      }
-      val cells = d.select(col("vec_id"), col("v"), cell.as("cell"))
-      val a = cells.select(col("vec_id").as("a_id"), col("v").as("av"), col("cell"))
+      val cells = semDedupBlocks(s, dir)
+      val a = cells.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("cell"), col("sub"))
       val y = cells.select(col("vec_id").as("b_id"), col("v").as("bv"),
-        col("cell").as("bcell"))
+        col("cell").as("ycell"), col("sub").as("ysub"))
       // hits feed two consumers (the keeper argmin and the join-back for
       // the keeper's cosine): stage once, re-read twice
-      val hits = a.join(y, col("cell") === col("bcell") && col("a_id") < col("b_id"))
+      val hits = a.join(y, col("cell") === col("ycell")
+          && col("sub") === col("ysub") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), cosine(col("av"), col("bv")).as("cosine"))
         .filter(col("cosine") >= NearDupThreshold)
         .localCheckpoint()

@@ -251,12 +251,33 @@ class TechniqueSpec extends SparkSpec {
         "the LSH parameterization is not scale-adaptive")
   }
 
+  test("q106 semantic-dedup blocks refine with corpus size, growth sub-quadratic") {
+    import SimilarityQueries.semSubBits
+    // escalation points shared by the Column/SQL CASE chains:
+    // smallest pc in [0,8] with n <= 8 * 64 * 2^pc
+    assert(semSubBits(500) == 0)   // sf0.01: pure SemDeDup cells
+    assert(semSubBits(512) == 0)
+    assert(semSubBits(513) == 1)
+    assert(semSubBits(2000) == 2)  // sf0.1: 4 sub-buckets per cell
+    assert(semSubBits(20000) == 6) // sf1: 64 sub-buckets per cell
+    assert(semSubBits(10000000) == 8) // clamped
+    // 4x the vectors: quadratic (fixed-block) growth would be ~16x
+    // candidate pairs; pc 0 -> 2 holds it near-linear
+    val small = SimilarityQueries
+      .semDedupCandidates(spark, "/root/testdata/sf0.01").count()
+    val large = SimilarityQueries
+      .semDedupCandidates(spark, "/root/testdata/sf0.1").count()
+    assert(small > 0 && large > 0)
+    assert(large < small * 8,
+      s"semantic-dedup candidates grew ${large.toDouble / small}x at 4x data")
+  }
+
   test("q37 candidate volume stays sub-quadratic at sf1 (10x data)") {
     // the full-scale form of the assertion above, run when the
     // ScaleGen-generated sf1 directory is present (the round driver and
     // COVERAGE.md campaigns create it; plain CI cancels, it does not
     // fake a pass). 10x the vectors: quadratic would be ~100x the
-    // pairs; measured 12.1x (97,985 -> 1,183,492).
+    // pairs; measured 11.2x (76,068 -> 850,345).
     val sf1 = "/tmp/graft_sf1"
     assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
       s"$sf1 not generated in this environment")
