@@ -175,11 +175,16 @@ object DedupQueries {
             .saveAsTable(buildTable)
           s.sql(s"DROP TABLE IF EXISTS $buildTable") // external: files stay
           if (!fs.rename(tmp, loc)) fs.delete(tmp, true) // lost the race
-          // retire superseded versions of this corpus (staleness contract)
+          // retire superseded versions of this corpus (staleness
+          // contract). The suffix after the tag must be EXACTLY a hex
+          // fingerprint (no '_'): a bare startsWith would also match a
+          // NESTED corpus dir whose tag extends ours with '_<more>',
+          // and delete its live index.
+          val prefix = s"band_index_${tag}_"
           fs.listStatus(base).foreach { st =>
             val n = st.getPath.getName
-            if (n.startsWith(s"band_index_${tag}_") && n != tableName &&
-                !n.contains(".build")) {
+            if (n.startsWith(prefix) && n != tableName &&
+                n.substring(prefix.length).matches("[0-9a-f]+")) {
               s.sql(s"DROP TABLE IF EXISTS $IndexDb.$n")
               fs.delete(st.getPath, true)
             }
