@@ -75,6 +75,7 @@ class PlanAuditSpec extends SparkSpec {
     "q91_dup_spans" -> (3, 1),
     "q100_corpus_pipeline" -> (7, 6),
     "q103_domain_mixture" -> (2, 1), // weights broadcast
+    "q37_embedding_neardup" -> (3, 2), // corpus-count broadcast; band self-join
     "q106_semantic_dedup" -> (3, 0)) // post-stage keeper argmin + join-back
 
   test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
