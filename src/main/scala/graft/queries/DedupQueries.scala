@@ -699,6 +699,94 @@ object DedupQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       s.catalog.refreshTable(table) // appends ran on the cloned session
       s.table(table)
+    },
+
+    // ------------------------------------------------------------------
+    // Streaming INDEX MAINTENANCE — the piece q105 leaves implicit: the
+    // standing band index is not just consumed by the stream, it is
+    // GROWN by it. The whole corpus arrives as 3 ordered file drops
+    // against an initially EMPTY bucketed index; every micro-batch is
+    // (1) matched against the index SO FAR, then (2) its own bands are
+    // appended (insertInto bucketizes per the catalog spec, so the
+    // layout invariant survives every append). The emitted set is
+    // exactly the cross-drop near-dup pairs — deterministic because the
+    // drop files carry explicit strictly-increasing mtimes, which is
+    // the order FileStreamSource processes them in — so the DuckDB
+    // oracle restates it as a plain drop-index inequality. Within-drop
+    // pairs are deliberately absent (a batch matches before indexing
+    // itself); finding those is the all-pairs q24's job. At 100 TB this
+    // is the bootstrap AND the steady state of a continuously-
+    // deduplicating ingest: the same two steps, forever.
+    QueryDef(
+      "q107_stream_index_bootstrap",
+      s"STREAMING index maintenance: corpus streamed in 3 ordered drops into an initially EMPTY bucketed band index, each micro-batch matched against the index so far THEN appended to it (insertInto keeps the bucket layout) — emits every cross-drop exact-Jaccard >= $JaccardThreshold pair",
+      s"""WITH $sqlSigBandsCtes,
+         |cand AS (SELECT DISTINCT d.doc_id AS dd, c.doc_id AS cd
+         |  FROM bands d JOIN bands c ON d.band_key = c.band_key
+         |  WHERE d.doc_id % 3 > c.doc_id % 3),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT dd, cd, count(*) AS c
+         |  FROM cand JOIN sh x ON x.doc_id = dd
+         |            JOIN sh y ON y.doc_id = cd AND y.sg = x.sg
+         |  GROUP BY dd, cd)
+         |SELECT dd AS doc_id, cd AS dup_of,
+         |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+         |FROM common JOIN cnt xa ON xa.doc_id = dd
+         |            JOIN cnt yb ON yb.doc_id = cd
+         |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val docs = Tables.documents(s, dir)
+      // the whole corpus as 3 drops with EXPLICIT strictly-increasing
+      // mtimes: FileStreamSource orders by (mtime, path), and q107's
+      // semantics — unlike q105's — depend on the processing order
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_q107_src")
+      (0 until 3).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_q107_drop$i")
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(s"drop_$i.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+      val idxTable = JvmScratch.resetTable(s, "stream_band_index")
+      val outTable = JvmScratch.resetTable(s, "stream_bootstrap_out")
+      // initially EMPTY index with the band schema and the bucket layout
+      sigBands(shingle(docs.limit(0)))
+        .write.format("parquet")
+        .bucketBy(16, "band_key").sortBy("band_key")
+        .saveAsTable(idxTable)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q107_ckpt").toString
+      val schema = s.read.parquet(srcDir.toString).schema
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val ss = batch.sparkSession
+            ss.catalog.refreshTable(idxTable)
+            val batchSh = shingle(batch).localCheckpoint()
+            // match FIRST (against everything indexed so far)...
+            matchesAgainstIndex(ss, dir, batchSh, ss.table(idxTable))
+              .select(col("delta_id").as("doc_id"),
+                col("corpus_id").as("dup_of"), col("jaccard"))
+              .write.format("parquet").mode("append").saveAsTable(outTable)
+            // ...THEN index this batch (bucketized per the catalog spec)
+            sigBands(batchSh).write.insertInto(idxTable)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      s.catalog.refreshTable(outTable)
+      s.table(outTable)
     })
 
   /** The q93/q105 shared pipeline: match `deltaDocs` (an arriving batch,
@@ -715,12 +803,20 @@ object DedupQueries {
     * stage re-reads corpus text at corpus granularity (at 100 TB, with
     * documents bucketed on doc_id, the semi-join also prunes the scan). */
   private def incrementalMatches(s: SparkSession, dir: String,
-      deltaDocs: DataFrame): DataFrame = {
+      deltaDocs: DataFrame): DataFrame =
+    matchesAgainstIndex(s, dir, shingle(deltaDocs).localCheckpoint(),
+      bandIndexTable(s, dir))
+
+  /** The index-probe half of [[incrementalMatches]], parameterized over
+    * the index relation so q107 can probe (and then grow) its own
+    * stream-maintained copy: `deltaSh` is the arriving batch's staged
+    * shingle set, `corpusBands` whatever standing band index the caller
+    * maintains. */
+  private def matchesAgainstIndex(s: SparkSession, dir: String,
+      deltaSh: DataFrame, corpusBands: DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val deltaSh = shingle(deltaDocs).localCheckpoint()
     val deltaBands = sigBands(deltaSh)
       .select(col("doc_id").as("dd"), col("band_key"))
-    val corpusBands = bandIndexTable(s, dir)
     val cand = corpusBands.join(broadcast(deltaBands), Seq("band_key"))
       .select(col("dd"), col("doc_id").as("cd"))
       .distinct()

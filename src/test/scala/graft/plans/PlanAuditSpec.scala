@@ -189,6 +189,21 @@ class PlanAuditSpec extends SparkSpec {
         "the HAVING cut is running after the star join")
   }
 
+  test("q107's stream-grown index keeps the bucket layout through appends") {
+    // insertInto bucketizes each micro-batch append per the catalog
+    // spec; if that ever regressed (e.g. a plain parquet append), the
+    // mixed layout would force a shuffle under any bucket-keyed join
+    SparkEntry.queries("q107_stream_index_bootstrap")(spark, sfDir).collect()
+    val idx = spark.table(
+      graft.queries.JvmScratch.tableName("stream_band_index"))
+    assert(idx.count() > 0, "stream-grown index is empty after the drain")
+    val joined = idx.hint("merge").join(idx, Seq("band_key"))
+    val smj = flatten(finalPlan(joined)).collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "merge-hinted self-join did not plan as sort-merge")
+    assert(!flatten(smj.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "Exchange under the stream-grown index self-join — an append lost the bucket layout")
+  }
+
   test("q41 bucketed join plans with zero Exchange on either side") {
     val plan = finalPlan(SparkEntry.queries("q41_bucketed_join")(spark, sfDir))
     val smj = flatten(plan).collectFirst { case j: SortMergeJoinExec => j }
