@@ -65,9 +65,22 @@ object Bench {
     // locally-checkpointed staging RDD logs a `MapPartitionsRDD ... was
     // locally checkpointed` WARN — wall-to-wall in the r08 tail. The
     // checkpoint semantics are intentional (single-JVM staging); silence
-    // the RDD package's advisory WARNs for the bench process only.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // only the EMITTING loggers (Spark's Logging trait names the logger
+    // after the concrete RDD class, so the advisory comes from
+    // MapPartitionsRDD instances), not the whole rdd package — block-
+    // manager capacity/recomputation WARNs from other RDD classes must
+    // stay visible (round-9 advice).
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.spark.rdd.LocalRDDCheckpointData",
+        // round 9's tail was dominated by the per-stream-start AQE
+        // advisories ("Disabling AQE since AQE is not supported in
+        // stateful workloads" / "spark.sql.adaptive.enabled is not
+        // supported in streaming") from the q34/q36/q101/q105/q107
+        // drains — intentional behavior, same budget-risk class
+        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream")
+      .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
+        _, org.apache.logging.log4j.Level.ERROR))
 
     // optional comma-separated filter for local iteration on a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
