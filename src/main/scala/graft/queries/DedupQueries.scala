@@ -112,14 +112,28 @@ object DedupQueries {
   private def corpusFingerprint(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-      else Seq(fs.getFileStatus(p))
-    val acc = parts.sortBy(_.getPath.getName).foldLeft(1125899906842597L) {
+    val parts: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.getFileStatus(p).isDirectory) {
+        // LEAF listing, recursive: a partitioned/nested corpus layout
+        // nests its part files under partition dirs — a top-level-only
+        // listing saw none of them and folded to the constant seed,
+        // giving every regeneration the SAME fingerprint (round-9
+        // advice). Keyed by path RELATIVE to the table root, since
+        // part-file basenames repeat across partition dirs.
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+        while (it.hasNext) buf += it.next()
+        buf.toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+      } else Seq(fs.getFileStatus(p))
+    // an unrecognized layout must fail loudly, not degrade to a constant
+    // fingerprint that silently re-enables the stale-join failure mode
+    // this fingerprint exists to prevent
+    require(parts.nonEmpty, s"corpusFingerprint: no .parquet leaf files under $p")
+    def rel(f: org.apache.hadoop.fs.FileStatus): String =
+      f.getPath.toString.drop(p.toString.length)
+    val acc = parts.sortBy(rel).foldLeft(1125899906842597L) {
       (h, f) =>
-        val x = f.getPath.getName.hashCode.toLong ^ f.getLen ^
-          f.getModificationTime
+        val x = rel(f).hashCode.toLong ^ f.getLen ^ f.getModificationTime
         (h * 31 + x) & 0xFFFFFFFFFFFFL
     }
     java.lang.Long.toHexString(acc)
@@ -140,10 +154,15 @@ object DedupQueries {
     * existing files and never re-minhashes (BandIndexSpec asserts the
     * part files are byte-for-byte untouched by a re-attach, and that
     * the read is a bucketed scan). Build-and-publish is atomic (write
-    * to a pid-suffixed tmp dir, rename into place), so concurrent JVMs
-    * sharing a warehouse race benignly: one rename wins, the loser
-    * deletes its copy and reads the winner's. Stale fingerprints of the
-    * same corpus are retired when a new version publishes. Built over
+    * to a pid-suffixed tmp dir, FileContext.rename(Rename.NONE) into
+    * place — a primitive that THROWS when the destination exists, since
+    * FileSystem.rename would nest the loser's build dir inside the
+    * winner's live table), so concurrent JVMs sharing a warehouse race
+    * benignly: one rename wins, the loser deletes its copy and reads
+    * the winner's. Stale fingerprints of the same corpus are retired
+    * with a one-regeneration grace window (parked as `.retired`,
+    * purged by the NEXT build) so a concurrent session mid-scan of the
+    * old version is not yanked mid-query. Built over
     * the already-indexed docs (doc_id % 10 != 7 — everything but the
     * q93 stand-in arriving batch); per-batch cost is the delta's
     * minhash plus the index probe, never a corpus re-minhash. The
@@ -174,19 +193,62 @@ object DedupQueries {
             .option("path", tmp.toString)
             .saveAsTable(buildTable)
           s.sql(s"DROP TABLE IF EXISTS $buildTable") // external: files stay
-          if (!fs.rename(tmp, loc)) fs.delete(tmp, true) // lost the race
-          // retire superseded versions of this corpus (staleness
-          // contract). The suffix after the tag must be EXACTLY a hex
-          // fingerprint (no '_'): a bare startsWith would also match a
-          // NESTED corpus dir whose tag extends ours with '_<more>',
-          // and delete its live index.
+          // Publish via a primitive that FAILS when the destination
+          // exists: FileSystem.rename (HDFS and RawLocalFileSystem both)
+          // moves src INTO an existing destination directory as a child
+          // and returns true — a losing JVM would nest its build dir
+          // inside the winner's live table, double-counting every band
+          // row (round-9 advice). FileContext.rename with the default
+          // Rename.NONE throws instead; the catch IS the lost-race
+          // branch.
+          val lostRace =
+            try {
+              org.apache.hadoop.fs.FileContext
+                .getFileContext(loc.toUri, s.sparkContext.hadoopConfiguration)
+                .rename(tmp, loc)
+              false
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+              case _: org.apache.hadoop.fs.ParentNotDirectoryException => true
+              case e: java.io.IOException =>
+                // a racing winner can land between our exists-check and
+                // the rename on FS flavors that report it generically
+                if (fs.exists(loc) && fs.exists(tmp)) true else throw e
+            }
+          if (lostRace) fs.delete(tmp, true)
+          // belt-and-braces: if any historical publish DID nest a build
+          // dir under the live table (pre-fix artifact, or a non-POSIX
+          // FS), excise it — a '*.build*' child duplicates every band
+          // row under the table root
+          fs.listStatus(loc).foreach { st =>
+            if (st.getPath.getName.contains(".build")) fs.delete(st.getPath, true)
+          }
+          // Staleness contract, in two phases with a GRACE WINDOW: the
+          // index is advertised as a durable cross-session artifact, so
+          // deleting a superseded version the instant a new one
+          // publishes would yank files from under another live JVM
+          // mid-scan (round-9 advice). Instead (1) purge `.retired`
+          // dirs parked by an EARLIER build — their grace window, at
+          // least one full corpus-regeneration cycle, has elapsed —
+          // then (2) park the versions this build supersedes as
+          // `<name>.retired`. A concurrent session holding the old
+          // version keeps readable files until the corpus regenerates
+          // AGAIN; sessions must not span two regenerations.
+          // The suffix after the tag must be EXACTLY a hex fingerprint
+          // (no '_'): a bare startsWith would also match a NESTED
+          // corpus dir whose tag extends ours with '_<more>', and
+          // retire its live index.
           val prefix = s"band_index_${tag}_"
           fs.listStatus(base).foreach { st =>
             val n = st.getPath.getName
-            if (n.startsWith(prefix) && n != tableName &&
-                n.substring(prefix.length).matches("[0-9a-f]+")) {
-              s.sql(s"DROP TABLE IF EXISTS $IndexDb.$n")
+            val suffix = if (n.startsWith(prefix)) n.substring(prefix.length) else ""
+            if (suffix.matches("[0-9a-f]+\\.retired"))
               fs.delete(st.getPath, true)
+            else if (n != tableName && suffix.matches("[0-9a-f]+")) {
+              s.sql(s"DROP TABLE IF EXISTS $IndexDb.$n")
+              val parked = new org.apache.hadoop.fs.Path(base, s"$n.retired")
+              if (fs.exists(parked)) fs.delete(parked, true)
+              fs.rename(st.getPath, parked)
             }
           }
         }

@@ -34,18 +34,29 @@ class BandIndexSpec extends SparkSpec {
   private val fsConf = () =>
     spark.sparkContext.hadoopConfiguration
 
-  /** (name -> (length, mtime)) of every parquet part under the single
-    * published index version for `tag`. */
-  private def partFiles(tag: String): Map[String, (Long, Long)] = {
+  /** Version dirs under the warehouse for `tag`: (live, retired) —
+    * live versions have an exact-hex fingerprint suffix; superseded
+    * ones are parked as `<name>.retired` for one grace cycle. */
+  private def versionDirs(tag: String): (Seq[Path], Seq[Path]) = {
     val base = new Path(spark.conf.get("spark.sql.warehouse.dir"),
       "graft_band_index")
     val fs = base.getFileSystem(fsConf())
-    val versions = fs.listStatus(base)
-      .filter(_.getPath.getName.startsWith(s"band_index_${tag}_"))
-    assert(versions.length == 1,
-      s"expected exactly one published index version for $tag, " +
-        s"got ${versions.map(_.getPath.getName).mkString(", ")}")
-    fs.listStatus(versions.head.getPath)
+    val prefix = s"band_index_${tag}_"
+    val all = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).toSeq
+    (all.filter(_.getName.substring(prefix.length).matches("[0-9a-f]+")),
+      all.filter(_.getName.endsWith(".retired")))
+  }
+
+  /** (name -> (length, mtime)) of every parquet part under the single
+    * LIVE published index version for `tag`. */
+  private def partFiles(tag: String): Map[String, (Long, Long)] = {
+    val (live, _) = versionDirs(tag)
+    assert(live.length == 1,
+      s"expected exactly one live index version for $tag, " +
+        s"got ${live.map(_.getName).mkString(", ")}")
+    val fs = live.head.getFileSystem(fsConf())
+    fs.listStatus(live.head)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
       .toMap
@@ -97,8 +108,26 @@ class BandIndexSpec extends SparkSpec {
     val v2 = DedupQueries.bandIndexTable(spark, dir).count()
     assert(v2 < v1, s"rebuild did not pick up the smaller corpus ($v1 -> $v2)")
 
-    // exactly one (the fresh) version remains published for this corpus
+    // exactly one LIVE (the fresh) version for this corpus; the
+    // superseded one is PARKED as .retired — a grace window, so a
+    // concurrent session mid-scan of the old version is not yanked
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     assert(partFiles(tag).nonEmpty)
+    val (_, retired1) = versionDirs(tag)
+    assert(retired1.length == 1,
+      s"superseded version not parked as .retired: ${retired1.map(_.getName)}")
+
+    // a SECOND regeneration's build purges the earlier .retired dir
+    // (its grace cycle elapsed) and parks the second version in turn
+    docs.filter(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v3 = DedupQueries.bandIndexTable(spark, dir).count()
+    assert(v3 < v2, s"second rebuild did not pick up the smaller corpus ($v2 -> $v3)")
+    val (live2, retired2) = versionDirs(tag)
+    assert(live2.length == 1)
+    assert(retired2.map(_.getName) != retired1.map(_.getName),
+      "first .retired dir survived the next build's purge sweep")
+    assert(retired2.length == 1,
+      s"expected exactly the second superseded version parked, got ${retired2.map(_.getName)}")
   }
 }
