@@ -332,6 +332,27 @@ object DedupQueries {
        |            JOIN cnt yb ON yb.doc_id = db
        |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
 
+  /** The incremental-dedup oracle (q93's), shared verbatim by q93, the
+    * streaming q105 and the large-delta q108: the contract is ONE
+    * result — delta (doc_id%10==7) vs indexed corpus pairs at the
+    * Jaccard threshold — however the probe is executed (broadcast
+    * plan, micro-batched stream, or bucket-join plan). */
+  private val sqlIncrementalDedupOracle: String =
+    s"""WITH $sqlSigBandsCtes,
+       |cand AS (SELECT DISTINCT d.doc_id AS dd, c.doc_id AS cd
+       |  FROM bands d JOIN bands c ON d.band_key = c.band_key
+       |  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT dd, cd, count(*) AS c
+       |  FROM cand JOIN sh x ON x.doc_id = dd
+       |            JOIN sh y ON y.doc_id = cd AND y.sg = x.sg
+       |  GROUP BY dd, cd)
+       |SELECT dd AS delta_id, cd AS corpus_id,
+       |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+       |FROM common JOIN cnt xa ON xa.doc_id = dd
+       |            JOIN cnt yb ON yb.doc_id = cd
+       |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
+
   /** Connected components over an undirected pair list via min-label
     * propagation with pointer doubling: each round takes the min over
     * each vertex's neighbors' labels (one equi-join + groupBy), then
@@ -677,22 +698,31 @@ object DedupQueries {
     QueryDef(
       "q93_incremental_dedup",
       s"incremental MinHash dedup: arriving batch (doc_id%10==7) minhashed fresh and LSH-joined (broadcast) against the PERSISTED bucketed corpus band-index table, exact-Jaccard >= $JaccardThreshold verify on candidates only — per-batch cost scales with the delta",
-      s"""WITH $sqlSigBandsCtes,
-         |cand AS (SELECT DISTINCT d.doc_id AS dd, c.doc_id AS cd
-         |  FROM bands d JOIN bands c ON d.band_key = c.band_key
-         |  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |common AS (SELECT dd, cd, count(*) AS c
-         |  FROM cand JOIN sh x ON x.doc_id = dd
-         |            JOIN sh y ON y.doc_id = cd AND y.sg = x.sg
-         |  GROUP BY dd, cd)
-         |SELECT dd AS delta_id, cd AS corpus_id,
-         |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
-         |FROM common JOIN cnt xa ON xa.doc_id = dd
-         |            JOIN cnt yb ON yb.doc_id = cd
-         |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+      sqlIncrementalDedupOracle) { (s, dir) =>
       incrementalMatches(s, dir,
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))
+    },
+
+    // ------------------------------------------------------------------
+    // The SAME incremental contract through the LARGE-delta path: past
+    // the size gate (DeltaBroadcastMaxDocs distinct docs) the delta's
+    // bands are beyond broadcast range — a day's crawl at 100 TB — so
+    // the probe instead shuffles the delta ONCE into the index's own
+    // HashPartitioning(band_key, 16) layout and merge-joins the
+    // bucketed scan: still ZERO index-side Exchange (the bucket layout
+    // IS the corpus-side shuffle, paid once at index-build time), and
+    // no broadcast of anything delta-sized anywhere (the verify joins
+    // drop their hints too — AQE decides by runtime size). The path is
+    // pinned here regardless of the stand-in delta's actual size so the
+    // plan is auditable at gate scale (PlanAuditSpec) and the result
+    // provably equals q93's: the oracle below is q93's, verbatim.
+    QueryDef(
+      "q108_incremental_dedup_bucketed",
+      s"LARGE-delta incremental dedup: the q93 contract through the size-gated non-broadcast path — delta bands shuffled once into the index's 16-bucket band_key layout, merge-joined with zero index-side Exchange and no delta broadcast; result == q93 exactly",
+      sqlIncrementalDedupOracle) { (s, dir) =>
+      incrementalMatches(s, dir,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+        forceLarge = Some(true))
     },
 
     // ------------------------------------------------------------------
@@ -710,20 +740,7 @@ object DedupQueries {
     QueryDef(
       "q105_stream_incremental_dedup",
       s"STREAMING incremental dedup: arriving batch lands as 3 parquet file drops, one checkpointed AvailableNow drain (maxFilesPerTrigger=1 -> 3 micro-batches), each micro-batch LSH-probed (broadcast) against the DURABLE band-index table + exact-Jaccard >= $JaccardThreshold verified; final table == batch q93 result regardless of micro-batching",
-      s"""WITH $sqlSigBandsCtes,
-         |cand AS (SELECT DISTINCT d.doc_id AS dd, c.doc_id AS cd
-         |  FROM bands d JOIN bands c ON d.band_key = c.band_key
-         |  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |common AS (SELECT dd, cd, count(*) AS c
-         |  FROM cand JOIN sh x ON x.doc_id = dd
-         |            JOIN sh y ON y.doc_id = cd AND y.sg = x.sg
-         |  GROUP BY dd, cd)
-         |SELECT dd AS delta_id, cd AS corpus_id,
-         |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
-         |FROM common JOIN cnt xa ON xa.doc_id = dd
-         |            JOIN cnt yb ON yb.doc_id = cd
-         |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
+      sqlIncrementalDedupOracle) { (s, dir) =>
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       // force-build the index on THIS session before the stream starts
       // (micro-batches run on a cloned session sharing the catalog)
@@ -851,45 +868,75 @@ object DedupQueries {
       s.table(outTable)
     })
 
-  /** The q93/q105 shared pipeline: match `deltaDocs` (an arriving batch,
-    * any size) against the persisted corpus band index.
+  /** Above this many distinct delta documents the incremental probe
+    * stops broadcasting the delta's bands and shuffles them once into
+    * the index's own 16-bucket band_key layout instead (the bucket
+    * join). 64k docs x 6 bands x ~60 B is ~25 MB of broadcast — past
+    * the point where per-executor copies stop being free. At true
+    * 100-TB scale a day's-crawl delta is far beyond this and takes the
+    * bucket-join path; the per-micro-batch streaming deltas sit far
+    * below it and keep the broadcast plan. */
+  private val DeltaBroadcastMaxDocs =
+    sys.env.getOrElse("SPARK_GRAFT_DELTA_BROADCAST_MAX_DOCS", "65536").toLong
+
+  /** The q93/q105/q108 shared pipeline: match `deltaDocs` (an arriving
+    * batch, any size) against the persisted corpus band index.
     *
     * The delta is shingled + minhashed fresh (delta-sized); the
-    * candidate join is delta-bands (broadcast) against the bucketed
-    * index TABLE, so per-batch cost scales with the delta and the
-    * matched buckets, never with corpus^2 or a corpus re-minhash
-    * (PlanAuditSpec asserts zero corpus-side Exchange on q93's plan).
-    * Exact-Jaccard verification touches only candidate pairs, and even
-    * the shingle pass it needs is candidate-pruned: a broadcast
-    * semi-join restricts corpus tokenization to the matched docs, so NO
-    * stage re-reads corpus text at corpus granularity (at 100 TB, with
-    * documents bucketed on doc_id, the semi-join also prunes the scan). */
+    * candidate join is delta-bands against the bucketed index TABLE, so
+    * per-batch cost scales with the delta and the matched buckets,
+    * never with corpus^2 or a corpus re-minhash (PlanAuditSpec asserts
+    * zero corpus-side Exchange on q93's plan). Exact-Jaccard
+    * verification touches only candidate pairs, and even the shingle
+    * pass it needs is candidate-pruned: a semi-join restricts corpus
+    * tokenization to the matched docs, so NO stage re-reads corpus
+    * text at corpus granularity (at 100 TB, with documents bucketed on
+    * doc_id, the semi-join also prunes the scan). */
   private def incrementalMatches(s: SparkSession, dir: String,
-      deltaDocs: DataFrame): DataFrame =
+      deltaDocs: DataFrame, forceLarge: Option[Boolean] = None): DataFrame =
     matchesAgainstIndex(s, dir, shingle(deltaDocs).localCheckpoint(),
-      bandIndexTable(s, dir))
+      bandIndexTable(s, dir), forceLarge)
 
   /** The index-probe half of [[incrementalMatches]], parameterized over
     * the index relation so q107 can probe (and then grow) its own
     * stream-maintained copy: `deltaSh` is the arriving batch's staged
     * shingle set, `corpusBands` whatever standing band index the caller
-    * maintains. */
+    * maintains.
+    *
+    * SIZE-GATED (round-9 verdict #1): while the delta is genuinely
+    * delta-sized (< [[DeltaBroadcastMaxDocs]] distinct docs — the
+    * deltaSh stage is already materialized, so the gate count is one
+    * cheap job), its bands and the candidate set broadcast. A LARGE
+    * delta instead pays ONE shuffle into the index's own
+    * HashPartitioning(band_key, 16) layout and merge-joins the bucketed
+    * scan with ZERO index-side Exchange (the q41 bucket property —
+    * EnsureRequirements shuffles only the non-bucketed side), and the
+    * downstream verify joins drop their broadcast hints too, letting
+    * AQE pick by runtime size. `forceLarge` pins the path for q108 and
+    * the plan audit. */
   private def matchesAgainstIndex(s: SparkSession, dir: String,
-      deltaSh: DataFrame, corpusBands: DataFrame): DataFrame = {
+      deltaSh: DataFrame, corpusBands: DataFrame,
+      forceLarge: Option[Boolean] = None): DataFrame = {
+    val large = forceLarge.getOrElse(
+      deltaSh.select("doc_id").distinct().count() > DeltaBroadcastMaxDocs)
     val docs = Tables.documents(s, dir)
     val deltaBands = sigBands(deltaSh)
       .select(col("doc_id").as("dd"), col("band_key"))
-    val cand = corpusBands.join(broadcast(deltaBands), Seq("band_key"))
+    val cand = (if (large)
+        corpusBands.hint("merge").join(deltaBands, Seq("band_key"))
+      else
+        corpusBands.join(broadcast(deltaBands), Seq("band_key")))
       .select(col("dd"), col("doc_id").as("cd"))
       .distinct()
     val candIds = cand.select(col("cd").as("doc_id")).distinct()
-    val candSh = shingle(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    val candSh = shingle(docs.join(
+        if (large) candIds else broadcast(candIds), Seq("doc_id"), "left_semi"))
       .localCheckpoint()
     val cnt = deltaSh.unionByName(candSh)
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = deltaSh.select(col("doc_id").as("xd"), col("sg"))
     val y = candSh.select(col("doc_id").as("yd"), col("sg").as("ysg"))
-    val common = broadcast(cand)
+    val common = (if (large) cand else broadcast(cand))
       .join(x, col("xd") === col("dd"))
       .join(y, col("yd") === col("cd") && col("ysg") === col("sg"))
       .groupBy("dd", "cd").agg(count(lit(1)).as("c"))

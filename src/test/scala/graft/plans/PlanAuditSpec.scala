@@ -123,6 +123,42 @@ class PlanAuditSpec extends SparkSpec {
       "corpus-side Exchange between the band-index scan and the candidate join")
   }
 
+  test("q108 large-delta probe: merge join with zero index-side Exchange and no delta broadcast") {
+    // the size-gated non-broadcast path (round-9 verdict #1): past the
+    // delta-size gate the probe must shuffle the DELTA into the index's
+    // bucket layout, never broadcast it, and never shuffle the index
+    val plan = finalPlan(
+      SparkEntry.queries("q108_incremental_dedup_bucketed")(spark, sfDir))
+    def isBandScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("band_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("band_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isBandScan),
+      "q108's plan does not read the persisted band-index table")
+    val path = pathTo(plan, isBandScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the band-index scan")
+    val join = path(joinIdx)
+    assert(join.isInstanceOf[SortMergeJoinExec],
+      s"large-delta candidate join is ${join.getClass.getSimpleName}, not sort-merge")
+    // index side of the join: no Exchange of any kind — the bucket
+    // layout is the corpus-side shuffle, paid once at index-build time
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the band-index scan and the candidate join")
+    // and nothing under the candidate join is broadcast: the delta side
+    // arrives via its one shuffle into the bucket layout, not a
+    // BroadcastExchange (which cannot scale past the gate)
+    assert(!flatten(join).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "broadcast under the large-delta candidate join")
+  }
+
   test("band-index self-join is co-located by the bucket layout: no shuffle under the join") {
     // the q41 property, proven on the persisted stage table itself: a
     // non-broadcast (merge-hinted) equi-join on a superset of the bucket
