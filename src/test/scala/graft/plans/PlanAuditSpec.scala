@@ -233,6 +233,12 @@ class PlanAuditSpec extends SparkSpec {
     val idx = spark.table(
       graft.queries.JvmScratch.tableName("stream_band_index"))
     assert(idx.count() > 0, "stream-grown index is empty after the drain")
+    // the declared query's post-drain compaction held: no bucket is
+    // left fragmented past the maintenance threshold
+    val counts = DedupQueries.bucketFileCounts(spark,
+      graft.queries.JvmScratch.tableName("stream_band_index"))
+    assert(counts.nonEmpty && counts.values.forall(_ <= 2),
+      s"stream-grown index left fragmented after the declared drain: $counts")
     val joined = idx.hint("merge").join(idx, Seq("band_key"))
     val smj = flatten(finalPlan(joined)).collectFirst { case j: SortMergeJoinExec => j }
     assert(smj.nonEmpty, "merge-hinted self-join did not plan as sort-merge")
