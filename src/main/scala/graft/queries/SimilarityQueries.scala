@@ -224,6 +224,82 @@ object SimilarityQueries {
       .select("a_id", "b_id")
   }
 
+  // ---- data-aware SemDeDup (q109): k-means cells + centered sub-planes ----
+
+  /** (vec_id, v, cell, sub) with DATA-AWARE cells: the coarse quantizer is
+    * one distributed Lloyd iteration (q90's training shape — quantized
+    * exact distances, per-cluster mean re-estimation), and each k-means
+    * cell is subdivided by the same adaptive CENTERED sub-planes as q106.
+    * This closes q106's Scaladoc promise that "at 100 TB the cells come
+    * from sampled k-means": here the centroids are learned from the
+    * corpus itself rather than fixed Hadamard stand-ins.
+    *
+    * Plan shape (deliberately BETTER than q90's crossJoin+window):
+    * the k seed vectors and the k learned centroids are each pivoted into
+    * a ONE-ROW broadcast "codebook", so both assignment passes are plain
+    * per-row CASE argmins over k distance columns — no corpus×k explode,
+    * no window shuffle, no corpus self-join. Total cost: two corpus scans
+    * plus two k-row shuffles (the mean re-estimation and the pivot), the
+    * I/O-bound floor for Lloyd at 100 TB. Centroid geometry (‖m‖²,
+    * dot(m, h_j)) rides in via an 8-row broadcast join on the cell id.
+    *
+    * Cross-engine exactness: components are quantized floor(x·1024) as in
+    * q90 (power-of-two scale, exact product, bit-identical floor), so
+    * every seed distance, component sum, and dot(q, ·) fold is INTEGER-
+    * valued-double arithmetic — exact in any order; each mean is a single
+    * double division and all downstream folds/products are sequential
+    * IEEE ops on identical operands. The centered bit generalizes q106's
+    * unit-centroid form to arbitrary-norm means without a division:
+    * dot(q, h − (m·h/‖m‖²)m) > 0  ⟺  dot(q,h)·‖m‖² > (m·h)·(q·m).
+    *
+    * Non-empty-cell invariant (argmin CASE is null-hostile): each seed's
+    * own vector is at distance 0 to itself and ties break to the lower
+    * cid, so every cell keeps ≥1 member and every mean is defined. */
+  private[graft] def kmeansSemBlocks(s: SparkSession, dir: String): DataFrame = {
+    val k = NumCells
+    val e = vecs(s, dir)
+    val stats = e.agg(count(lit(1)).as("n_corpus"))
+    val vq = e.select(col("vec_id"), col("v"),
+      transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
+    // exactly one non-null per aggregate, so max() is a deterministic pivot
+    def pivotRow(src: DataFrame, key: String, value: String, out: String) =
+      src.agg(max(when(col(key) === 0, col(value))).as(s"${out}0"),
+        (1 until k).map(c => max(when(col(key) === c, col(value))).as(s"$out$c")): _*)
+    def argmin: Column = (0 until k - 1).foldRight(lit(k - 1): Column) { (c, rest) =>
+      val leLater = (c + 1 until k).map(j => col(s"d$c") <= col(s"d$j")).reduce(_ && _)
+      when(leLater, lit(c)).otherwise(rest)
+    }
+    val sb = pivotRow(vq.filter(col("vec_id") < k), "vec_id", "q", "sv")
+    val asg1 = vq.crossJoin(broadcast(sb))
+      .select(col("vec_id") +: col("q") +:
+        (0 until k).map(c => sqDistFold(col("q"), col(s"sv$c")).as(s"d$c")): _*)
+      .select(col("vec_id"), col("q"), argmin.as("cid"))
+    val sums = (0 until Dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
+    val cent = asg1.groupBy(col("cid")).agg(count(lit(1)).as("c"), sums: _*)
+    val mv = cent.select(col("cid"),
+      array((0 until Dim).map(i => col(s"s$i") / col("c")): _*).as("m"))
+    val cb = pivotRow(mv, "cid", "m", "m")
+    val asg2 = vq.crossJoin(broadcast(cb))
+      .select(col("vec_id") +: col("v") +: col("q") +:
+        (0 until k).map(c => sqDistFold(col("q"), col(s"m$c")).as(s"d$c")): _*)
+      .select(col("vec_id"), col("v"), col("q"), argmin.as("cell"))
+    val geo = mv.select(col("cid") +: col("m") +:
+      dotFold(col("m"), col("m")).as("mm") +:
+      (0 until SemMaxSub).map(j => dotFold(col("m"),
+        array(adaptivePlane(2, j).map(lit): _*)).as(s"mh$j")): _*)
+    val sub = (0 until SemMaxSub).map { j =>
+      when(lit(j) < col("pc") &&
+          dotFold(col("q"), array(adaptivePlane(2, j).map(lit): _*)) * col("mm")
+            > col(s"mh$j") * col("qm"),
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    asg2.join(broadcast(geo), col("cell") === col("cid"))
+      .crossJoin(broadcast(stats))
+      .withColumn("pc", semSubBitsCol(col("n_corpus")))
+      .withColumn("qm", dotFold(col("q"), col("m")))
+      .select(col("vec_id"), col("v"), col("cell"), sub.as("sub"))
+  }
+
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -765,6 +841,95 @@ object SimilarityQueries {
         col("cell").as("ycell"), col("sub").as("ysub"))
       // hits feed two consumers (the keeper argmin and the join-back for
       // the keeper's cosine): stage once, re-read twice
+      val hits = a.join(y, col("cell") === col("ycell")
+          && col("sub") === col("ysub") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), cosine(col("av"), col("bv")).as("cosine"))
+        .filter(col("cosine") >= NearDupThreshold)
+        .localCheckpoint()
+      val keep = hits.groupBy("b_id").agg(min(col("a_id")).as("keeper_id"))
+      hits.join(keep, Seq("b_id"))
+        .filter(col("a_id") === col("keeper_id"))
+        .select(col("b_id").as("vec_id"), col("keeper_id"), col("cosine"))
+    },
+
+    // ------------------------------------------------------------------
+    // q106 with DATA-AWARE cells (the round-9 verdict's ask): the coarse
+    // quantizer is trained from the corpus by one distributed Lloyd
+    // iteration (q90's arithmetic exactly — quantized components, exact
+    // fold distances, per-cluster means), then each learned cell is
+    // refined by the same adaptive centered sub-planes and the same
+    // within-block cosine/lowest-id-keeper dedup tail as q106. See
+    // [[kmeansSemBlocks]] for the plan shape (one-row broadcast
+    // codebooks, no corpus×k window, no corpus self-join) and the
+    // exactness argument. The oracle below restates the identical
+    // centroid arithmetic CTE-for-CTE.
+    QueryDef(
+      "q109_semantic_dedup_kmeans",
+      s"SemDeDup with a LEARNED coarse quantizer: one Lloyd iteration ($NumCells data seeds, quantized exact distances, mean re-estimation) trains the cells, adaptive centered hyperplane bits refine them, within-block cosine >= $NearDupThreshold pairs, deterministic lowest-id keeper",
+      {
+        val k = NumCells
+        val svCols = (0 until k)
+          .map(c => s"(SELECT q FROM vq WHERE vec_id = $c) AS sv$c")
+          .mkString(",\n    ")
+        val argmin = (0 until k - 1).map { c =>
+          val leLater = (c + 1 until k).map(j => s"d$c <= d$j").mkString(" AND ")
+          s"WHEN $leLater THEN $c"
+        }.mkString("\n    ")
+        val d1 = (0 until k)
+          .map(c => s"${sqlSqDistFold("q", s"sv$c")} AS d$c").mkString(",\n      ")
+        val sums = (0 until Dim).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
+        val means = (0 until Dim).map(i => s"s$i / c").mkString(", ")
+        val mCols = (0 until k)
+          .map(c => s"(SELECT m FROM mv WHERE cid = $c) AS m$c")
+          .mkString(",\n    ")
+        val d2 = (0 until k)
+          .map(c => s"${sqlSqDistFold("q", s"m$c")} AS d$c").mkString(",\n      ")
+        val mhCols = (0 until SemMaxSub).map { j =>
+          val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
+          s"${sqlDotFold("m", s"[$arr]::DOUBLE[]")} AS mh$j"
+        }.mkString(",\n    ")
+        val subSql = (0 until SemMaxSub).map { j =>
+          val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
+          s"CASE WHEN $j < pc AND ${sqlDotFold("q", s"[$arr]::DOUBLE[]")} * mm > " +
+            s"mh$j * ${sqlDotFold("q", "m")} THEN ${1 << j} ELSE 0 END"
+        }.mkString(" +\n      ")
+        s"""WITH e AS ($sqlVecs),
+           |params AS (SELECT $sqlSemSubBits AS pc
+           |  FROM (SELECT count(*) AS n_corpus FROM e)),
+           |vq AS (SELECT vec_id, v, list_transform(v, x -> floor(x * 1024.0)) AS q FROM e),
+           |sb AS (SELECT $svCols),
+           |asg1 AS (SELECT vec_id, q, CASE
+           |    $argmin
+           |    ELSE ${k - 1} END AS cid FROM (
+           |  SELECT vec_id, q, $d1 FROM vq CROSS JOIN sb)),
+           |cent AS (SELECT cid, count(*) AS c, $sums FROM asg1 GROUP BY cid),
+           |mv AS (SELECT cid, [$means]::DOUBLE[] AS m FROM cent),
+           |cb AS (SELECT $mCols),
+           |asg2 AS (SELECT vec_id, v, q, CASE
+           |    $argmin
+           |    ELSE ${k - 1} END AS cell FROM (
+           |  SELECT vec_id, v, q, $d2 FROM vq CROSS JOIN cb)),
+           |geo AS (SELECT cid, m, ${sqlDotFold("m", "m")} AS mm, $mhCols FROM mv),
+           |cells AS (SELECT vec_id, v, cell,
+           |    $subSql AS sub
+           |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params),
+           |pairs AS (SELECT a.vec_id AS a_id, y.vec_id AS b_id,
+           |    ${sqlCosine("a.v", "y.v")} AS cosine
+           |  FROM cells a JOIN cells y
+           |    ON a.cell = y.cell AND a.sub = y.sub AND a.vec_id < y.vec_id),
+           |hits AS (SELECT a_id, b_id, cosine FROM pairs
+           |  WHERE cosine >= $NearDupThreshold),
+           |keep AS (SELECT b_id, min(a_id) AS keeper_id
+           |  FROM hits GROUP BY b_id)
+           |SELECT h.b_id AS vec_id, k.keeper_id, h.cosine
+           |FROM hits h JOIN keep k
+           |  ON h.b_id = k.b_id AND h.a_id = k.keeper_id""".stripMargin
+      }) { (s, dir) =>
+      val cells = kmeansSemBlocks(s, dir)
+      val a = cells.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("cell"), col("sub"))
+      val y = cells.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("cell").as("ycell"), col("sub").as("ysub"))
       val hits = a.join(y, col("cell") === col("ycell")
           && col("sub") === col("ysub") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), cosine(col("av"), col("bv")).as("cosine"))

