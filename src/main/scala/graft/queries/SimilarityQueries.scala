@@ -255,22 +255,36 @@ object SimilarityQueries {
     * Non-empty-cell invariant (argmin CASE is null-hostile): each seed's
     * own vector is at distance 0 to itself and ties break to the lower
     * cid, so every cell keeps ≥1 member and every mean is defined. */
-  private[graft] def kmeansSemBlocks(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmeansSemBlocks(s: SparkSession, dir: String): DataFrame =
+    kmeansSemBlocksOf(s, dir, lit(true), (0 until NumCells).map(_.toLong))
+
+  /** [[kmeansSemBlocks]] generalized for the incremental contract
+    * (q110): the quantizer is TRAINED only on rows matching `trainPred`
+    * (the standing corpus), seeded by the explicit `seedIds`, and pc
+    * derives from the TRAIN count — index parameters are fixed at build
+    * time, exactly as q93 freezes its band parameterization — while
+    * every row (corpus and delta alike) is ASSIGNED through the learned
+    * broadcast codebook. */
+  private[graft] def kmeansSemBlocksOf(s: SparkSession, dir: String,
+      trainPred: Column, seedIds: Seq[Long]): DataFrame = {
     val k = NumCells
+    require(seedIds.size == k)
     val e = vecs(s, dir)
-    val stats = e.agg(count(lit(1)).as("n_corpus"))
     val vq = e.select(col("vec_id"), col("v"),
       transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
+    val train = vq.filter(trainPred)
+    val stats = train.agg(count(lit(1)).as("n_corpus"))
     // exactly one non-null per aggregate, so max() is a deterministic pivot
-    def pivotRow(src: DataFrame, key: String, value: String, out: String) =
-      src.agg(max(when(col(key) === 0, col(value))).as(s"${out}0"),
-        (1 until k).map(c => max(when(col(key) === c, col(value))).as(s"$out$c")): _*)
+    def pivotRow(src: DataFrame, key: String, ids: Seq[Long], value: String, out: String) =
+      src.agg(max(when(col(key) === ids.head, col(value))).as(s"${out}0"),
+        (1 until k).map(c => max(when(col(key) === ids(c), col(value))).as(s"$out$c")): _*)
     def argmin: Column = (0 until k - 1).foldRight(lit(k - 1): Column) { (c, rest) =>
       val leLater = (c + 1 until k).map(j => col(s"d$c") <= col(s"d$j")).reduce(_ && _)
       when(leLater, lit(c)).otherwise(rest)
     }
-    val sb = pivotRow(vq.filter(col("vec_id") < k), "vec_id", "q", "sv")
-    val asg1 = vq.crossJoin(broadcast(sb))
+    val sb = pivotRow(train.filter(col("vec_id").isin(seedIds: _*)),
+      "vec_id", seedIds, "q", "sv")
+    val asg1 = train.crossJoin(broadcast(sb))
       .select(col("vec_id") +: col("q") +:
         (0 until k).map(c => sqDistFold(col("q"), col(s"sv$c")).as(s"d$c")): _*)
       .select(col("vec_id"), col("q"), argmin.as("cid"))
@@ -278,7 +292,7 @@ object SimilarityQueries {
     val cent = asg1.groupBy(col("cid")).agg(count(lit(1)).as("c"), sums: _*)
     val mv = cent.select(col("cid"),
       array((0 until Dim).map(i => col(s"s$i") / col("c")): _*).as("m"))
-    val cb = pivotRow(mv, "cid", "m", "m")
+    val cb = pivotRow(mv, "cid", (0 until k).map(_.toLong), "m", "m")
     val asg2 = vq.crossJoin(broadcast(cb))
       .select(col("vec_id") +: col("v") +: col("q") +:
         (0 until k).map(c => sqDistFold(col("q"), col(s"m$c")).as(s"d$c")): _*)
@@ -939,5 +953,106 @@ object SimilarityQueries {
       hits.join(keep, Seq("b_id"))
         .filter(col("a_id") === col("keeper_id"))
         .select(col("b_id").as("vec_id"), col("keeper_id"), col("cosine"))
+    },
+
+    // ------------------------------------------------------------------
+    // INCREMENTAL semantic dedup — the q93 delta-vs-corpus contract on
+    // the embedding side, completing the family symmetry (MinHash has
+    // batch q24 / incremental q93; semantic now has batch q109 /
+    // incremental q110). The standing corpus (vec_id % 10 != 7, the
+    // same declared stand-in split as q93) TRAINS the quantizer — one
+    // Lloyd iteration, seeds = its 8 lowest ids, pc frozen from the
+    // CORPUS count exactly as q93 freezes its band parameterization at
+    // build time — and the arriving delta is assigned through the
+    // learned broadcast codebook and probed block-against-block. At
+    // 100 TB: training is the index build (amortized, two corpus scans,
+    // k-row shuffles); the per-batch probe is one corpus-side block
+    // scan joined with the BROADCAST delta blocks — delta-scaled, zero
+    // corpus shuffle, the same asymptotics PlanAuditSpec proves for
+    // q93. A delta beyond broadcast range would take q108's bucket
+    // route unchanged (blocks are equi-keyed on (cell, sub)).
+    QueryDef(
+      "q110_incremental_semantic_dedup",
+      s"incremental semantic dedup: quantizer trained on the standing corpus (vec_id % 10 != 7) only — Lloyd iteration, pc frozen from corpus count — arriving delta assigned via the broadcast codebook, block-joined against corpus blocks, cosine >= $NearDupThreshold, lowest corpus id kept per delta vector",
+      {
+        val k = NumCells
+        val seedIds = (0L until 16L).filter(_ % 10 != 7).take(k)
+        val svCols = (0 until k)
+          .map(c => s"(SELECT q FROM corpus WHERE vec_id = ${seedIds(c)}) AS sv$c")
+          .mkString(",\n    ")
+        val argmin = (0 until k - 1).map { c =>
+          val leLater = (c + 1 until k).map(j => s"d$c <= d$j").mkString(" AND ")
+          s"WHEN $leLater THEN $c"
+        }.mkString("\n    ")
+        val d1 = (0 until k)
+          .map(c => s"${sqlSqDistFold("q", s"sv$c")} AS d$c").mkString(",\n      ")
+        val sums = (0 until Dim).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
+        val means = (0 until Dim).map(i => s"s$i / c").mkString(", ")
+        val mCols = (0 until k)
+          .map(c => s"(SELECT m FROM mv WHERE cid = $c) AS m$c")
+          .mkString(",\n    ")
+        val d2 = (0 until k)
+          .map(c => s"${sqlSqDistFold("q", s"m$c")} AS d$c").mkString(",\n      ")
+        val mhCols = (0 until SemMaxSub).map { j =>
+          val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
+          s"${sqlDotFold("m", s"[$arr]::DOUBLE[]")} AS mh$j"
+        }.mkString(",\n    ")
+        val subSql = (0 until SemMaxSub).map { j =>
+          val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
+          s"CASE WHEN $j < pc AND ${sqlDotFold("q", s"[$arr]::DOUBLE[]")} * mm > " +
+            s"mh$j * ${sqlDotFold("q", "m")} THEN ${1 << j} ELSE 0 END"
+        }.mkString(" +\n      ")
+        s"""WITH e AS ($sqlVecs),
+           |vq AS (SELECT vec_id, v, list_transform(v, x -> floor(x * 1024.0)) AS q FROM e),
+           |corpus AS (SELECT * FROM vq WHERE vec_id % 10 != 7),
+           |params AS (SELECT $sqlSemSubBits AS pc
+           |  FROM (SELECT count(*) AS n_corpus FROM corpus)),
+           |sb AS (SELECT $svCols),
+           |asg1 AS (SELECT vec_id, q, CASE
+           |    $argmin
+           |    ELSE ${k - 1} END AS cid FROM (
+           |  SELECT vec_id, q, $d1 FROM corpus CROSS JOIN sb)),
+           |cent AS (SELECT cid, count(*) AS c, $sums FROM asg1 GROUP BY cid),
+           |mv AS (SELECT cid, [$means]::DOUBLE[] AS m FROM cent),
+           |cb AS (SELECT $mCols),
+           |asg2 AS (SELECT vec_id, v, q, CASE
+           |    $argmin
+           |    ELSE ${k - 1} END AS cell FROM (
+           |  SELECT vec_id, v, q, $d2 FROM vq CROSS JOIN cb)),
+           |geo AS (SELECT cid, m, ${sqlDotFold("m", "m")} AS mm, $mhCols FROM mv),
+           |cells AS (SELECT vec_id, v, cell,
+           |    $subSql AS sub
+           |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params),
+           |hits AS (SELECT d.vec_id AS d_id, c.vec_id AS c_id,
+           |    ${sqlCosine("d.v", "c.v")} AS cosine
+           |  FROM cells d JOIN cells c
+           |    ON d.cell = c.cell AND d.sub = c.sub
+           |   AND d.vec_id % 10 = 7 AND c.vec_id % 10 != 7
+           |  WHERE ${sqlCosine("d.v", "c.v")} >= $NearDupThreshold),
+           |keep AS (SELECT d_id, min(c_id) AS keeper_id
+           |  FROM hits GROUP BY d_id)
+           |SELECT h.d_id AS vec_id, k.keeper_id, h.cosine
+           |FROM hits h JOIN keep k
+           |  ON h.d_id = k.d_id AND h.c_id = k.keeper_id""".stripMargin
+      }) { (s, dir) =>
+      val deltaPred = col("vec_id") % 10 === 7
+      val seedIds = (0L until 16L).filter(_ % 10 != 7).take(NumCells)
+      val blocks = kmeansSemBlocksOf(s, dir, !deltaPred, seedIds)
+      val d = blocks.filter(deltaPred)
+        .select(col("vec_id").as("d_id"), col("v").as("dv"), col("cell"), col("sub"))
+      val c = blocks.filter(!deltaPred)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("cell").as("ccell"), col("sub").as("csub"))
+      // delta << corpus (q93's declared contract): broadcast the delta
+      // blocks so the corpus side streams through without a shuffle
+      val hits = broadcast(d)
+        .join(c, col("cell") === col("ccell") && col("sub") === col("csub"))
+        .select(col("d_id"), col("c_id"), cosine(col("dv"), col("cv")).as("cosine"))
+        .filter(col("cosine") >= NearDupThreshold)
+        .localCheckpoint()
+      val keep = hits.groupBy("d_id").agg(min(col("c_id")).as("keeper_id"))
+      hits.join(keep, Seq("d_id"))
+        .filter(col("c_id") === col("keeper_id"))
+        .select(col("d_id").as("vec_id"), col("keeper_id"), col("cosine"))
     })
 }

@@ -76,7 +76,9 @@ class PlanAuditSpec extends SparkSpec {
     "q100_corpus_pipeline" -> (7, 6),
     "q103_domain_mixture" -> (2, 1), // weights broadcast
     "q37_embedding_neardup" -> (3, 2), // corpus-count broadcast; band self-join
-    "q106_semantic_dedup" -> (3, 0)) // post-stage keeper argmin + join-back
+    "q106_semantic_dedup" -> (3, 0), // post-stage keeper argmin + join-back
+    "q109_semantic_dedup_kmeans" -> (3, 0), // same tail as q106
+    "q110_incremental_semantic_dedup" -> (3, 0)) // same tail, keyed by d_id
 
   test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
     audited.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, minBhj)) =>
@@ -244,6 +246,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj.nonEmpty, "merge-hinted self-join did not plan as sort-merge")
     assert(!flatten(smj.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
       "Exchange under the stream-grown index self-join — an append lost the bucket layout")
+  }
+
+  test("q109 training stage: codebooks broadcast, no corpus-side explode or self-join") {
+    // the learned-quantizer claim: both assignment passes consume a
+    // ONE-ROW broadcast codebook (seed pivot / centroid pivot), so the
+    // corpus is never exploded x k, never windowed, and never joined to
+    // itself during training — only tiny-side broadcasts touch it
+    val nodes = flatten(finalPlan(
+      graft.queries.SimilarityQueries.kmeansSemBlocks(spark, sfDir)))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "CartesianProductExec in the q109 training plan")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "corpus-scale SortMergeJoin in the q109 training plan — " +
+        "a codebook stopped broadcasting")
+    assert(!nodes.exists(p =>
+        p.getClass.getSimpleName.startsWith("Window")),
+      "window in the q109 training plan — the argmin degraded to q90's " +
+        "corpus x k rank shape")
+    val sh = shuffles(nodes)
+    info(s"q109 training: shuffles=$sh nodes=${nodes.size}")
+    // the k-row shuffles only: seed pivot, mean re-estimation, centroid
+    // pivot, corpus count (+1 AQE headroom); a corpus-side shuffle would
+    // blow straight past this
+    assert(sh <= 7, s"q109 training ran $sh shuffles")
+  }
+
+  test("q110 probe: delta blocks broadcast, no shuffle added on the corpus side") {
+    // reconstruct the pre-checkpoint probe stage: the incremental claim
+    // is that probing costs ONLY the training shuffles (k-row) plus a
+    // broadcast — the corpus-side block stream is never re-partitioned
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.queries.SimilarityQueries
+    val deltaPred = col("vec_id") % 10 === 7
+    val seedIds = (0L until 16L).filter(_ % 10 != 7).take(8)
+    val blocks = SimilarityQueries.kmeansSemBlocksOf(spark, sfDir, !deltaPred, seedIds)
+    val d = blocks.filter(deltaPred)
+      .select(col("vec_id").as("d_id"), col("cell"), col("sub"))
+    val c = blocks.filter(!deltaPred)
+      .select(col("vec_id").as("c_id"),
+        col("cell").as("ccell"), col("sub").as("csub"))
+    val probe = broadcast(d)
+      .join(c, col("cell") === col("ccell") && col("sub") === col("csub"))
+    val nodes = flatten(finalPlan(probe))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q110 probe degraded to a sort-merge join — the delta stopped broadcasting")
+    assert(bhjs(nodes) >= 1, "q110 probe is not a broadcast-hash join")
+    val sh = shuffles(nodes)
+    info(s"q110 probe: shuffles=$sh nodes=${nodes.size}")
+    assert(sh <= 7, s"q110 probe ran $sh shuffles — more than training alone")
   }
 
   test("q41 bucketed join plans with zero Exchange on either side") {
