@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     "q37_embedding_neardup" -> (3, 2), // corpus-count broadcast; band self-join
     "q106_semantic_dedup" -> (3, 0), // post-stage keeper argmin + join-back
     "q109_semantic_dedup_kmeans" -> (3, 0), // same tail as q106
-    "q110_incremental_semantic_dedup" -> (3, 0)) // same tail, keyed by d_id
+    "q110_incremental_semantic_dedup" -> (3, 0), // same tail, keyed by d_id
+    "q111_incremental_semantic_large" -> (3, 0)) // identical tail, pinned path
 
   test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
     audited.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, minBhj)) =>
@@ -296,6 +297,34 @@ class PlanAuditSpec extends SparkSpec {
     val sh = shuffles(nodes)
     info(s"q110 probe: shuffles=$sh nodes=${nodes.size}")
     assert(sh <= 7, s"q110 probe ran $sh shuffles — more than training alone")
+  }
+
+  test("q111 large-delta semantic probe: sort-merge, delta not broadcast") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.SimilarityQueries
+    // the pinned large path: the probe must NOT broadcast the delta —
+    // a sort-merge join on (cell, sub) is the over-broadcast-range plan
+    val deltaPred = col("vec_id") % 10 === 7
+    val seedIds = (0L until 16L).filter(_ % 10 != 7).take(8)
+    val blocks = SimilarityQueries.kmeansSemBlocksOf(spark, sfDir, !deltaPred, seedIds)
+    val d = blocks.filter(deltaPred)
+      .select(col("vec_id").as("d_id"), col("cell"), col("sub"))
+    val c = blocks.filter(!deltaPred)
+      .select(col("vec_id").as("c_id"),
+        col("cell").as("ccell"), col("sub").as("csub"))
+    val probe = d.hint("merge")
+      .join(c, col("cell") === col("ccell") && col("sub") === col("csub"))
+    // the OUTERMOST join is the probe; the training stage beneath it
+    // legitimately broadcasts its codebooks/geo. Assert the probe
+    // itself sort-merges (i.e. the delta is not the build side of a
+    // broadcast join at the top).
+    val plan = finalPlan(probe)
+    val isJoin = (p: SparkPlan) => p.isInstanceOf[SortMergeJoinExec] ||
+      p.isInstanceOf[BroadcastHashJoinExec] ||
+      p.isInstanceOf[BroadcastNestedLoopJoinExec]
+    val outermost = pathTo(plan, isJoin).map(_.last)
+    assert(outermost.exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"q111's pinned probe join is ${outermost.map(_.nodeName)}, not sort-merge")
   }
 
   test("q41 bucketed join plans with zero Exchange on either side") {
