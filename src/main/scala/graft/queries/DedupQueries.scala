@@ -97,48 +97,6 @@ object DedupQueries {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
   }
 
-  /** Database holding the durable band-index tables (external; its
-    * catalog entry is per-session, the DATA lives under the warehouse
-    * and outlives every session). */
-  private val IndexDb = "graft_index"
-
-  /** Cheap content fingerprint of the corpus `documents` table: a
-    * 48-bit fold over (part-file name, length, mtime). Driver-side FS
-    * metadata only — no data read — so calling it on every index access
-    * costs microseconds and gives the staleness contract the per-JVM
-    * cache lacked: regenerate the corpus in place and the fingerprint
-    * (hence the index identity) changes, forcing a rebuild instead of a
-    * silent stale join. */
-  private def corpusFingerprint(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts: Seq[org.apache.hadoop.fs.FileStatus] =
-      if (fs.getFileStatus(p).isDirectory) {
-        // LEAF listing, recursive: a partitioned/nested corpus layout
-        // nests its part files under partition dirs — a top-level-only
-        // listing saw none of them and folded to the constant seed,
-        // giving every regeneration the SAME fingerprint (round-9
-        // advice). Keyed by path RELATIVE to the table root, since
-        // part-file basenames repeat across partition dirs.
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-        while (it.hasNext) buf += it.next()
-        buf.toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-      } else Seq(fs.getFileStatus(p))
-    // an unrecognized layout must fail loudly, not degrade to a constant
-    // fingerprint that silently re-enables the stale-join failure mode
-    // this fingerprint exists to prevent
-    require(parts.nonEmpty, s"corpusFingerprint: no .parquet leaf files under $p")
-    def rel(f: org.apache.hadoop.fs.FileStatus): String =
-      f.getPath.toString.drop(p.toString.length)
-    val acc = parts.sortBy(rel).foldLeft(1125899906842597L) {
-      (h, f) =>
-        val x = rel(f).hashCode.toLong ^ f.getLen ^ f.getModificationTime
-        (h * 31 + x) & 0xFFFFFFFFFFFFL
-    }
-    java.lang.Long.toHexString(acc)
-  }
-
   /** The PERSISTED corpus band index: the standing artifact an
     * incremental dedup pipeline maintains between batches — a DURABLE
     * cross-session parquet table bucketed 16 ways on band_key (a subset
@@ -169,96 +127,9 @@ object DedupQueries {
     * localCheckpoint staging remains only for the single-query
     * all-pairs consumers (q24/q54). */
   private[graft] def bandIndexTable(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val fp = corpusFingerprint(s, dir)
-      val tableName = s"band_index_${tag}_$fp"
-      val qualified = s"$IndexDb.$tableName"
-      if (!s.catalog.databaseExists(IndexDb))
-        s.sql(s"CREATE DATABASE IF NOT EXISTS $IndexDb")
-      if (!s.catalog.tableExists(qualified)) {
-        val base = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), "graft_band_index")
-        val loc = new org.apache.hadoop.fs.Path(base, tableName)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(loc)) {
-          val pid = ProcessHandle.current().pid()
-          val tmp = new org.apache.hadoop.fs.Path(base, s"$tableName.build$pid")
-          val buildTable = s"$IndexDb.${tableName}_build$pid"
-          s.sql(s"DROP TABLE IF EXISTS $buildTable")
-          if (fs.exists(tmp)) fs.delete(tmp, true)
-          sigBands(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7))
-            .write.format("parquet")
-            .bucketBy(16, "band_key").sortBy("band_key")
-            .option("path", tmp.toString)
-            .saveAsTable(buildTable)
-          s.sql(s"DROP TABLE IF EXISTS $buildTable") // external: files stay
-          // Publish via a primitive that FAILS when the destination
-          // exists: FileSystem.rename (HDFS and RawLocalFileSystem both)
-          // moves src INTO an existing destination directory as a child
-          // and returns true — a losing JVM would nest its build dir
-          // inside the winner's live table, double-counting every band
-          // row (round-9 advice). FileContext.rename with the default
-          // Rename.NONE throws instead; the catch IS the lost-race
-          // branch.
-          val lostRace =
-            try {
-              org.apache.hadoop.fs.FileContext
-                .getFileContext(loc.toUri, s.sparkContext.hadoopConfiguration)
-                .rename(tmp, loc)
-              false
-            } catch {
-              case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
-              case _: org.apache.hadoop.fs.ParentNotDirectoryException => true
-              case e: java.io.IOException =>
-                // a racing winner can land between our exists-check and
-                // the rename on FS flavors that report it generically
-                if (fs.exists(loc) && fs.exists(tmp)) true else throw e
-            }
-          if (lostRace) fs.delete(tmp, true)
-          // belt-and-braces: if any historical publish DID nest a build
-          // dir under the live table (pre-fix artifact, or a non-POSIX
-          // FS), excise it — a '*.build*' child duplicates every band
-          // row under the table root
-          fs.listStatus(loc).foreach { st =>
-            if (st.getPath.getName.contains(".build")) fs.delete(st.getPath, true)
-          }
-          // Staleness contract, in two phases with a GRACE WINDOW: the
-          // index is advertised as a durable cross-session artifact, so
-          // deleting a superseded version the instant a new one
-          // publishes would yank files from under another live JVM
-          // mid-scan (round-9 advice). Instead (1) purge `.retired`
-          // dirs parked by an EARLIER build — their grace window, at
-          // least one full corpus-regeneration cycle, has elapsed —
-          // then (2) park the versions this build supersedes as
-          // `<name>.retired`. A concurrent session holding the old
-          // version keeps readable files until the corpus regenerates
-          // AGAIN; sessions must not span two regenerations.
-          // The suffix after the tag must be EXACTLY a hex fingerprint
-          // (no '_'): a bare startsWith would also match a NESTED
-          // corpus dir whose tag extends ours with '_<more>', and
-          // retire its live index.
-          val prefix = s"band_index_${tag}_"
-          fs.listStatus(base).foreach { st =>
-            val n = st.getPath.getName
-            val suffix = if (n.startsWith(prefix)) n.substring(prefix.length) else ""
-            if (suffix.matches("[0-9a-f]+\\.retired"))
-              fs.delete(st.getPath, true)
-            else if (n != tableName && suffix.matches("[0-9a-f]+")) {
-              s.sql(s"DROP TABLE IF EXISTS $IndexDb.$n")
-              val parked = new org.apache.hadoop.fs.Path(base, s"$n.retired")
-              if (fs.exists(parked)) fs.delete(parked, true)
-              fs.rename(st.getPath, parked)
-            }
-          }
-        }
-        val ddl = s.read.parquet(loc.toString).schema.toDDL
-        s.sql(s"""CREATE TABLE IF NOT EXISTS $qualified ($ddl)
-                 |USING parquet
-                 |CLUSTERED BY (band_key) SORTED BY (band_key) INTO 16 BUCKETS
-                 |LOCATION '$loc'""".stripMargin)
-      }
-      s.table(qualified)
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "band_index", "documents.parquet", Some(("band_key", 16))) {
+      sigBands(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7))
     }
 
   /** The MinHash+LSH candidate/verify pipeline as a reusable plan:
