@@ -266,38 +266,74 @@ object SimilarityQueries {
     * every row (corpus and delta alike) is ASSIGNED through the learned
     * broadcast codebook. */
   private[graft] def kmeansSemBlocksOf(s: SparkSession, dir: String,
+      trainPred: Column, seedIds: Seq[Long]): DataFrame =
+    assignSemBlocks(quantized(s, dir),
+      kmeansCodebook(s, dir, trainPred, seedIds))
+
+  /** (vec_id, v, q): every vector with its floor(x·1024) quantization
+    * (power-of-two scale — exact product, bit-identical floor on both
+    * engines; every downstream dot/dist fold over q is integer-valued-
+    * double arithmetic, exact in any order). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).select(col("vec_id"), col("v"),
+      transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
+
+  /** Exactly one non-null per aggregate, so max() is a deterministic
+    * pivot of a ≤k-row frame into ONE broadcastable row. */
+  private def pivotRow(src: DataFrame, key: String, ids: Seq[Long],
+      value: String, out: String) =
+    src.agg(max(when(col(key) === ids.head, col(value))).as(s"${out}0"),
+      (1 until NumCells).map(c =>
+        max(when(col(key) === ids(c), col(value))).as(s"$out$c")): _*)
+
+  /** Null-hostile CASE argmin over distance columns d0..d{k-1}; ties
+    * break to the lower index, matching the oracle CASE exactly. */
+  private def argminCell: Column =
+    (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) { (c, rest) =>
+      val leLater = (c + 1 until NumCells)
+        .map(j => col(s"d$c") <= col(s"d$j")).reduce(_ && _)
+      when(leLater, lit(c)).otherwise(rest)
+    }
+
+  /** (cid, m, n_corpus): the LEARNED codebook — one Lloyd iteration
+    * over the rows matching `trainPred`, seeded by `seedIds`, with the
+    * train count attached to every row so downstream consumers (and the
+    * persisted form, q112) carry the frozen pc parameterization with
+    * the centroids. */
+  private[graft] def kmeansCodebook(s: SparkSession, dir: String,
       trainPred: Column, seedIds: Seq[Long]): DataFrame = {
     val k = NumCells
     require(seedIds.size == k)
-    val e = vecs(s, dir)
-    val vq = e.select(col("vec_id"), col("v"),
-      transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
-    val train = vq.filter(trainPred)
+    val train = quantized(s, dir).filter(trainPred)
     val stats = train.agg(count(lit(1)).as("n_corpus"))
-    // exactly one non-null per aggregate, so max() is a deterministic pivot
-    def pivotRow(src: DataFrame, key: String, ids: Seq[Long], value: String, out: String) =
-      src.agg(max(when(col(key) === ids.head, col(value))).as(s"${out}0"),
-        (1 until k).map(c => max(when(col(key) === ids(c), col(value))).as(s"$out$c")): _*)
-    def argmin: Column = (0 until k - 1).foldRight(lit(k - 1): Column) { (c, rest) =>
-      val leLater = (c + 1 until k).map(j => col(s"d$c") <= col(s"d$j")).reduce(_ && _)
-      when(leLater, lit(c)).otherwise(rest)
-    }
     val sb = pivotRow(train.filter(col("vec_id").isin(seedIds: _*)),
       "vec_id", seedIds, "q", "sv")
     val asg1 = train.crossJoin(broadcast(sb))
       .select(col("vec_id") +: col("q") +:
         (0 until k).map(c => sqDistFold(col("q"), col(s"sv$c")).as(s"d$c")): _*)
-      .select(col("vec_id"), col("q"), argmin.as("cid"))
+      .select(col("vec_id"), col("q"), argminCell.as("cid"))
     val sums = (0 until Dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
     val cent = asg1.groupBy(col("cid")).agg(count(lit(1)).as("c"), sums: _*)
-    val mv = cent.select(col("cid"),
-      array((0 until Dim).map(i => col(s"s$i") / col("c")): _*).as("m"))
-    val cb = pivotRow(mv, "cid", (0 until k).map(_.toLong), "m", "m")
+    cent.select(col("cid"),
+        array((0 until Dim).map(i => col(s"s$i") / col("c")): _*).as("m"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** Assign every row of `vq` (a [[quantized]] frame) through
+    * `codebook` — fresh from [[kmeansCodebook]] or re-read from its
+    * persisted parquet form (doubles round-trip bit-exact, so either
+    * source yields identical blocks): per-row CASE argmin over the
+    * pivoted one-row codebook, then the centered sub-plane bits from
+    * the 8-row geometry join. */
+  private[graft] def assignSemBlocks(vq: DataFrame, codebook: DataFrame): DataFrame = {
+    val k = NumCells
+    val stats = codebook.agg(max(col("n_corpus")).as("n_corpus"))
+    val cb = pivotRow(codebook, "cid", (0 until k).map(_.toLong), "m", "m")
     val asg2 = vq.crossJoin(broadcast(cb))
       .select(col("vec_id") +: col("v") +: col("q") +:
         (0 until k).map(c => sqDistFold(col("q"), col(s"m$c")).as(s"d$c")): _*)
-      .select(col("vec_id"), col("v"), col("q"), argmin.as("cell"))
-    val geo = mv.select(col("cid") +: col("m") +:
+      .select(col("vec_id"), col("v"), col("q"), argminCell.as("cell"))
+    val geo = codebook.select(col("cid") +: col("m") +:
       dotFold(col("m"), col("m")).as("mm") +:
       (0 until SemMaxSub).map(j => dotFold(col("m"),
         array(adaptivePlane(2, j).map(lit): _*)).as(s"mh$j")): _*)
@@ -990,7 +1026,76 @@ object SimilarityQueries {
       "q110's large-delta path pinned: delta blocks shuffle-joined (not broadcast) against corpus blocks on (cell, sub) — the route an over-broadcast-range delta takes; same result",
       semanticIncrementalOracle) { (s, dir) =>
       semanticIncrementalMatches(s, dir, Some(true))
+    },
+
+    // ------------------------------------------------------------------
+    // q110 against a DURABLE index — the q93 durability story completed
+    // on the semantic side. q110 re-trains the quantizer and re-assigns
+    // the whole corpus on every probe; here both halves persist through
+    // the same fingerprint-keyed machinery as the band index
+    // (graft.sources.DurableIndex): the CODEBOOK (8 centroids + the
+    // frozen corpus count) as a tiny parquet sidecar, and the CORPUS
+    // BLOCKS (vec_id, v, block_key = cell·256+sub — the composite key
+    // FOLDED into the bucket column, the q41/q93 lesson) as an external
+    // table bucketed 16 ways on block_key. A fresh session re-attaches
+    // both without re-training or re-assigning; a regenerated corpus
+    // changes the fingerprint and forces a rebuild. The per-batch probe
+    // is: assign the DELTA through the re-read codebook (delta-sized),
+    // then one bucketed index scan joined with the broadcast delta
+    // blocks — zero corpus-side Exchange, asserted by PlanAuditSpec.
+    // Training cost is now genuinely amortized, not re-paid per batch.
+    QueryDef(
+      "q112_incremental_semantic_indexed",
+      s"incremental semantic dedup against the PERSISTED block index: fingerprint-keyed durable codebook + 16-bucket block table, delta assigned via the re-read codebook and broadcast-probed, cosine >= $NearDupThreshold, lowest corpus id kept",
+      semanticIncrementalOracle) { (s, dir) =>
+      // staged once: hits feed the keeper argmin and the join-back
+      val hits = semIndexProbe(s, dir).localCheckpoint()
+      val keep = hits.groupBy("d_id").agg(min(col("c_id")).as("keeper_id"))
+      hits.join(keep, Seq("d_id"))
+        .filter(col("c_id") === col("keeper_id"))
+        .select(col("d_id").as("vec_id"), col("keeper_id"), col("cosine"))
     })
+
+  /** q112's probe stage, pre-staging: (d_id, c_id, cosine) hits of the
+    * delta against the persisted block index. Exposed unstaged so
+    * PlanAuditSpec can assert the plan that actually touches the index
+    * (the localCheckpoint in the query body would hide it). */
+  private[graft] def semIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val deltaPred = col("vec_id") % 10 === 7
+    val cbT = semCodebookTable(s, dir)
+    val idx = semBlockIndexTable(s, dir)
+    val deltaBlocks = assignSemBlocks(quantized(s, dir).filter(deltaPred), cbT)
+      .select(col("vec_id").as("d_id"), col("v").as("dv"),
+        (col("cell") * lit(256) + col("sub")).as("block_key"))
+    idx.join(broadcast(deltaBlocks), Seq("block_key"))
+      .select(col("d_id"), col("vec_id").as("c_id"),
+        cosine(col("dv"), col("v")).as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+  }
+
+  /** The persisted codebook: (cid, m, n_corpus), trained once per
+    * corpus content fingerprint on the standing rows (vec_id % 10 != 7)
+    * and published as a tiny parquet sidecar under the warehouse. */
+  private[graft] def semCodebookTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "sem_codebook", "embeddings.parquet", None) {
+      val seedIds = (0L until 16L).filter(_ % 10 != 7).take(NumCells)
+      kmeansCodebook(s, dir, col("vec_id") % 10 =!= 7, seedIds).coalesce(1)
+    }
+
+  /** The persisted corpus block index: (vec_id, v, block_key) for every
+    * standing-corpus vector, bucketed 16 ways on block_key so the probe
+    * join needs no index-side Exchange (the q41 property). Carries the
+    * raw vectors as its payload — the IVF-list shape — so the cosine
+    * verify reads them straight off the index scan. */
+  private[graft] def semBlockIndexTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "sem_blocks", "embeddings.parquet", Some(("block_key", 16))) {
+      assignSemBlocks(quantized(s, dir).filter(col("vec_id") % 10 =!= 7),
+          semCodebookTable(s, dir))
+        .select(col("vec_id"), col("v"),
+          (col("cell") * lit(256) + col("sub")).as("block_key"))
+    }
 
   /** The q110/q111 oracle: the full train-assign-probe pipeline
     * restated in DuckDB, centroid arithmetic CTE-for-CTE. */

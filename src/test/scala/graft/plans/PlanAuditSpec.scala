@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkSpec {
     "q106_semantic_dedup" -> (3, 0), // post-stage keeper argmin + join-back
     "q109_semantic_dedup_kmeans" -> (3, 0), // same tail as q106
     "q110_incremental_semantic_dedup" -> (3, 0), // same tail, keyed by d_id
-    "q111_incremental_semantic_large" -> (3, 0)) // identical tail, pinned path
+    "q111_incremental_semantic_large" -> (3, 0), // identical tail, pinned path
+    "q112_incremental_semantic_indexed" -> (3, 0)) // identical tail, durable index
 
   test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
     audited.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, minBhj)) =>
@@ -271,6 +272,35 @@ class PlanAuditSpec extends SparkSpec {
     // pivot, corpus count (+1 AQE headroom); a corpus-side shuffle would
     // blow straight past this
     assert(sh <= 7, s"q109 training ran $sh shuffles")
+  }
+
+  test("q112 reads the persisted block index broadcast-joined with zero index-side shuffle") {
+    // the semantic mirror of the q93 assertion: the probe must consume
+    // the durable sem_blocks table as a bucketed scan, join it with the
+    // BROADCAST delta blocks, and carry no Exchange on the index side
+    // the unstaged probe stage (the query body localCheckpoints it,
+    // which would hide the index scan from the returned plan)
+    val plan = finalPlan(
+      graft.queries.SimilarityQueries.semIndexProbe(spark, sfDir))
+    def isBlockScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("sem_blocks")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("sem_blocks"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isBlockScan),
+      "q112's plan does not read the persisted sem_blocks table")
+    val path = pathTo(plan, isBlockScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the block-index scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"probe join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the block-index scan and the probe join")
   }
 
   test("q110 probe: delta blocks broadcast, no shuffle added on the corpus side") {

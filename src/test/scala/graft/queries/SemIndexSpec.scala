@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The durability contract of the persisted SEMANTIC index (q112):
+  * codebook and block table outlive the catalog, a fresh catalog
+  * re-attaches both without re-training or re-assigning, and a
+  * regenerated corpus forces a rebuild. Same contract BandIndexSpec
+  * proves for the MinHash side; both ride the shared
+  * [[graft.sources.DurableIndex]] machinery, so this spec focuses on
+  * what is semantic-specific (two coupled artifacts, bucket spec on the
+  * folded block_key) and keeps the race/retirement depth over there. */
+class SemIndexSpec extends SparkSpec {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  private def liveDir(family: String, tag: String): Path = {
+    val base = new Path(spark.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"${family}_${tag}_"
+    val live = fs.listStatus(base).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        p.getName.substring(prefix.length).matches("[0-9a-f]+")).toSeq
+    assert(live.length == 1,
+      s"expected one live $family version, got ${live.map(_.getName)}")
+    live.head
+  }
+
+  private def partFiles(family: String, tag: String): Map[String, (Long, Long)] = {
+    val dir = liveDir(family, tag)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
+      .toMap
+  }
+
+  test("fresh catalog re-attaches codebook and block index without retraining") {
+    val rows = SimilarityQueries.semBlockIndexTable(spark, sfDir).count()
+    assert(rows > 0)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val blocksBefore = partFiles("sem_blocks", tag)
+    val cbBefore = partFiles("sem_codebook", tag)
+    assert(blocksBefore.nonEmpty && cbBefore.nonEmpty)
+
+    spark.sql("DROP DATABASE graft_index CASCADE")
+    assert(!spark.catalog.databaseExists("graft_index"))
+
+    val again = SimilarityQueries.semBlockIndexTable(spark, sfDir)
+    assert(again.count() == rows)
+    // byte-for-byte untouched: re-attach, not re-train/re-assign
+    assert(partFiles("sem_blocks", tag) == blocksBefore,
+      "block-index parts changed — the fresh catalog re-assigned the corpus")
+    assert(partFiles("sem_codebook", tag) == cbBefore,
+      "codebook parts changed — the fresh catalog re-trained the quantizer")
+    // the re-attached read is a bare bucketed scan on the folded key
+    again.collect()
+    val nodes = flatten(again.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[Exchange]),
+      "Exchange in the re-attached block-index read")
+    val scan = nodes.collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.exists(_.relation.bucketSpec.exists(b =>
+        b.numBuckets == 16 && b.bucketColumnNames == Seq("block_key"))),
+      s"bucket spec lost on re-attach: ${scan.flatMap(_.relation.bucketSpec)}")
+  }
+
+  test("regenerated embeddings force a coupled rebuild of codebook and blocks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semidx").toString
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val v1 = SimilarityQueries.semBlockIndexTable(spark, dir).count()
+    val cb1 = SimilarityQueries.semCodebookTable(spark, dir)
+      .select("m").collect().map(_.getSeq[Double](0)).toSet
+
+    // regenerate in place with different content: both artifacts must
+    // rebuild under the new fingerprint (stale centroids assigning a
+    // new corpus would be the silent failure mode)
+    emb.filter(col("vec_id") % 3 =!= 1 || col("vec_id") < 16)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val v2 = SimilarityQueries.semBlockIndexTable(spark, dir).count()
+    assert(v2 < v1, s"rebuild did not pick up the smaller corpus ($v1 -> $v2)")
+    val cb2 = SimilarityQueries.semCodebookTable(spark, dir)
+      .select("m").collect().map(_.getSeq[Double](0)).toSet
+    assert(cb2 != cb1, "codebook unchanged after corpus regeneration")
+  }
+}
