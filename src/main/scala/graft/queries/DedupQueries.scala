@@ -649,9 +649,29 @@ object DedupQueries {
          |            JOIN cnt yb ON yb.doc_id = cd
          |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin) { (s, dir) =>
       streamIndexBootstrap(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // The SEMANTIC incremental contract, LIVE — q105's mirror on the
+    // embedding side, completing the streaming half of the family
+    // symmetry. The arriving embedding delta lands as 3 file drops;
+    // each micro-batch is assigned through the PERSISTED codebook
+    // (q112's durable artifact, re-read not re-trained), broadcast-
+    // probed against the PERSISTED bucketed block index, and its
+    // lowest-corpus-id keepers land as a dynamic overwrite of the
+    // batch's own sink partition (idempotent under replay). The index
+    // is static corpus-side and every delta vector arrives exactly
+    // once, so the per-batch keeper equals the global keeper and the
+    // final table == the batch q110/q112 result regardless of
+    // micro-batching — the oracle is theirs, verbatim.
+    QueryDef(
+      "q113_stream_semantic_dedup",
+      s"STREAMING semantic dedup: arriving embedding delta as 3 file drops, each micro-batch assigned via the PERSISTED codebook and broadcast-probed against the PERSISTED block index, cosine >= ${SimilarityQueries.NearDupThreshold} with lowest-corpus-id keepers; final table == batch q112 result",
+      SimilarityQueries.semanticIncrementalOracle) { (s, dir) =>
+      streamSemanticDedup(s, dir)
     })
 
-  // ---- streaming drains (q105/q107) -----------------------------------
+  // ---- streaming drains (q105/q107/q113) -------------------------------
 
   /** Stream-drain session confs, saved/restored around a drain:
     * micro-batches are drop-sized, so full-width shuffles are pure
@@ -752,6 +772,65 @@ object DedupQueries {
       }
       s.catalog.refreshTable(table) // writes ran on the cloned session
       s.table(table).select("delta_id", "corpus_id", "jaccard")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
+  /** q113's body: the semantic incremental contract LIVE — q105's
+    * drain shape (file drops, AvailableNow, maxFilesPerTrigger=1,
+    * batch_id-partitioned dynamic-overwrite sink, same chaos/scratch/
+    * resume test hooks) with the per-micro-batch work swapped for the
+    * semantic probe: assign the batch through the persisted codebook,
+    * broadcast-probe the persisted block index, keeper-reduce. The
+    * keeper argmin is safe per-batch because the index is static
+    * corpus-side and the drops partition the delta — each delta vector
+    * is scored against the FULL standing corpus in exactly one batch. */
+  private[graft] def streamSemanticDedup(s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // force-build codebook + block index on THIS session before the
+    // stream starts (micro-batches run on a clone sharing the catalog)
+    SimilarityQueries.semBlockIndexTable(s, dir)
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q113_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q113_ckpt").toString))
+    val table = JvmScratch.tableName("stream_sem_dedup")
+    try {
+      if (!resume) {
+        val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+        (0 until 3).foreach { i =>
+          delta.filter(pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_sem_dedup")
+        createBatchSink(s, table, Seq(
+          "vec_id" -> "bigint", "keeper_id" -> "bigint", "cosine" -> "double"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            val hits = SimilarityQueries.semIndexProbeOf(ss, dir, batch)
+              .localCheckpoint()
+            val keep = hits.groupBy("d_id").agg(min(col("c_id")).as("keeper_id"))
+            hits.join(keep, Seq("d_id"))
+              .filter(col("c_id") === col("keeper_id"))
+              .select(col("d_id").as("vec_id"), col("keeper_id"), col("cosine"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(table)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(table)
+      s.table(table).select("vec_id", "keeper_id", "cosine")
     } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
   }
 

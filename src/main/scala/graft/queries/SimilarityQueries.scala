@@ -27,7 +27,7 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumPlanes = 8
   private val Dim = 64
-  private val NearDupThreshold = "0.38"
+  private[graft] val NearDupThreshold = "0.38"
   private val NumCells = 8
 
   /** Deterministic IVF centroids: Hadamard-style sign patterns
@@ -1060,11 +1060,23 @@ object SimilarityQueries {
     * delta against the persisted block index. Exposed unstaged so
     * PlanAuditSpec can assert the plan that actually touches the index
     * (the localCheckpoint in the query body would hide it). */
-  private[graft] def semIndexProbe(s: SparkSession, dir: String): DataFrame = {
-    val deltaPred = col("vec_id") % 10 === 7
+  private[graft] def semIndexProbe(s: SparkSession, dir: String): DataFrame =
+    semIndexProbeOf(s, dir,
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7))
+
+  /** The probe parameterized over the arriving rows (raw embeddings
+    * schema), so the streaming drain (q113) can run it per micro-batch:
+    * assign `deltaRaw` through the re-read codebook, broadcast its
+    * blocks into the bucketed index scan, cosine-verify. */
+  private[graft] def semIndexProbeOf(s: SparkSession, dir: String,
+      deltaRaw: DataFrame): DataFrame = {
     val cbT = semCodebookTable(s, dir)
     val idx = semBlockIndexTable(s, dir)
-    val deltaBlocks = assignSemBlocks(quantized(s, dir).filter(deltaPred), cbT)
+    val vq = deltaRaw
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
+    val deltaBlocks = assignSemBlocks(vq, cbT)
       .select(col("vec_id").as("d_id"), col("v").as("dv"),
         (col("cell") * lit(256) + col("sub")).as("block_key"))
     idx.join(broadcast(deltaBlocks), Seq("block_key"))
@@ -1099,7 +1111,7 @@ object SimilarityQueries {
 
   /** The q110/q111 oracle: the full train-assign-probe pipeline
     * restated in DuckDB, centroid arithmetic CTE-for-CTE. */
-  private lazy val semanticIncrementalOracle: String = {
+  private[graft] lazy val semanticIncrementalOracle: String = {
     val k = NumCells
     val seedIds = (0L until 16L).filter(_ % 10 != 7).take(k)
     val svCols = (0 until k)

@@ -61,6 +61,27 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q113: a replayed semantic micro-batch does not double-write keepers") {
+    val clean = DedupQueries.streamSemanticDedup(spark, sfDir)
+      .orderBy("vec_id", "keeper_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q113 run produced no matches — test is vacuous")
+
+    val scratch = (tmp("graft_rp113_src"), tmp("graft_rp113_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        DedupQueries.streamSemanticDedup(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = DedupQueries
+        .streamSemanticDedup(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("vec_id", "keeper_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q107: replay neither double-appends matches nor double-inserts index bands") {
     val cleanOut = DedupQueries.streamIndexBootstrap(spark, sfDir)
       .orderBy("doc_id", "dup_of").collect().toSeq
