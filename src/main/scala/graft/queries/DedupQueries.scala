@@ -669,9 +669,38 @@ object DedupQueries {
       s"STREAMING semantic dedup: arriving embedding delta as 3 file drops, each micro-batch assigned via the PERSISTED codebook and broadcast-probed against the PERSISTED block index, cosine >= ${SimilarityQueries.NearDupThreshold} with lowest-corpus-id keepers; final table == batch q112 result",
       SimilarityQueries.semanticIncrementalOracle) { (s, dir) =>
       streamSemanticDedup(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Streaming SEMANTIC index maintenance — q107's mirror, the last
+    // cell of the family symmetry matrix: the block index bootstrapped
+    // and GROWN by the stream itself. The codebook is trained once,
+    // up front, on the full corpus (the offline-train/online-serve
+    // split of a production ANN index — q90's Lloyd arithmetic) and
+    // staged as a tiny table the micro-batches re-read; the corpus
+    // then arrives as 3 ordered drops against an initially EMPTY
+    // bucketed block index. Each micro-batch is (1) assigned through
+    // the staged codebook, (2) cosine-matched against the index SO FAR
+    // (broadcast batch blocks, bucketed index scan), then (3) appended
+    // via insertInto, which bucketizes per the catalog spec. Emits
+    // exactly the cross-drop near-dup pairs; replay-idempotent the
+    // same way q107 is (probe minus own partition, overwrite by
+    // batch_id); post-drain the index recompacts to one file per
+    // bucket through the shared compactBucketedIndex.
+    QueryDef(
+      "q114_stream_sem_index_bootstrap",
+      s"STREAMING semantic index maintenance: codebook trained once up front, corpus streamed in 3 ordered drops into an initially EMPTY bucketed block index, each micro-batch assigned + matched against the index so far THEN appended (insertInto keeps the bucket layout) — emits every cross-drop cosine >= ${SimilarityQueries.NearDupThreshold} pair",
+      s"""WITH ${SimilarityQueries.semAllBlocksOracleCtes}
+         |SELECT d.vec_id AS vec_id, c.vec_id AS dup_of,
+         |  ${sqlCosine("d.v", "c.v")} AS cosine
+         |FROM cells d JOIN cells c
+         |  ON d.cell = c.cell AND d.sub = c.sub
+         | AND d.vec_id % 3 > c.vec_id % 3
+         |WHERE ${sqlCosine("d.v", "c.v")} >= ${SimilarityQueries.NearDupThreshold}""".stripMargin) { (s, dir) =>
+      streamSemIndexBootstrap(s, dir)
     })
 
-  // ---- streaming drains (q105/q107/q113) -------------------------------
+  // ---- streaming drains (q105/q107/q113/q114) --------------------------
 
   /** Stream-drain session confs, saved/restored around a drain:
     * micro-batches are drop-sized, so full-width shuffles are pure
@@ -927,6 +956,104 @@ object DedupQueries {
     } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
   }
 
+  /** q114's body: streaming SEMANTIC index maintenance — q107's drain
+    * shape with the per-micro-batch work swapped for the block-index
+    * pipeline. The codebook is trained ONCE before the stream starts
+    * (full-corpus Lloyd, q90's arithmetic) and staged as a tiny table
+    * the cloned micro-batch sessions re-read; the initially empty
+    * block index is batch_id-partitioned + 16-bucket block_key
+    * bucketed. Per batch: assign via the staged codebook, match
+    * against the index MINUS this batch's partition (replay safety),
+    * append via insertInto (bucketizes per the catalog spec). Test
+    * hooks as in [[streamIncrementalDedup]]. */
+  private[graft] def streamSemIndexBootstrap(s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false,
+      compact: Boolean = true): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val emb = Tables.embeddings(s, dir)
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q114_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q114_ckpt").toString))
+    val idxTable = JvmScratch.tableName("stream_block_index")
+    val outTable = JvmScratch.tableName("stream_sem_boot_out")
+    val cbTable = JvmScratch.tableName("stream_sem_codebook")
+    try {
+      if (!resume) {
+        // the corpus as 3 drops with EXPLICIT strictly-increasing
+        // mtimes (the FileStreamSource processing order, q107's shape)
+        (0 until 3).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_q114_drop$i")
+          try {
+            emb.filter(pmod(col("vec_id"), lit(3)) === i)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
+            java.nio.file.Files.copy(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+          } finally rmQuietly(tmp.toString)
+        }
+        JvmScratch.resetTable(s, "stream_block_index")
+        JvmScratch.resetTable(s, "stream_sem_boot_out")
+        JvmScratch.resetTable(s, "stream_sem_codebook")
+        // offline-train/online-serve: the codebook is learned once on
+        // the full corpus and staged for the micro-batches to re-read
+        SimilarityQueries.kmeansCodebook(s, dir, lit(true),
+            (0 until 8).map(_.toLong)).coalesce(1)
+          .write.format("parquet").saveAsTable(cbTable)
+        // initially EMPTY block index: batch_id partitioning (replay
+        // idempotency) + the 16-bucket block_key layout
+        SimilarityQueries.blocksOfRaw(emb.limit(0), s.table(cbTable))
+          .withColumn("batch_id", lit(-1L))
+          .write.format("parquet").partitionBy("batch_id")
+          .bucketBy(16, "block_key").sortBy("block_key")
+          .saveAsTable(idxTable)
+        createBatchSink(s, outTable, Seq(
+          "vec_id" -> "bigint", "dup_of" -> "bigint", "cosine" -> "double"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            ss.catalog.refreshTable(idxTable)
+            val staged = SimilarityQueries
+              .blocksOfRaw(batch, ss.table(cbTable)).localCheckpoint()
+            // match FIRST, against the index so far minus this batch's
+            // own partition (populated only on a replay)...
+            val soFar = ss.table(idxTable).filter(col("batch_id") =!= batchId)
+            val d = staged.select(col("vec_id").as("d_id"),
+              col("v").as("dv"), col("block_key"))
+            soFar.join(broadcast(d), Seq("block_key"))
+              .select(col("d_id").as("vec_id"), col("vec_id").as("dup_of"),
+                graft.functions.CrossEngine.cosine(col("dv"), col("v")).as("cosine"))
+              .filter(col("cosine") >= SimilarityQueries.NearDupThreshold)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            // ...THEN index this batch (dynamic overwrite of its own
+            // batch_id partition, bucketized per the catalog spec)
+            staged.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(idxTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      if (compact) compactBucketedIndex(s, idxTable,
+        Seq("vec_id", "v", "block_key"), "block_key"): Unit
+      s.table(outTable).select("vec_id", "dup_of", "cosine")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
   /** Per-bucket data-file counts of a bucketed table (bucket id parsed
     * from the `_NNNNN` suffix Spark writes into bucketed part-file
     * names), recursive across partition dirs — the fragmentation
@@ -968,21 +1095,30 @@ object DedupQueries {
     * overwrite, with the old generation retired on the same grace
     * contract. */
   private[graft] def compactBandIndex(s: SparkSession, qualified: String,
+      maxFilesPerBucket: Int = 2): Boolean =
+    compactBucketedIndex(s, qualified,
+      Seq("doc_id", "band_idx", "band_key"), "band_key", maxFilesPerBucket)
+
+  /** The generalized rewrite behind [[compactBandIndex]], shared with
+    * the q114 stream-grown BLOCK index: same gate, same single-shuffle-
+    * into-the-bucket-hash rewrite, parameterized over the data columns
+    * and bucket column. */
+  private[graft] def compactBucketedIndex(s: SparkSession, qualified: String,
+      cols: Seq[String], bucketCol: String,
       maxFilesPerBucket: Int = 2): Boolean = {
     val counts = bucketFileCounts(s, qualified)
     if (!counts.values.exists(_ > maxFilesPerBucket)) false
     else {
-      val rows = s.table(qualified)
-        .select("doc_id", "band_idx", "band_key").localCheckpoint()
+      val rows = s.table(qualified).select(cols.map(col): _*).localCheckpoint()
       // one shuffle into the bucket hash itself: each write task then
       // holds exactly one bucket's rows, so the rewrite lands ONE file
       // per bucket (a bucketed write without it emits a file per
       // (task x bucket) — the very fragmentation being repaired)
-      rows.repartition(16, col("band_key"))
+      rows.repartition(16, col(bucketCol))
         .withColumn("batch_id", lit(-1L))
         .write.format("parquet").mode("overwrite")
         .partitionBy("batch_id")
-        .bucketBy(16, "band_key").sortBy("band_key")
+        .bucketBy(16, bucketCol).sortBy(bucketCol)
         .saveAsTable(qualified)
       s.catalog.refreshTable(qualified)
       true

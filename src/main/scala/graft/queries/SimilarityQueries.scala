@@ -916,65 +916,18 @@ object SimilarityQueries {
     QueryDef(
       "q109_semantic_dedup_kmeans",
       s"SemDeDup with a LEARNED coarse quantizer: one Lloyd iteration ($NumCells data seeds, quantized exact distances, mean re-estimation) trains the cells, adaptive centered hyperplane bits refine them, within-block cosine >= $NearDupThreshold pairs, deterministic lowest-id keeper",
-      {
-        val k = NumCells
-        val svCols = (0 until k)
-          .map(c => s"(SELECT q FROM vq WHERE vec_id = $c) AS sv$c")
-          .mkString(",\n    ")
-        val argmin = (0 until k - 1).map { c =>
-          val leLater = (c + 1 until k).map(j => s"d$c <= d$j").mkString(" AND ")
-          s"WHEN $leLater THEN $c"
-        }.mkString("\n    ")
-        val d1 = (0 until k)
-          .map(c => s"${sqlSqDistFold("q", s"sv$c")} AS d$c").mkString(",\n      ")
-        val sums = (0 until Dim).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
-        val means = (0 until Dim).map(i => s"s$i / c").mkString(", ")
-        val mCols = (0 until k)
-          .map(c => s"(SELECT m FROM mv WHERE cid = $c) AS m$c")
-          .mkString(",\n    ")
-        val d2 = (0 until k)
-          .map(c => s"${sqlSqDistFold("q", s"m$c")} AS d$c").mkString(",\n      ")
-        val mhCols = (0 until SemMaxSub).map { j =>
-          val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
-          s"${sqlDotFold("m", s"[$arr]::DOUBLE[]")} AS mh$j"
-        }.mkString(",\n    ")
-        val subSql = (0 until SemMaxSub).map { j =>
-          val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
-          s"CASE WHEN $j < pc AND ${sqlDotFold("q", s"[$arr]::DOUBLE[]")} * mm > " +
-            s"mh$j * ${sqlDotFold("q", "m")} THEN ${1 << j} ELSE 0 END"
-        }.mkString(" +\n      ")
-        s"""WITH e AS ($sqlVecs),
-           |params AS (SELECT $sqlSemSubBits AS pc
-           |  FROM (SELECT count(*) AS n_corpus FROM e)),
-           |vq AS (SELECT vec_id, v, list_transform(v, x -> floor(x * 1024.0)) AS q FROM e),
-           |sb AS (SELECT $svCols),
-           |asg1 AS (SELECT vec_id, q, CASE
-           |    $argmin
-           |    ELSE ${k - 1} END AS cid FROM (
-           |  SELECT vec_id, q, $d1 FROM vq CROSS JOIN sb)),
-           |cent AS (SELECT cid, count(*) AS c, $sums FROM asg1 GROUP BY cid),
-           |mv AS (SELECT cid, [$means]::DOUBLE[] AS m FROM cent),
-           |cb AS (SELECT $mCols),
-           |asg2 AS (SELECT vec_id, v, q, CASE
-           |    $argmin
-           |    ELSE ${k - 1} END AS cell FROM (
-           |  SELECT vec_id, v, q, $d2 FROM vq CROSS JOIN cb)),
-           |geo AS (SELECT cid, m, ${sqlDotFold("m", "m")} AS mm, $mhCols FROM mv),
-           |cells AS (SELECT vec_id, v, cell,
-           |    $subSql AS sub
-           |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params),
-           |pairs AS (SELECT a.vec_id AS a_id, y.vec_id AS b_id,
-           |    ${sqlCosine("a.v", "y.v")} AS cosine
-           |  FROM cells a JOIN cells y
-           |    ON a.cell = y.cell AND a.sub = y.sub AND a.vec_id < y.vec_id),
-           |hits AS (SELECT a_id, b_id, cosine FROM pairs
-           |  WHERE cosine >= $NearDupThreshold),
-           |keep AS (SELECT b_id, min(a_id) AS keeper_id
-           |  FROM hits GROUP BY b_id)
-           |SELECT h.b_id AS vec_id, k.keeper_id, h.cosine
-           |FROM hits h JOIN keep k
-           |  ON h.b_id = k.b_id AND h.a_id = k.keeper_id""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH $semAllBlocksOracleCtes,
+         |pairs AS (SELECT a.vec_id AS a_id, y.vec_id AS b_id,
+         |    ${sqlCosine("a.v", "y.v")} AS cosine
+         |  FROM cells a JOIN cells y
+         |    ON a.cell = y.cell AND a.sub = y.sub AND a.vec_id < y.vec_id),
+         |hits AS (SELECT a_id, b_id, cosine FROM pairs
+         |  WHERE cosine >= $NearDupThreshold),
+         |keep AS (SELECT b_id, min(a_id) AS keeper_id
+         |  FROM hits GROUP BY b_id)
+         |SELECT h.b_id AS vec_id, k.keeper_id, h.cosine
+         |FROM hits h JOIN keep k
+         |  ON h.b_id = k.b_id AND h.a_id = k.keeper_id""".stripMargin) { (s, dir) =>
       val cells = kmeansSemBlocks(s, dir)
       val a = cells.select(col("vec_id").as("a_id"), col("v").as("av"),
         col("cell"), col("sub"))
@@ -1070,19 +1023,27 @@ object SimilarityQueries {
     * blocks into the bucketed index scan, cosine-verify. */
   private[graft] def semIndexProbeOf(s: SparkSession, dir: String,
       deltaRaw: DataFrame): DataFrame = {
-    val cbT = semCodebookTable(s, dir)
     val idx = semBlockIndexTable(s, dir)
-    val vq = deltaRaw
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
-    val deltaBlocks = assignSemBlocks(vq, cbT)
-      .select(col("vec_id").as("d_id"), col("v").as("dv"),
-        (col("cell") * lit(256) + col("sub")).as("block_key"))
+    val deltaBlocks = blocksOfRaw(deltaRaw, semCodebookTable(s, dir))
+      .select(col("vec_id").as("d_id"), col("v").as("dv"), col("block_key"))
     idx.join(broadcast(deltaBlocks), Seq("block_key"))
       .select(col("d_id"), col("vec_id").as("c_id"),
         cosine(col("dv"), col("v")).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
+  }
+
+  /** (vec_id, v, block_key) of raw embeddings-schema rows assigned
+    * through `codebook` — the folded single-column block key the
+    * bucketed index joins on. Shared by the q112 probe and the q114
+    * stream-grown index. */
+  private[graft] def blocksOfRaw(raw: DataFrame, codebook: DataFrame): DataFrame = {
+    val vq = raw
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
+    assignSemBlocks(vq, codebook)
+      .select(col("vec_id"), col("v"),
+        (col("cell") * lit(256) + col("sub")).as("block_key"))
   }
 
   /** The persisted codebook: (cid, m, n_corpus), trained once per
@@ -1108,6 +1069,59 @@ object SimilarityQueries {
         .select(col("vec_id"), col("v"),
           (col("cell") * lit(256) + col("sub")).as("block_key"))
     }
+
+  /** The q109/q114 shared oracle CTE prefix: the full Lloyd-trained
+    * block assignment (train on ALL vectors, seeds vec_id 0..7)
+    * restated in DuckDB through `cells(vec_id, v, cell, sub)` —
+    * centroid arithmetic CTE-for-CTE with the Spark plan. */
+  private[graft] lazy val semAllBlocksOracleCtes: String = {
+    val k = NumCells
+    val svCols = (0 until k)
+      .map(c => s"(SELECT q FROM vq WHERE vec_id = $c) AS sv$c")
+      .mkString(",\n    ")
+    val argmin = (0 until k - 1).map { c =>
+      val leLater = (c + 1 until k).map(j => s"d$c <= d$j").mkString(" AND ")
+      s"WHEN $leLater THEN $c"
+    }.mkString("\n    ")
+    val d1 = (0 until k)
+      .map(c => s"${sqlSqDistFold("q", s"sv$c")} AS d$c").mkString(",\n      ")
+    val sums = (0 until Dim).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
+    val means = (0 until Dim).map(i => s"s$i / c").mkString(", ")
+    val mCols = (0 until k)
+      .map(c => s"(SELECT m FROM mv WHERE cid = $c) AS m$c")
+      .mkString(",\n    ")
+    val d2 = (0 until k)
+      .map(c => s"${sqlSqDistFold("q", s"m$c")} AS d$c").mkString(",\n      ")
+    val mhCols = (0 until SemMaxSub).map { j =>
+      val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
+      s"${sqlDotFold("m", s"[$arr]::DOUBLE[]")} AS mh$j"
+    }.mkString(",\n    ")
+    val subSql = (0 until SemMaxSub).map { j =>
+      val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
+      s"CASE WHEN $j < pc AND ${sqlDotFold("q", s"[$arr]::DOUBLE[]")} * mm > " +
+        s"mh$j * ${sqlDotFold("q", "m")} THEN ${1 << j} ELSE 0 END"
+    }.mkString(" +\n      ")
+    s"""e AS ($sqlVecs),
+       |params AS (SELECT $sqlSemSubBits AS pc
+       |  FROM (SELECT count(*) AS n_corpus FROM e)),
+       |vq AS (SELECT vec_id, v, list_transform(v, x -> floor(x * 1024.0)) AS q FROM e),
+       |sb AS (SELECT $svCols),
+       |asg1 AS (SELECT vec_id, q, CASE
+       |    $argmin
+       |    ELSE ${k - 1} END AS cid FROM (
+       |  SELECT vec_id, q, $d1 FROM vq CROSS JOIN sb)),
+       |cent AS (SELECT cid, count(*) AS c, $sums FROM asg1 GROUP BY cid),
+       |mv AS (SELECT cid, [$means]::DOUBLE[] AS m FROM cent),
+       |cb AS (SELECT $mCols),
+       |asg2 AS (SELECT vec_id, v, q, CASE
+       |    $argmin
+       |    ELSE ${k - 1} END AS cell FROM (
+       |  SELECT vec_id, v, q, $d2 FROM vq CROSS JOIN cb)),
+       |geo AS (SELECT cid, m, ${sqlDotFold("m", "m")} AS mm, $mhCols FROM mv),
+       |cells AS (SELECT vec_id, v, cell,
+       |    $subSql AS sub
+       |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params)""".stripMargin
+  }
 
   /** The q110/q111 oracle: the full train-assign-probe pipeline
     * restated in DuckDB, centroid arithmetic CTE-for-CTE. */

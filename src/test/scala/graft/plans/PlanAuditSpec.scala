@@ -357,6 +357,25 @@ class PlanAuditSpec extends SparkSpec {
       s"q111's pinned probe join is ${outermost.map(_.nodeName)}, not sort-merge")
   }
 
+  test("q114's stream-grown block index keeps the bucket layout through appends") {
+    // the semantic mirror of the q107 invariant: insertInto must
+    // bucketize every micro-batch append per the catalog spec, and the
+    // post-drain compaction must hold the fragmentation bound
+    SparkEntry.queries("q114_stream_sem_index_bootstrap")(spark, sfDir).collect()
+    val idx = spark.table(
+      graft.queries.JvmScratch.tableName("stream_block_index"))
+    assert(idx.count() > 0, "stream-grown block index is empty after the drain")
+    val counts = DedupQueries.bucketFileCounts(spark,
+      graft.queries.JvmScratch.tableName("stream_block_index"))
+    assert(counts.nonEmpty && counts.values.forall(_ <= 2),
+      s"stream-grown block index left fragmented after the declared drain: $counts")
+    val joined = idx.hint("merge").join(idx, Seq("block_key"))
+    val smj = flatten(finalPlan(joined)).collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "merge-hinted self-join did not plan as sort-merge")
+    assert(!flatten(smj.get).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "Exchange under the stream-grown block index self-join — an append lost the bucket layout")
+  }
+
   test("q41 bucketed join plans with zero Exchange on either side") {
     val plan = finalPlan(SparkEntry.queries("q41_bucketed_join")(spark, sfDir))
     val smj = flatten(plan).collectFirst { case j: SortMergeJoinExec => j }

@@ -115,6 +115,36 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q114: replay neither double-appends matches nor double-inserts blocks") {
+    val cleanOut = DedupQueries.streamSemIndexBootstrap(spark, sfDir)
+      .orderBy("vec_id", "dup_of").collect().toSeq
+    val idx = JvmScratch.tableName("stream_block_index")
+    val cleanBlocks = spark.table(idx)
+      .select("vec_id", "block_key")
+      .orderBy("vec_id", "block_key").collect().toSeq
+    assert(cleanOut.nonEmpty && cleanBlocks.nonEmpty)
+
+    val scratch = (tmp("graft_rp114_src"), tmp("graft_rp114_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        DedupQueries.streamSemIndexBootstrap(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayedOut = DedupQueries
+        .streamSemIndexBootstrap(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("vec_id", "dup_of").collect().toSeq
+      assert(replayedOut == cleanOut,
+        s"replayed drain diverged: ${replayedOut.size} rows vs ${cleanOut.size}")
+      val replayedBlocks = spark.table(idx)
+        .select("vec_id", "block_key")
+        .orderBy("vec_id", "block_key").collect().toSeq
+      assert(replayedBlocks == cleanBlocks,
+        s"block index diverged after replay: ${replayedBlocks.size} vs ${cleanBlocks.size}")
+    } finally rm(scratch)
+  }
+
   test("stream-grown index: appends fragment buckets, compaction folds them to one file each") {
     // build WITHOUT the post-drain compaction to inspect the raw
     // accretion: 3 micro-batch appends x multiple write tasks leave
