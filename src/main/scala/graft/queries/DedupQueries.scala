@@ -1031,7 +1031,14 @@ object DedupQueries {
             val soFar = ss.table(idxTable).filter(col("batch_id") =!= batchId)
             val d = staged.select(col("vec_id").as("d_id"),
               col("v").as("dv"), col("block_key"))
-            soFar.join(broadcast(d), Seq("block_key"))
+            // the q112/q115 size gate, live per micro-batch: drops are
+            // delta-sized so broadcast is the steady state, but an
+            // oversized arrival falls back to the bucket merge-join
+            // (staged is checkpointed, so the gate count is one cheap job)
+            val large = staged.count() >
+              SimilarityQueries.SemDeltaBroadcastMaxVecs
+            (if (large) soFar.hint("merge").join(d, Seq("block_key"))
+             else soFar.join(broadcast(d), Seq("block_key")))
               .select(col("d_id").as("vec_id"), col("vec_id").as("dup_of"),
                 graft.functions.CrossEngine.cosine(col("dv"), col("v")).as("cosine"))
               .filter(col("cosine") >= SimilarityQueries.NearDupThreshold)

@@ -1002,31 +1002,63 @@ object SimilarityQueries {
       s"incremental semantic dedup against the PERSISTED block index: fingerprint-keyed durable codebook + 16-bucket block table, delta assigned via the re-read codebook and broadcast-probed, cosine >= $NearDupThreshold, lowest corpus id kept",
       semanticIncrementalOracle) { (s, dir) =>
       // staged once: hits feed the keeper argmin and the join-back
-      val hits = semIndexProbe(s, dir).localCheckpoint()
-      val keep = hits.groupBy("d_id").agg(min(col("c_id")).as("keeper_id"))
-      hits.join(keep, Seq("d_id"))
-        .filter(col("c_id") === col("keeper_id"))
-        .select(col("d_id").as("vec_id"), col("keeper_id"), col("cosine"))
+      keepLowest(semIndexProbe(s, dir).localCheckpoint())
+    },
+
+    // q112's over-broadcast-range route pinned on — the q111 treatment
+    // applied to the DURABLE index: when a day's crawl outgrows
+    // broadcast range, the delta blocks pay ONE shuffle into the
+    // index's own HashPartitioning(block_key, 16) layout and
+    // merge-join the bucketed scan, which still reads Exchange-free
+    // (the q41 bucket property). Identical semantics and oracle to
+    // q112; only the physical distribution decision differs.
+    QueryDef(
+      "q115_incremental_semantic_indexed_large",
+      s"LARGE-DELTA incremental semantic dedup against the PERSISTED block index: q112's over-broadcast-range route pinned on — delta blocks shuffle-joined (sort-merge on block_key) into the bucketed index scan with zero index-side Exchange, delta never broadcast; cosine >= $NearDupThreshold, lowest corpus id kept",
+      semanticIncrementalOracle) { (s, dir) =>
+      keepLowest(semIndexProbe(s, dir, forceLarge = Some(true)).localCheckpoint())
     })
+
+  /** The shared keeper tail of the durable-probe queries (q112/q115):
+    * lowest corpus id wins per delta vector, hits staged by the caller. */
+  private def keepLowest(hits: DataFrame): DataFrame = {
+    val keep = hits.groupBy("d_id").agg(min(col("c_id")).as("keeper_id"))
+    hits.join(keep, Seq("d_id"))
+      .filter(col("c_id") === col("keeper_id"))
+      .select(col("d_id").as("vec_id"), col("keeper_id"), col("cosine"))
+  }
 
   /** q112's probe stage, pre-staging: (d_id, c_id, cosine) hits of the
     * delta against the persisted block index. Exposed unstaged so
     * PlanAuditSpec can assert the plan that actually touches the index
     * (the localCheckpoint in the query body would hide it). */
-  private[graft] def semIndexProbe(s: SparkSession, dir: String): DataFrame =
+  private[graft] def semIndexProbe(s: SparkSession, dir: String,
+      forceLarge: Option[Boolean] = None): DataFrame =
     semIndexProbeOf(s, dir,
-      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7))
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7), forceLarge)
 
   /** The probe parameterized over the arriving rows (raw embeddings
     * schema), so the streaming drain (q113) can run it per micro-batch:
-    * assign `deltaRaw` through the re-read codebook, broadcast its
-    * blocks into the bucketed index scan, cosine-verify. */
+    * assign `deltaRaw` through the re-read codebook and join its
+    * blocks into the bucketed index scan, cosine-verify.
+    *
+    * SIZE-GATED like [[semanticIncrementalMatches]] and q93's probe:
+    * a delta-sized arrival (< [[SemDeltaBroadcastMaxVecs]] vectors —
+    * the gate count is one column-pruned scan of the delta ids)
+    * broadcasts its blocks into the bucketed scan, zero index-side
+    * Exchange. Past the gate the broadcast is dropped and the delta
+    * pays ONE shuffle into the index's own HashPartitioning(block_key,
+    * 16) layout — the bucketed side still reads Exchange-free.
+    * `forceLarge` pins the path for q115 and the plan audit. */
   private[graft] def semIndexProbeOf(s: SparkSession, dir: String,
-      deltaRaw: DataFrame): DataFrame = {
+      deltaRaw: DataFrame, forceLarge: Option[Boolean] = None): DataFrame = {
     val idx = semBlockIndexTable(s, dir)
+    val large = forceLarge.getOrElse(
+      deltaRaw.select("vec_id").count() > SemDeltaBroadcastMaxVecs)
     val deltaBlocks = blocksOfRaw(deltaRaw, semCodebookTable(s, dir))
       .select(col("vec_id").as("d_id"), col("v").as("dv"), col("block_key"))
-    idx.join(broadcast(deltaBlocks), Seq("block_key"))
+    (if (large) idx.hint("merge").join(deltaBlocks, Seq("block_key"))
+     else idx.join(broadcast(deltaBlocks), Seq("block_key")))
       .select(col("d_id"), col("vec_id").as("c_id"),
         cosine(col("dv"), col("v")).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)

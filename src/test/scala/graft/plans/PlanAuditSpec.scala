@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkSpec {
     "q109_semantic_dedup_kmeans" -> (3, 0), // same tail as q106
     "q110_incremental_semantic_dedup" -> (3, 0), // same tail, keyed by d_id
     "q111_incremental_semantic_large" -> (3, 0), // identical tail, pinned path
-    "q112_incremental_semantic_indexed" -> (3, 0)) // identical tail, durable index
+    "q112_incremental_semantic_indexed" -> (3, 0), // identical tail, durable index
+    "q115_incremental_semantic_indexed_large" -> (3, 0)) // identical tail, pinned durable path
 
   test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
     audited.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, minBhj)) =>
@@ -298,6 +299,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinIdx >= 0, "no join found above the block-index scan")
     assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
       s"probe join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the block-index scan and the probe join")
+  }
+
+  test("q115 large-delta durable probe: sort-merge into the bucketed index, zero index-side Exchange") {
+    // the q111 treatment on the DURABLE index: the pinned large path
+    // must NOT broadcast the delta — it merge-joins the bucketed scan,
+    // and the index side carries no Exchange (the delta alone pays the
+    // shuffle into the table's HashPartitioning(block_key, 16))
+    val plan = finalPlan(graft.queries.SimilarityQueries
+      .semIndexProbe(spark, sfDir, forceLarge = Some(true)))
+    def isBlockScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("sem_blocks")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("sem_blocks"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isBlockScan),
+      "q115's plan does not read the persisted sem_blocks table")
+    val path = pathTo(plan, isBlockScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the block-index scan")
+    assert(path(joinIdx).isInstanceOf[SortMergeJoinExec],
+      s"pinned probe join is ${path(joinIdx).getClass.getSimpleName}, not sort-merge")
     assert(!path.drop(joinIdx + 1).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
       "index-side Exchange between the block-index scan and the probe join")
