@@ -58,13 +58,19 @@ object DedupQueries {
     * by q86 and the q100 corpus pipeline (hash collisions are mirrored
     * by the oracle, which hashes identically). */
   private[queries] def spanHashes13(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    spanHashes13Of(Tables.documents(s, dir)).localCheckpoint()
+
+  /** The 13-gram span-hash stage parameterized over the document rows
+    * (doc_id, text, ...), unstaged — shared by the batch q86/q91
+    * pipeline and the q116 streaming drain, which span-hashes each
+    * arriving micro-batch through the same expressions. */
+  private[queries] def spanHashes13Of(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 13)
       .select(col("doc_id"), explode(shinglesOf(col("t"), 13)).as("sg"))
       .select(col("doc_id"), md5Hash48(col("sg")).as("h"))
       .distinct()
-      .localCheckpoint()
 
   /** Oracle CTEs `toks13`/`sh13(doc_id, h)` — the SQL twin of
     * [[spanHashes13]]. */
@@ -74,6 +80,17 @@ object DedupQueries {
        |sh13 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash48("sg")} AS h
        |         FROM (SELECT doc_id, unnest(${sqlShingles("t", 13)}) AS sg
        |               FROM toks13))""".stripMargin
+
+  /** The q86/q116 shared oracle: every (corpus doc, bench doc) pair
+    * sharing at least one 13-gram span hash, with the distinct-hash
+    * overlap count. The streaming form reuses it verbatim — its final
+    * table must equal the batch result exactly. */
+  private[queries] lazy val decontaminateOracle: String =
+    s"""WITH $sqlSh13Ctes,
+       |bench AS (SELECT doc_id AS bench_id, h FROM sh13 WHERE doc_id % 5 = 0)
+       |SELECT a.doc_id, b.bench_id, count(*) AS n_shared
+       |FROM sh13 a JOIN bench b ON a.h = b.h AND a.doc_id <> b.bench_id
+       |GROUP BY a.doc_id, b.bench_id""".stripMargin
 
   /** (doc_id, band_idx, band_key): the per-doc LSH band index — the
     * thing a production pipeline stages as a bucketed table and every
@@ -488,11 +505,7 @@ object DedupQueries {
     QueryDef(
       "q86_decontaminate",
       "benchmark decontamination: corpus docs sharing any 13-gram with the benchmark slice (doc_id % 5 = 0), via broadcast equi-join on 48-bit span hashes — n_shared counts distinct shared hashes (collision-conflating, mirrored by the oracle)",
-      s"""WITH $sqlSh13Ctes,
-         |bench AS (SELECT doc_id AS bench_id, h FROM sh13 WHERE doc_id % 5 = 0)
-         |SELECT a.doc_id, b.bench_id, count(*) AS n_shared
-         |FROM sh13 a JOIN bench b ON a.h = b.h AND a.doc_id <> b.bench_id
-         |GROUP BY a.doc_id, b.bench_id""".stripMargin) { (s, dir) =>
+      decontaminateOracle) { (s, dir) =>
       // 48-bit span hashes, not 100-byte 13-gram strings, cross the
       // broadcast + join; staged once (spanHashes13) so the bench slice
       // is a filter over the same materialization, not a second pass
@@ -698,6 +711,28 @@ object DedupQueries {
          | AND d.vec_id % 3 > c.vec_id % 3
          |WHERE ${sqlCosine("d.v", "c.v")} >= ${SimilarityQueries.NearDupThreshold}""".stripMargin) { (s, dir) =>
       streamSemIndexBootstrap(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Streaming decontamination — the q86 contract LIVE, extending the
+    // streaming treatment to the third probe family. The role split is
+    // the reverse of q105's: the BENCHMARK span-hash set is the small
+    // standing artifact (eval sets are a few thousand docs and change
+    // rarely — staged ONCE up front, the q114 codebook treatment), and
+    // the CORPUS is what arrives. All documents stream in 3 drops;
+    // each micro-batch is 13-gram span-hashed through the same
+    // expressions as the batch query and broadcast-joined against the
+    // staged benchmark table, its contamination rows landing as a
+    // dynamic overwrite of the batch's own sink partition (replay-
+    // idempotent). Batch-local counts are globally correct because the
+    // drops partition docs — a doc's hashes never split across
+    // batches — and the benchmark side is static. Final table ==
+    // batch q86 exactly (verbatim oracle).
+    QueryDef(
+      "q116_stream_decontaminate",
+      "STREAMING benchmark decontamination: benchmark 13-gram span hashes staged once up front, corpus streamed in 3 drops, each micro-batch span-hashed and broadcast-joined against the staged benchmark set — final table == batch q86 exactly",
+      decontaminateOracle) { (s, dir) =>
+      streamDecontaminate(s, dir)
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
@@ -1058,6 +1093,73 @@ object DedupQueries {
       if (compact) compactBucketedIndex(s, idxTable,
         Seq("vec_id", "v", "block_key"), "block_key"): Unit
       s.table(outTable).select("vec_id", "dup_of", "cosine")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
+  /** q116's body: streaming decontamination — q105's drain shape with
+    * the per-micro-batch work swapped for the q86 probe. The benchmark
+    * span-hash set is staged ONCE before the stream starts (the small,
+    * rarely-changing side — at 100 TB it is a few thousand eval docs,
+    * always broadcast range); the corpus arrives as 3 drops. Per
+    * batch: span-hash the arriving docs through the same expressions
+    * as batch q86, broadcast-join the staged benchmark table, count
+    * distinct shared hashes per (doc, bench doc) pair. Batch-local
+    * aggregation is globally exact: the drops partition docs, so a
+    * doc's span hashes never split across batches. Test hooks as in
+    * [[streamIncrementalDedup]]. */
+  private[graft] def streamDecontaminate(s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val docs = Tables.documents(s, dir)
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q116_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q116_ckpt").toString))
+    val benchTable = JvmScratch.tableName("stream_bench_hashes")
+    val outTable = JvmScratch.tableName("stream_decon_out")
+    try {
+      if (!resume) {
+        // the whole corpus as 3 drops (batch independence makes the
+        // processing order irrelevant here — the probe side is static)
+        (0 until 3).foreach { i =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === i)
+            .select("doc_id", "text")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_bench_hashes")
+        JvmScratch.resetTable(s, "stream_decon_out")
+        // the standing artifact: benchmark span hashes, staged once
+        spanHashes13Of(docs.filter(col("doc_id") % 5 === 0))
+          .withColumnRenamed("doc_id", "bench_id")
+          .withColumnRenamed("h", "bh")
+          .coalesce(1).write.format("parquet").saveAsTable(benchTable)
+        createBatchSink(s, outTable, Seq(
+          "doc_id" -> "bigint", "bench_id" -> "bigint", "n_shared" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            spanHashes13Of(batch)
+              .join(broadcast(ss.table(benchTable)),
+                col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
+              .groupBy(col("doc_id"), col("bench_id"))
+              .agg(count(lit(1)).as("n_shared"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      s.table(outTable).select("doc_id", "bench_id", "n_shared")
     } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
   }
 

@@ -115,6 +115,27 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q116: a replayed decontamination micro-batch does not double-count overlaps") {
+    val clean = DedupQueries.streamDecontaminate(spark, sfDir)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q116 run found no contamination — test is vacuous")
+
+    val scratch = (tmp("graft_rp116_src"), tmp("graft_rp116_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        DedupQueries.streamDecontaminate(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = DedupQueries
+        .streamDecontaminate(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q114: replay neither double-appends matches nor double-inserts blocks") {
     val cleanOut = DedupQueries.streamSemIndexBootstrap(spark, sfDir)
       .orderBy("vec_id", "dup_of").collect().toSeq
