@@ -35,6 +35,48 @@ object SketchQueries {
   /** Histogram-sketch bin width over o_totalprice (range ~[850, 560k]). */
   private val QWidth = 10000L
 
+  /** q117 heavy-hitter mining: count-min gate sized for support 1/HHSupport
+    * (w ~ 1.6/support keeps collision noise under the threshold, the
+    * textbook CMS sizing), trigram shingles over documents.text. */
+  private val HHDepth = 4
+  private val HHWidth = 32768
+  private[queries] val HHSupport = 20000L
+
+  /** q117's gate: trigram occurrences that survive the count-min hot-cell
+    * filter, plus the one-row corpus total. The gated stream is a
+    * SUPERSET of the true heavy hitters (CMS never underestimates), so
+    * the exact recount downstream is exact; pruning quality is the only
+    * thing the gate hash affects. Shared with TechniqueSpec, which
+    * asserts the superset and the pruning. */
+  private[queries] def hhGatedOccurrences(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val occ = Tables.documents(s, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(shinglesOf(col("t"), 3)).as("gram"))
+    val withCells = occ.select(col("gram") +: (0 until HHDepth).map(d =>
+      pmod(xxhash64(lit(d), col("gram")), lit(HHWidth.toLong)).as(s"c$d")): _*)
+    // pass 1: the grid. Explode to (depth, cell) pairs; partial
+    // aggregation collapses them to <= d*w rows per task pre-shuffle.
+    val grid = withCells
+      .select(explode(array((0 until HHDepth).map(d =>
+        struct(lit(d).as("d"), col(s"c$d").as("cell"))): _*)).as("dc"))
+      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // total + 4 hot-cell sides read one grid build
+    // the corpus total, read off the sketch (depth 0 sums every
+    // occurrence) — no third scan of the documents
+    val total = grid.filter(col("d") === 0).agg(sum(col("c")).as("total"))
+    val hot = grid.crossJoin(broadcast(total))
+      .filter(col("c") * HHSupport >= col("total"))
+    // pass 2: gate = all d cells hot (min-over-depths >= threshold)
+    val gated = (0 until HHDepth).foldLeft(withCells) { (acc, d) =>
+      acc.join(broadcast(hot.filter(col("d") === d).select(col("cell").as(s"c$d"))),
+        Seq(s"c$d"), "left_semi")
+    }
+    (gated.select("gram"), total)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q46_countmin_sketch",
@@ -203,6 +245,43 @@ object SketchQueries {
         .groupBy("p", "target_rank").agg(min(col("bin")).as("qbin"))
         .select(col("p"), col("target_rank"),
           ((col("qbin") + 1) * QWidth).cast("long").as("est_upper_bound"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sketch-GATED exact heavy hitters — the two-pass frequent-pattern
+    // shape (boilerplate/over-represented-n-gram mining) that survives
+    // 100 TB: an exact `groupBy(gram)` shuffles every distinct n-gram
+    // (billions at corpus scale, heavy-tailed); here a count-min grid
+    // gates the shuffle instead. (q62 is the complementary bounded-
+    // vocabulary case — plain top-k where the key domain is small; this
+    // is the UNBOUNDED key domain, where the sketch bounds the shuffle.) Pass 1 builds the grid (one map-side-
+    // combinable groupBy, O(d*w) state); cells with count >= threshold
+    // ("hot cells", at most ~support^-1 * collision slack per depth)
+    // broadcast; pass 2 admits an occurrence into the exact recount only
+    // if ALL its d cells are hot — 4 chained broadcast semi-joins, O(1)
+    // hash probes in one codegen stage. CMS never underestimates, so the
+    // gate passes a superset of the true heavy hitters and the exact
+    // recount + final threshold make the output EXACT — the DuckDB
+    // oracle is the plain exact aggregation, with no sketch in sight.
+    // (The gate hash therefore needs no cross-engine twin: a wrong hash
+    // could only hurt pruning, never correctness — it uses native
+    // xxhash64, unlike the oracle-visible sketches above.)
+    QueryDef(
+      "q117_heavy_hitters",
+      s"sketch-gated exact heavy hitters over trigram shingles: ${HHDepth}x$HHWidth count-min grid -> hot-cell broadcast gate (no false negatives) -> exact recount of survivors at support 1/$HHSupport; shuffle carries near-frequent grams only",
+      s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM d),
+         |t AS (SELECT count(*) AS total FROM g)
+         |SELECT gram, count(*) AS n_occurrences
+         |FROM g CROSS JOIN t
+         |GROUP BY gram, total
+         |HAVING count(*) * $HHSupport >= total""".stripMargin) { (s, dir) =>
+      val (gated, total) = hhGatedOccurrences(s, dir)
+      gated.groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_occurrences") * HHSupport >= col("total"))
+        .select(col("gram"), col("n_occurrences"))
     },
 
     // ------------------------------------------------------------------

@@ -47,6 +47,30 @@ class TechniqueSpec extends SparkSpec {
     assert(cms.count() > 0)
   }
 
+  test("q117 gate passes a superset of the heavy hitters and actually prunes") {
+    import graft.queries.SketchQueries
+    val docs = Tables.documents(spark, sfDir)
+      .select(graft.functions.CrossEngine.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val all = docs.select(explode(
+      graft.functions.CrossEngine.shinglesOf(col("t"), 3)).as("gram"))
+    val totalN = all.count()
+    val exact = all.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") * SketchQueries.HHSupport >= totalN)
+    val (gated, _) = SketchQueries.hhGatedOccurrences(spark, sfDir)
+    val gatedGrams = gated.distinct()
+    // no false negatives: every true heavy hitter survives the gate
+    assert(exact.join(gatedGrams, Seq("gram"), "left_anti").count() == 0)
+    // and the gate is not vacuous: it prunes a real fraction of the vocab
+    val vocab = all.distinct().count()
+    val kept = gatedGrams.count()
+    assert(kept < vocab, s"gate kept all $vocab grams")
+    // end-to-end result equals the ungated exact computation
+    val q = SparkEntry.queries("q117_heavy_hitters")(spark, sfDir)
+      .withColumnRenamed("n_occurrences", "n")
+    assert(q.exceptAll(exact).isEmpty && exact.exceptAll(q).isEmpty)
+  }
+
   test("bucketed as-of join equals the keyed variant and shuffles on (key, bucket)") {
     val bucketed = SparkEntry.queries("q52_asof_bucketed")(spark, sfDir)
     val keyed = SparkEntry.queries("q43_asof_join")(spark, sfDir)
