@@ -22,9 +22,51 @@ object SamplingQueries {
     * shards). */
   private val TokenBudget = 2048L
 
+  /** q118 context-window length (tokens): small enough that every sf
+    * gate produces a multi-window packing with split documents. */
+  private[queries] val CtxWindow = 512L
+
   private val UniformK = 50
   private val PerStratumK = 10
   private[queries] val Salt = "graft-sample-1"
+
+  /** Global EXCLUSIVE running token sum in doc_id order — the two-pass
+    * shape shared by q98 (shard packing) and q118 (context packing): a
+    * naive `sum() OVER (ORDER BY doc_id)` is a single-partition global
+    * sort; this is range-partition + sort-within (one balanced
+    * shuffle), a one-long-per-partition totals job, driver-side
+    * offsets (numShufflePartitions entries, not rows), then a map-side
+    * pass attaching each partition's running sum on top of its offset.
+    * Returns (doc_id, n_tokens, cumx). */
+  private def withTokenPrefixSum(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val parts = s.sessionState.conf.numShufflePartitions
+    val sorted = base
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint() // totals and assignment must see the same blocks
+    val totals = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.map(_.getLong(1)).sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+    val outSchema = sorted.schema.add(StructField("cumx", LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val n = r.getLong(1)
+        val c = acc
+        acc += n
+        Row(r.getLong(0), n, c)
+      }
+    }
+    s.createDataFrame(rows, outSchema)
+  }
 
   /** Salted split bucket 0-9 of a doc_id column — the q87 assignment,
     * shared with the q100 corpus pipeline. */
@@ -120,32 +162,50 @@ object SamplingQueries {
          |SELECT doc_id, n_tokens,
          |  CAST(floor(cumx / $TokenBudget.0) AS BIGINT) AS shard
          |FROM c""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{LongType, StructField}
-      val base = Tables.documents(s, dir).select(col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
-      val parts = s.sessionState.conf.numShufflePartitions
-      val sorted = base
-        .repartitionByRange(parts, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .localCheckpoint() // totals and assignment must see the same blocks
-      val totals = sorted.rdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          Iterator.single((pid, it.map(_.getLong(1)).sum))
-        }
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
-      val outSchema = sorted.schema.add(StructField("shard", LongType, nullable = false))
-      val packed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var acc = offsets(pid)
-        it.map { r =>
-          val n = r.getLong(1)
-          val shard = acc / TokenBudget // non-negative long div == floor
-          acc += n
-          Row(r.getLong(0), n, shard)
-        }
-      }
-      s.createDataFrame(packed, outSchema)
+      withTokenPrefixSum(s, dir).select(col("doc_id"), col("n_tokens"),
+        // non-negative long div == floor
+        expr(s"cumx div $TokenBudget").as("shard"))
+    },
+
+    // ------------------------------------------------------------------
+    // Context-window packing — the OTHER packing a trainer needs (q98
+    // fills shards; this fills the model's context): concatenate the
+    // corpus in stable doc_id order and chunk it into fixed
+    // CtxWindow-token training sequences, the GPT-style concat-and-
+    // chunk step. A document spans windows floor(cumx/W) ..
+    // floor((cumx+n-1)/W) — usually one or two rows via an explode over
+    // that (tiny) range — and contributes the overlap of its token
+    // interval with each window. Per-window sums are exactly W (the
+    // packing has zero padding by construction except the final
+    // window), which the spec asserts. Scale shape: the global running
+    // sum is the shared q98 two-pass (no single-partition window); the
+    // rest is a stateless projection + bounded explode.
+    QueryDef(
+      "q118_context_packing",
+      s"concat-and-chunk context packing: documents chunked into $CtxWindow-token training windows via the q98 two-pass global prefix sum; output = (window, doc, tokens contributed), boundary docs split across adjacent windows",
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens AS BIGINT) AS cumx
+         |  FROM d),
+         |e AS (SELECT doc_id, n_tokens, cumx,
+         |    unnest(range(cumx // $CtxWindow,
+         |                 (cumx + n_tokens - 1) // $CtxWindow + 1)) AS window_id
+         |  FROM c)
+         |SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+         |  CAST(least(cumx + n_tokens, (window_id + 1) * $CtxWindow)
+         |     - greatest(cumx, window_id * $CtxWindow) AS BIGINT) AS tok_in_window
+         |FROM e""".stripMargin) { (s, dir) =>
+      withTokenPrefixSum(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("cumx"),
+          explode(sequence(expr(s"cumx div $CtxWindow"),
+            expr(s"(cumx + n_tokens - 1) div $CtxWindow"))).as("window_id"))
+        .select(col("window_id"), col("doc_id"),
+          (least(col("cumx") + col("n_tokens"), (col("window_id") + 1) * CtxWindow)
+            - greatest(col("cumx"), col("window_id") * CtxWindow))
+            .as("tok_in_window"))
     },
 
     // ------------------------------------------------------------------

@@ -71,6 +71,23 @@ class TechniqueSpec extends SparkSpec {
     assert(q.exceptAll(exact).isEmpty && exact.exceptAll(q).isEmpty)
   }
 
+  test("q118 context packing: every window full except the last, per-doc coverage exact") {
+    import graft.queries.SamplingQueries
+    val p = SparkEntry.queries("q118_context_packing")(spark, sfDir).cache()
+    val w = p.groupBy("window_id").agg(sum(col("tok_in_window")).as("s"))
+    val lastW = w.agg(max(col("window_id"))).head.getLong(0)
+    assert(lastW > 10, "expected a multi-window packing at sf0.001")
+    // zero padding by construction: every non-final window holds exactly W
+    assert(w.filter(col("window_id") < lastW &&
+      col("s") =!= SamplingQueries.CtxWindow).count() == 0)
+    // a document's window contributions sum back to its token count
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      size(graft.functions.CrossEngine.tokens(col("text"))).cast("long").as("n"))
+    val per = p.groupBy("doc_id").agg(sum(col("tok_in_window")).as("s"))
+    assert(per.join(docs, "doc_id").filter(col("s") =!= col("n")).count() == 0)
+    p.unpersist()
+  }
+
   test("bucketed as-of join equals the keyed variant and shuffles on (key, bucket)") {
     val bucketed = SparkEntry.queries("q52_asof_bucketed")(spark, sfDir)
     val keyed = SparkEntry.queries("q43_asof_join")(spark, sfDir)
