@@ -360,5 +360,47 @@ object TextQueries {
           md5Hash48(concat_ws(" ",
             slice(t, (col("chunk_idx") * stride + 1).cast("int"), lit(win))))
             .as("chunk_hash"))
+    },
+
+    // ------------------------------------------------------------------
+    // Filter-funnel attrition report — the audit every quality cascade
+    // ships with: which rule removed how much, per language. Rules are
+    // ORDERED (a doc is attributed to the FIRST rule it fails — funnel
+    // semantics, so stage counts sum to the corpus and stages are
+    // disjoint), built from the q19 stat expressions: minimum length,
+    // stopword presence, token-shape bound. Scale shape: ONE scan, all
+    // rules fused into a single codegen'd CASE (not one pass per rule —
+    // the difference between 1x and Rx the corpus I/O at 100 TB), then
+    // a map-side-combinable count into |langs| x |stages| rows.
+    QueryDef(
+      "q119_filter_funnel",
+      "quality-filter funnel: first-failing-rule attribution (min_tokens >= 20 -> has_stopword -> mean_token_len <= 5.0) fused into one scan + one tiny aggregate; per-(lang, stage) attrition counts",
+      s"""WITH s AS (SELECT lang,
+         |    len(string_split(text, ' ')) AS nt,
+         |    len(list_filter(string_split(text, ' '),
+         |        t -> t IN (${sqlList(stopEn)}))) AS ns,
+         |    (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+         |      / len(string_split(text, ' ')) AS mtl
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN nt < 20 THEN 'fail_min_tokens'
+         |       WHEN ns = 0 THEN 'fail_no_stopwords'
+         |       WHEN mtl > 5.0 THEN 'fail_token_shape'
+         |       ELSE 'pass' END AS stage,
+         |  count(*) AS n_docs
+         |FROM s GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val stopArr = array(stopEn.map(lit): _*)
+      Tables.documents(s, dir)
+        .select(col("lang"), size(toks).as("nt"),
+          size(filter(toks, t => array_contains(stopArr, t))).as("ns"),
+          ((length(col("text")) - size(toks) + 1).cast("double") / size(toks))
+            .as("mtl"))
+        .select(col("lang"),
+          when(col("nt") < 20, "fail_min_tokens")
+            .when(col("ns") === 0, "fail_no_stopwords")
+            .when(col("mtl") > 5.0, "fail_token_shape")
+            .otherwise("pass").as("stage"))
+        .groupBy("lang", "stage").agg(count(lit(1)).as("n_docs"))
     })
 }
