@@ -743,7 +743,7 @@ object DedupQueries {
     * batch_id-partitioned sinks need DYNAMIC partition overwrite so a
     * replayed micro-batch rewrites exactly its own partition. The
     * stream's cloned session inherits both at start. */
-  private def withStreamConfs[T](s: SparkSession)(body: => T): T = {
+  private[queries] def withStreamConfs[T](s: SparkSession)(body: => T): T = {
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     val oldMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.shuffle.partitions",
@@ -756,7 +756,7 @@ object DedupQueries {
     }
   }
 
-  private def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
+  private[queries] def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)): Unit)
 
   /** Pre-create an EMPTY batch_id-partitioned parquet sink so every
@@ -765,7 +765,7 @@ object DedupQueries {
     * delivery contract is at-least-once: a plain append would
     * double-write a batch replayed after a pre-commit crash; keying
     * the write by the (replay-stable) batchId makes it idempotent. */
-  private def createBatchSink(s: SparkSession, table: String,
+  private[queries] def createBatchSink(s: SparkSession, table: String,
       dataCols: Seq[(String, String)]): Unit = {
     val schema = org.apache.spark.sql.types.StructType(
       (dataCols :+ ("batch_id" -> "bigint")).map { case (n, t) =>

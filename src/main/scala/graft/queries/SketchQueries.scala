@@ -35,6 +35,133 @@ object SketchQueries {
   /** Histogram-sketch bin width over o_totalprice (range ~[850, 560k]). */
   private val QWidth = 10000L
 
+  /** The (event_type, k) projection shared by q51/q120/q121:
+    * k = user:day, the DAU key. */
+  private def evKeys(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.select(col("event_type"), concat(col("user_id").cast("string"), lit(":"),
+      to_date(col("ts")).cast("string")).as("k"))
+
+  /** The q51 register build — the sketch itself: one partial-agg-
+    * friendly max per (event_type, bucket) cell. Because max is
+    * associative and commutative, registers of a UNION of datasets ==
+    * cellwise max of their registers: the mergeability q120/q121 lean
+    * on (sketch the delta, never rescan the standing corpus). */
+  private[queries] def hllRegisters(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    evKeys(ev).select(col("event_type"), md5Hash48(col("k")).as("h"))
+      .select(col("event_type"), (col("h") % HllM).as("bucket"),
+        expr(s"h div $HllM").as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, lit(HllMaxRho))
+          .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("reg"))
+
+  /** q120/q121 shared oracle: the q51 estimate over the FULL events
+    * table (no truth column — an incremental estimator never rescans
+    * the corpus, so exact truth is not part of its contract). Both the
+    * merged standing+delta registers (q120) and the merged per-micro-
+    * batch registers (q121) must reproduce it EXACTLY: sketch-of-union
+    * == merge-of-sketches is an identity, not an approximation. */
+  private val hllFullCorpusOracle: String =
+    s"""WITH ev AS (SELECT event_type,
+       |    user_id::VARCHAR || ':' || CAST(ts::DATE AS VARCHAR) AS k FROM events),
+       |h AS (SELECT event_type, ${sqlMd5Hash48("k")} AS h FROM ev),
+       |b AS (SELECT event_type, h % $HllM AS bucket, h // $HllM AS w FROM h),
+       |r AS (SELECT event_type, bucket,
+       |    max(CASE WHEN w = 0 THEN $HllMaxRho
+       |             ELSE bit_count((w & -w) - 1) + 1 END) AS reg
+       |  FROM b GROUP BY 1, 2),
+       |grid AS (SELECT event_type, bucket
+       |  FROM (SELECT DISTINCT event_type FROM events)
+       |  CROSS JOIN (SELECT unnest(range($HllM)) AS bucket)),
+       |regs AS (SELECT grid.event_type, coalesce(reg, 0) AS reg
+       |  FROM grid LEFT JOIN r ON grid.event_type = r.event_type
+       |                       AND grid.bucket = r.bucket),
+       |agg AS (SELECT event_type,
+       |    sum((1::BIGINT << ($HllMaxRho - reg)))::BIGINT AS isum,
+       |    sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::BIGINT AS nonzero_regs
+       |  FROM regs GROUP BY 1)
+       |SELECT event_type,
+       |  CAST('$HllA' AS DOUBLE) * (1::BIGINT << $HllMaxRho) / isum AS hll_estimate,
+       |  nonzero_regs
+       |FROM agg""".stripMargin
+
+  /** q121's body: register maintenance live. Mirrors the
+    * [[DedupQueries]] drain shape (checkpointed AvailableNow,
+    * maxFilesPerTrigger=1, batch_id-partitioned idempotent sink); the
+    * per-batch work is just [[hllRegisters]] — sketching IS the only
+    * state a streaming statistics job needs to write.
+    *
+    * Test hooks as in DedupQueries.streamIncrementalDedup: `chaos` runs
+    * after a batch's write but before its checkpoint commit (throwing
+    * simulates a crash that forces an at-least-once replay); `scratch`
+    * pins the staging/checkpoint dirs; `resume` skips re-staging so a
+    * restart drains the SAME checkpoint. */
+  private[queries] def streamHllMaintain(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    // stage the NORMALIZED events (ts as a real timestamp): the staged
+    // copy then round-trips through parquet without the nano-long shape
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "user_id", "ts")
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q121_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q121_ckpt").toString))
+    val outTable = JvmScratch.tableName("stream_hll_regs")
+    try {
+      if (!resume) {
+        (0 until 3).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_hll_regs")
+        createBatchSink(s, outTable, Seq(
+          "event_type" -> "string", "bucket" -> "bigint", "reg" -> "int"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            hllRegisters(batch)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      val merged = s.table(outTable)
+        .groupBy("event_type", "bucket").agg(max(col("reg")).as("reg"))
+      hllEstimateOf(s, merged)
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
+  /** The q51 estimate over a (possibly merged) register table: dense
+    * grid fill (empty buckets are reg=0), exact-integer harmonic sum,
+    * one final double multiply+divide. */
+  private[queries] def hllEstimateOf(s: org.apache.spark.sql.SparkSession,
+      regs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grid = regs0.select("event_type").distinct()
+      .crossJoin(broadcast(s.range(HllM).select(col("id").cast("int").as("bucket"))))
+    val regs = grid.join(regs0, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), coalesce(col("reg"), lit(0)).as("reg"))
+    regs.groupBy("event_type")
+      .agg(sum(expr(s"shiftleft(cast(1 as bigint), $HllMaxRho - reg)")).as("isum"),
+        sum(when(col("reg") > 0, 1L).otherwise(0L)).as("nonzero_regs"))
+      .select(col("event_type"),
+        (lit(HllA.toDouble) * expr(s"shiftleft(cast(1 as bigint), $HllMaxRho)")
+          / col("isum")).as("hll_estimate"),
+        col("nonzero_regs"))
+  }
+
   /** q117 heavy-hitter mining: count-min gate sized for support 1/HHSupport
     * (w ~ 1.6/support keeps collision noise under the threshold, the
     * textbook CMS sizing), trigram shingles over documents.text. */
@@ -164,33 +291,59 @@ object SketchQueries {
          |  CAST('$HllA' AS DOUBLE) * (1::BIGINT << $HllMaxRho) / isum AS hll_estimate,
          |  nonzero_regs
          |FROM truth JOIN agg USING (event_type)""".stripMargin) { (s, dir) =>
-      val ev = Tables.events(s, dir).select(col("event_type"),
-        concat(col("user_id").cast("string"), lit(":"),
-          to_date(col("ts")).cast("string")).as("k"))
-      val hashed = ev.select(col("event_type"), md5Hash48(col("k")).as("h"))
-      // the register build+merge: one partial-agg-friendly max per cell
-      val regs0 = hashed
-        .select(col("event_type"), (col("h") % HllM).as("bucket"),
-          expr(s"h div $HllM").as("w"))
-        .select(col("event_type"), col("bucket"),
-          when(col("w") === 0, lit(HllMaxRho))
-            .otherwise(expr("bit_count((w & -w) - 1) + 1")).as("rho"))
-        .groupBy("event_type", "bucket").agg(max(col("rho")).as("reg"))
-      // empty buckets are reg=0 rows, materialized from the dense grid
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(s.range(HllM).select(col("id").cast("int").as("bucket"))))
-      val regs = grid.join(regs0, Seq("event_type", "bucket"), "left")
-        .select(col("event_type"), coalesce(col("reg"), lit(0)).as("reg"))
-      val agg = regs.groupBy("event_type")
-        .agg(sum(expr(s"shiftleft(cast(1 as bigint), $HllMaxRho - reg)")).as("isum"),
-          sum(when(col("reg") > 0, 1L).otherwise(0L)).as("nonzero_regs"))
-      val truth = ev.groupBy("event_type")
+      val ev = Tables.events(s, dir)
+      val est = hllEstimateOf(s, hllRegisters(ev))
+      val truth = evKeys(ev).groupBy("event_type")
         .agg(countDistinct(col("k")).as("true_distinct"))
-      truth.join(agg, Seq("event_type"))
-        .select(col("event_type"), col("true_distinct"),
-          (lit(HllA.toDouble) * expr(s"shiftleft(cast(1 as bigint), $HllMaxRho)")
-            / col("isum")).as("hll_estimate"),
-          col("nonzero_regs"))
+      truth.join(est, Seq("event_type"))
+        .select("event_type", "true_distinct", "hll_estimate", "nonzero_regs")
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental statistics maintenance — the sketch family's q93: the
+    // standing corpus's HLL registers are a PERSISTED artifact (built
+    // once per JVM per source, a catalog table at 100 TB maintained by
+    // the ingest job); a delta arrives and only the DELTA is sketched.
+    // Merge = cellwise max over two register tables (O(types x m) rows,
+    // corpus-size-independent), and because max is associative and
+    // commutative, merged registers == full-corpus registers EXACTLY —
+    // the oracle is the full-corpus q51 estimate, hash-exact, while the
+    // incremental cost is one delta scan plus a sketch-sized merge.
+    // This is why mergeable sketches (not exact distinct counts) are
+    // what a 100 TB pipeline keeps as standing statistics.
+    QueryDef(
+      "q120_incremental_hll",
+      s"incremental distinct-count maintenance: standing HLL registers persisted (built once per JVM), delta (event_id%10==7) sketched alone, cellwise-max merge -> estimate == full-corpus q51 estimate exactly (mergeability is an identity, not an approximation)",
+      hllFullCorpusOracle) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val standing = ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
+      val delta = ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      val short = s"hll_standing_${Integer.toHexString(dir.hashCode)}"
+      JvmScratch.ensure(s)
+      val standingTable = JvmScratch.tableName(short)
+      if (!s.catalog.tableExists(standingTable))
+        hllRegisters(standing).write.format("parquet").saveAsTable(standingTable)
+      val merged = s.table(standingTable).unionByName(hllRegisters(delta))
+        .groupBy("event_type", "bucket").agg(max(col("reg")).as("reg"))
+      hllEstimateOf(s, merged)
+    },
+
+    // ------------------------------------------------------------------
+    // Streaming statistics maintenance — the sketch family's q105: the
+    // register table grown BY THE STREAM. Events arrive as 3 drops;
+    // each micro-batch is sketched alone inside foreachBatch and lands
+    // in its own batch_id partition of the register sink (dynamic
+    // overwrite -> replay-idempotent: registers are a pure function of
+    // the batch, so an at-least-once redelivery rewrites identical
+    // rows). The post-drain estimate merges ALL partitions cellwise —
+    // and equals the full-corpus q51 estimate exactly, same oracle as
+    // q120. The steady state this models: per-ingest-batch sketch
+    // shards appended forever, merged on read in O(batches x m).
+    QueryDef(
+      "q121_stream_hll",
+      "streaming distinct-count maintenance: 3 event drops -> checkpointed AvailableNow drain, per-micro-batch HLL registers into batch_id partitions (replay-idempotent), cellwise-max merge on read == full-corpus q51 estimate exactly",
+      hllFullCorpusOracle) { (s, dir) =>
+      streamHllMaintain(s, dir)
     },
 
     // ------------------------------------------------------------------

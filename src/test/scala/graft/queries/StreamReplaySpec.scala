@@ -61,6 +61,27 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q121: a replayed register micro-batch does not corrupt the merged estimate") {
+    val clean = SketchQueries.streamHllMaintain(spark, sfDir)
+      .orderBy("event_type").collect().toSeq
+    assert(clean.nonEmpty, "clean q121 run produced no estimates — test is vacuous")
+
+    val scratch = (tmp("graft_rp121_src"), tmp("graft_rp121_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        SketchQueries.streamHllMaintain(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = SketchQueries
+        .streamHllMaintain(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("event_type").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q113: a replayed semantic micro-batch does not double-write keepers") {
     val clean = DedupQueries.streamSemanticDedup(spark, sfDir)
       .orderBy("vec_id", "keeper_id").collect().toSeq

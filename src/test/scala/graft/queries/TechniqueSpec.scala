@@ -139,6 +139,14 @@ class TechniqueSpec extends SparkSpec {
     assert(broken.count() == 0)
   }
 
+  test("q120 merged standing+delta registers equal the batch q51 estimate exactly") {
+    val batch = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
+      .select("event_type", "hll_estimate", "nonzero_regs")
+    val inc = SparkEntry.queries("q120_incremental_hll")(spark, sfDir)
+    assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty,
+      "sketch-of-union != merge-of-sketches — mergeability identity broken")
+  }
+
   test("HLL distinct sketch estimates within epsilon, deterministically") {
     val hll = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
     val rows = hll.collect()
