@@ -81,7 +81,10 @@ class PlanAuditSpec extends SparkSpec {
     "q110_incremental_semantic_dedup" -> (3, 0), // same tail, keyed by d_id
     "q111_incremental_semantic_large" -> (3, 0), // identical tail, pinned path
     "q112_incremental_semantic_indexed" -> (3, 0), // identical tail, durable index
-    "q115_incremental_semantic_indexed_large" -> (3, 0)) // identical tail, pinned durable path
+    "q115_incremental_semantic_indexed_large" -> (3, 0), // identical tail, pinned durable path
+    "q117_heavy_hitters" -> (2, 4), // 4 hot-cell semi-joins broadcast; 1 recount shuffle
+    "q118_context_packing" -> (1, 0), // post-staging: stateless explode, no join
+    "q120_incremental_hll" -> (5, 1)) // delta sketch + merge + estimate; grid broadcast
 
   test("heavy queries: no cartesian product, bounded shuffles, declared broadcasts") {
     audited.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, minBhj)) =>
