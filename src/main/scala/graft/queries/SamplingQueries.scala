@@ -39,11 +39,17 @@ object SamplingQueries {
     * pass attaching each partition's running sum on top of its offset.
     * Returns (doc_id, n_tokens, cumx). */
   private def withTokenPrefixSum(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    withTokenPrefixSumOf(s, Tables.documents(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast(org.apache.spark.sql.types.LongType)
+        .as("n_tokens")))
+
+  /** [[withTokenPrefixSum]] over an arbitrary (doc_id, n_tokens) frame —
+    * the form q122/q123 run on a DELTA or a micro-batch alone. */
+  private[queries] def withTokenPrefixSumOf(s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField}
-    val base = Tables.documents(s, dir).select(col("doc_id"),
-      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
     val parts = s.sessionState.conf.numShufflePartitions
     val sorted = base
       .repartitionByRange(parts, col("doc_id"))
@@ -76,6 +82,39 @@ object SamplingQueries {
   /** SQL twin of [[splitBucket]]. */
   private[queries] def sqlSplitBucket(x: String): String =
     s"${sqlMd5Hash48(s"'$Salt:split:' || $x::VARCHAR")} % 10"
+
+  /** q98's oracle — and q122's VERBATIM: incremental packing continues
+    * the standing prefix, so full-corpus packing is the identity both
+    * must satisfy. */
+  private val shardPackingOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens AS cumx
+       |  FROM d)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(cumx / $TokenBudget.0) AS BIGINT) AS shard
+       |FROM c""".stripMargin
+
+  /** q118's oracle — and q123's VERBATIM (same identity, window form). */
+  private val contextPackingOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens AS BIGINT) AS cumx
+       |  FROM d),
+       |e AS (SELECT doc_id, n_tokens, cumx,
+       |    unnest(range(cumx // $CtxWindow,
+       |                 (cumx + n_tokens - 1) // $CtxWindow + 1)) AS window_id
+       |  FROM c)
+       |SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+       |  CAST(least(cumx + n_tokens, (window_id + 1) * $CtxWindow)
+       |     - greatest(cumx, window_id * $CtxWindow) AS BIGINT) AS tok_in_window
+       |FROM e""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(
@@ -152,16 +191,7 @@ object SamplingQueries {
     QueryDef(
       "q98_shard_packing",
       s"token-budget shard packing: shard = floor(exclusive global running token sum / $TokenBudget) via range-partition + per-partition offsets (no single-partition window), doc_id order",
-      s"""WITH d AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-         |      - n_tokens AS cumx
-         |  FROM d)
-         |SELECT doc_id, n_tokens,
-         |  CAST(floor(cumx / $TokenBudget.0) AS BIGINT) AS shard
-         |FROM c""".stripMargin) { (s, dir) =>
+      shardPackingOracle) { (s, dir) =>
       withTokenPrefixSum(s, dir).select(col("doc_id"), col("n_tokens"),
         // non-negative long div == floor
         expr(s"cumx div $TokenBudget").as("shard"))
@@ -183,21 +213,7 @@ object SamplingQueries {
     QueryDef(
       "q118_context_packing",
       s"concat-and-chunk context packing: documents chunked into $CtxWindow-token training windows via the q98 two-pass global prefix sum; output = (window, doc, tokens contributed), boundary docs split across adjacent windows",
-      s"""WITH d AS (SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-         |      - n_tokens AS BIGINT) AS cumx
-         |  FROM d),
-         |e AS (SELECT doc_id, n_tokens, cumx,
-         |    unnest(range(cumx // $CtxWindow,
-         |                 (cumx + n_tokens - 1) // $CtxWindow + 1)) AS window_id
-         |  FROM c)
-         |SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
-         |  CAST(least(cumx + n_tokens, (window_id + 1) * $CtxWindow)
-         |     - greatest(cumx, window_id * $CtxWindow) AS BIGINT) AS tok_in_window
-         |FROM e""".stripMargin) { (s, dir) =>
+      contextPackingOracle) { (s, dir) =>
       withTokenPrefixSum(s, dir)
         .select(col("doc_id"), col("n_tokens"), col("cumx"),
           explode(sequence(expr(s"cumx div $CtxWindow"),
@@ -257,5 +273,150 @@ object SamplingQueries {
         .withColumn("domain_budget", expr("(w_pct * total_tokens) div 200"))
         .filter(col("cumx") < col("domain_budget"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("domain_budget"))
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental shard packing — maintenance for the packing family.
+    // Packing state is a SEQUENTIAL prefix, not a mergeable sketch —
+    // the harder maintenance case: you cannot merge two independently-
+    // packed halves. What makes it incremental anyway is that ingest
+    // order IS doc_id order, so an appended delta extends the prefix:
+    // the standing assignment is persisted (with its total-token
+    // scalar in a one-row sidecar), and the delta's prefix sum starts
+    // from that offset. Standing rows are never touched or rescanned —
+    // append-stability holds by construction, and full-corpus packing
+    // == standing ∪ offset-shifted delta is an identity, so the oracle
+    // is q98's VERBATIM. At 100 TB: re-packing the corpus per delta is
+    // a full-corpus job; this is a delta-sized job plus two metadata
+    // reads.
+    QueryDef(
+      "q122_incremental_packing",
+      s"incremental shard packing: standing assignment + total persisted (built once per JVM), delta (top decile of doc_id) prefix-summed from the stored offset and unioned — standing rows untouched; == full q98 packing verbatim",
+      shardPackingOracle) { (s, dir) =>
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val watermark = maxId * 9 / 10
+      val tag = Integer.toHexString(dir.hashCode)
+      JvmScratch.ensure(s)
+      val standingTable = JvmScratch.tableName(s"pack_standing_$tag")
+      val totalTable = JvmScratch.tableName(s"pack_standing_total_$tag")
+      if (!s.catalog.tableExists(standingTable)) {
+        val standing = withTokenPrefixSumOf(s,
+          docs.filter(col("doc_id") <= watermark)).localCheckpoint()
+        standing.select(col("doc_id"), col("n_tokens"),
+          expr(s"cumx div $TokenBudget").as("shard"))
+          .write.format("parquet").saveAsTable(standingTable)
+        standing.agg(sum(col("n_tokens")).as("total_tokens"))
+          .write.format("parquet").saveAsTable(totalTable)
+      }
+      val offset = s.table(totalTable).head.getLong(0)
+      val delta = withTokenPrefixSumOf(s, docs.filter(col("doc_id") > watermark))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"(cumx + $offset) div $TokenBudget").as("shard"))
+      s.table(standingTable).unionByName(delta)
+    },
+
+    // ------------------------------------------------------------------
+    // Streaming context packing — the packing family live, and the
+    // interesting exactly-once case: the running token total is
+    // SEQUENTIAL cross-batch state (not mergeable, unlike q121's
+    // registers). Drops are contiguous doc_id ranges with ordered
+    // mtimes (FileStreamSource processes them in id order), so each
+    // micro-batch's offset is "tokens committed before me" — read from
+    // the sink MINUS the batch's own partition, which makes replay
+    // idempotent: a redelivered batch sees exactly the offset it saw
+    // first time (prior batches committed, its own half-write
+    // excluded) and rewrites identical rows into its own partition.
+    // Final table == batch q118 under the verbatim oracle. At 100 TB
+    // the offset read becomes a per-batch totals sidecar (O(batches));
+    // here it is derived from the sink — output-sized, never
+    // corpus-sized.
+    QueryDef(
+      "q123_stream_context_packing",
+      "streaming context packing: 3 ordered doc_id-range drops, per-batch prefix sum offset by committed-tokens-so-far (sink minus own partition -> replay-idempotent); final table == batch q118 verbatim",
+      contextPackingOracle) { (s, dir) =>
+      streamContextPacking(s, dir)
     })
+
+  /** q123's body; test hooks (chaos/scratch/resume) as in
+    * [[DedupQueries.streamIncrementalDedup]]. */
+  private[queries] def streamContextPacking(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types.LongType
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q123_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q123_ckpt").toString))
+    val outTable = JvmScratch.tableName("stream_pack_out")
+    try {
+      if (!resume) {
+        // contiguous doc_id RANGES (not mod classes — order matters for
+        // a prefix), dropped with strictly-increasing mtimes so the
+        // stream processes them in doc_id order
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val bounds = Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, maxId + 1)
+        (0 until 3).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_q123_drop$i")
+          try {
+            docs.filter(col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
+            java.nio.file.Files.copy(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+          } finally rmQuietly(tmp.toString)
+        }
+        JvmScratch.resetTable(s, "stream_pack_out")
+        createBatchSink(s, outTable, Seq(
+          "window_id" -> "bigint", "doc_id" -> "bigint", "tok_in_window" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            ss.catalog.refreshTable(outTable)
+            // offset = tokens committed BEFORE this batch: prior
+            // batches are checkpoint-committed; the batch's own
+            // partition is excluded so a replay sees the same offset
+            val offset = ss.table(outTable).filter(col("batch_id") =!= batchId)
+              .agg(coalesce(sum(col("tok_in_window")), lit(0L))).head.getLong(0)
+            val counts = batch.select(col("doc_id"),
+              size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+            withTokenPrefixSumOf(ss, counts)
+              .select(col("doc_id"), col("n_tokens"),
+                (col("cumx") + offset).as("gx"))
+              .select(col("doc_id"), col("n_tokens"), col("gx"),
+                explode(sequence(expr(s"gx div $CtxWindow"),
+                  expr(s"(gx + n_tokens - 1) div $CtxWindow"))).as("window_id"))
+              .select(col("window_id"), col("doc_id"),
+                (least(col("gx") + col("n_tokens"), (col("window_id") + 1) * CtxWindow)
+                  - greatest(col("gx"), col("window_id") * CtxWindow))
+                  .as("tok_in_window"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      s.table(outTable).select("window_id", "doc_id", "tok_in_window")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
 }

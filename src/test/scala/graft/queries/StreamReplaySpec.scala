@@ -82,6 +82,27 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q123: a replayed packing micro-batch sees the same offset and rewrites identical rows") {
+    val clean = SamplingQueries.streamContextPacking(spark, sfDir)
+      .orderBy("window_id", "doc_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q123 run produced no windows — test is vacuous")
+
+    val scratch = (tmp("graft_rp123_src"), tmp("graft_rp123_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        SamplingQueries.streamContextPacking(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = SamplingQueries
+        .streamContextPacking(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("window_id", "doc_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q113: a replayed semantic micro-batch does not double-write keepers") {
     val clean = DedupQueries.streamSemanticDedup(spark, sfDir)
       .orderBy("vec_id", "keeper_id").collect().toSeq

@@ -147,6 +147,13 @@ class TechniqueSpec extends SparkSpec {
       "sketch-of-union != merge-of-sketches — mergeability identity broken")
   }
 
+  test("q122 incremental packing equals full q98 packing exactly") {
+    val full = SparkEntry.queries("q98_shard_packing")(spark, sfDir)
+    val inc = SparkEntry.queries("q122_incremental_packing")(spark, sfDir)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "offset-continued delta packing diverged from the full prefix sum")
+  }
+
   test("HLL distinct sketch estimates within epsilon, deterministically") {
     val hll = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
     val rows = hll.collect()
