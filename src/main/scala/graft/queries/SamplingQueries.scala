@@ -329,10 +329,10 @@ object SamplingQueries {
     // idempotent: a redelivered batch sees exactly the offset it saw
     // first time (prior batches committed, its own half-write
     // excluded) and rewrites identical rows into its own partition.
-    // Final table == batch q118 under the verbatim oracle. At 100 TB
-    // the offset read becomes a per-batch totals sidecar (O(batches));
-    // here it is derived from the sink — output-sized, never
-    // corpus-sized.
+    // The offset comes from a per-batch TOTALS sidecar — one row per
+    // micro-batch, so the cross-batch state read is O(batches), never
+    // output- or corpus-sized. Final table == batch q118 under the
+    // verbatim oracle.
     QueryDef(
       "q123_stream_context_packing",
       "streaming context packing: 3 ordered doc_id-range drops, per-batch prefix sum offset by committed-tokens-so-far (sink minus own partition -> replay-idempotent); final table == batch q118 verbatim",
@@ -357,6 +357,7 @@ object SamplingQueries {
       (java.nio.file.Files.createTempDirectory("graft_q123_src").toString,
         java.nio.file.Files.createTempDirectory("graft_q123_ckpt").toString))
     val outTable = JvmScratch.tableName("stream_pack_out")
+    val totalsTable = JvmScratch.tableName("stream_pack_totals")
     try {
       if (!resume) {
         // contiguous doc_id RANGES (not mod classes — order matters for
@@ -378,8 +379,10 @@ object SamplingQueries {
           } finally rmQuietly(tmp.toString)
         }
         JvmScratch.resetTable(s, "stream_pack_out")
+        JvmScratch.resetTable(s, "stream_pack_totals")
         createBatchSink(s, outTable, Seq(
           "window_id" -> "bigint", "doc_id" -> "bigint", "tok_in_window" -> "bigint"))
+        createBatchSink(s, totalsTable, Seq("n_tokens" -> "bigint"))
       }
       val schema = s.read.parquet(srcDir).schema
       withStreamConfs(s) {
@@ -390,13 +393,20 @@ object SamplingQueries {
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val ss = batch.sparkSession
             ss.catalog.refreshTable(outTable)
-            // offset = tokens committed BEFORE this batch: prior
-            // batches are checkpoint-committed; the batch's own
-            // partition is excluded so a replay sees the same offset
-            val offset = ss.table(outTable).filter(col("batch_id") =!= batchId)
-              .agg(coalesce(sum(col("tok_in_window")), lit(0L))).head.getLong(0)
+            ss.catalog.refreshTable(totalsTable)
+            // offset = tokens committed BEFORE this batch, read from
+            // the one-row-per-batch totals sidecar (O(batches), never
+            // output-sized); the batch's own partition is excluded so
+            // a replay — even one that crashed between the two writes
+            // below — sees exactly the offset of its first delivery
+            val offset = ss.table(totalsTable).filter(col("batch_id") =!= batchId)
+              .agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)
             val counts = batch.select(col("doc_id"),
               size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+              .localCheckpoint()
+            counts.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(totalsTable)
             withTokenPrefixSumOf(ss, counts)
               .select(col("doc_id"), col("n_tokens"),
                 (col("cumx") + offset).as("gx"))
