@@ -30,6 +30,9 @@ object SimilarityQueries {
   private[graft] val NearDupThreshold = "0.38"
   private val NumCells = 8
 
+  /** q124/q125 top-k per retrieval query. */
+  private[graft] val RetrievalK = 3
+
   /** Deterministic IVF centroids: Hadamard-style sign patterns
     * (-1)^popcount(i & (9k+7)) scaled to +-1/8, so every centroid is a
     * unit vector (norm sqrt(64)/8 = 1) pointing in a distinct direction.
@@ -1017,7 +1020,87 @@ object SimilarityQueries {
       s"LARGE-DELTA incremental semantic dedup against the PERSISTED block index: q112's over-broadcast-range route pinned on — delta blocks shuffle-joined (sort-merge on block_key) into the bucketed index scan with zero index-side Exchange, delta never broadcast; cosine >= $NearDupThreshold, lowest corpus id kept",
       semanticIncrementalOracle) { (s, dir) =>
       keepLowest(semIndexProbe(s, dir, forceLarge = Some(true)).localCheckpoint())
+    },
+
+    // ------------------------------------------------------------------
+    // ANN retrieval SERVED from the durable index — the read path the
+    // index has not had: q112/q115 probe it for near-dup pairs (a
+    // threshold contract); this answers "the K nearest, whatever their
+    // score" — the RAG / embedding-search query. Candidates come from
+    // the query's IVF cell, probed as the union of its 2^pc sub-block
+    // keys so the join stays on the bucketed block_key (zero
+    // index-side Exchange, the q41 property) — the key explode carries
+    // (q_id, block_key) only; query vectors join back AFTER candidate
+    // generation, never duplicated per sub-block.
+    QueryDef(
+      "q124_ann_index_serve",
+      s"top-$RetrievalK ANN retrieval from the PERSISTED block index: query batch assigned via the re-read codebook, cell probed as all 2^pc sub-block keys (join on bucketed block_key, zero index-side Exchange), cosine re-rank + deterministic per-query window top-$RetrievalK",
+      annServeOracle) { (s, dir) =>
+      semIndexTopK(s, dir)
+    },
+
+    // q124's over-broadcast-range route pinned on: a bulk retrieval
+    // batch (offline eval, dedup-by-retrieval) outgrows broadcast and
+    // pays one shuffle of keys and one of query vectors — the bucketed
+    // index scan still reads Exchange-free. Identical semantics and
+    // oracle; only the distribution decision differs.
+    QueryDef(
+      "q125_ann_index_serve_large",
+      s"LARGE-BATCH ANN retrieval from the PERSISTED block index: q124 with the broadcast dropped — query keys/vectors shuffle-join (merge hint) into the Exchange-free bucketed scan",
+      annServeOracle) { (s, dir) =>
+      semIndexTopK(s, dir, forceLarge = Some(true))
     })
+
+  /** q124/q125's body: top-K retrieval SERVED from the durable block
+    * index — the read path a RAG/embedding-search user runs, distinct
+    * from the dedup probes (which want high-precision near-dup pairs;
+    * retrieval wants the best K whatever their score). The query batch
+    * is assigned a cell through the re-read codebook, then probes the
+    * cell as the union of its 2^pc sub-block KEYS — an explode of
+    * (q_id, block_key) pairs, vector payload NOT duplicated per sub —
+    * so the candidate join runs on the index's own bucketed block_key
+    * with zero index-side Exchange. Candidates then join back to the
+    * query vectors for the cosine, and a per-query window takes the
+    * top K (cosine desc, vec_id tiebreak — fully deterministic).
+    *
+    * SIZE-GATED like every probe in the family: a bounded serving
+    * batch broadcasts its key and vector sides; past
+    * [[SemDeltaBroadcastMaxVecs]] both joins degrade to shuffles
+    * against the Exchange-free bucketed scan (`forceLarge` pins the
+    * route for q125 and the plan audit). */
+  private[graft] def semIndexTopK(s: SparkSession, dir: String,
+      forceLarge: Option[Boolean] = None): DataFrame = {
+    val idx = semBlockIndexTable(s, dir)
+    val codebook = semCodebookTable(s, dir)
+    val raw = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+    val large = forceLarge.getOrElse(
+      raw.select("vec_id").count() > SemDeltaBroadcastMaxVecs)
+    val vq = raw
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
+    val queries = assignSemBlocks(vq, codebook)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+      .localCheckpoint() // keys probe + cosine join-back read one assignment
+    val stats = codebook.agg(max(col("n_corpus")).as("n_corpus"))
+    val qkeys = queries.select(col("q_id"), col("cell"))
+      .crossJoin(broadcast(stats))
+      .withColumn("pc", semSubBitsCol(col("n_corpus")))
+      .select(col("q_id"), col("cell"),
+        explode(sequence(lit(0), expr("shiftleft(1, pc) - 1"))).as("sub"))
+      .select(col("q_id"), (col("cell") * lit(256) + col("sub")).as("block_key"))
+    val cand = (if (large) idx.hint("merge").join(qkeys, Seq("block_key"))
+                else idx.join(broadcast(qkeys), Seq("block_key")))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("v"))
+    val qvecs = queries.select(col("q_id"), col("qv"))
+    val scored = (if (large) cand.join(qvecs, Seq("q_id"))
+                  else cand.join(broadcast(qvecs), Seq("q_id")))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("v")).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= RetrievalK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
 
   /** The shared keeper tail of the durable-probe queries (q112/q115):
     * lowest corpus id wins per delta vector, hits staged by the caller. */
@@ -1157,7 +1240,10 @@ object SimilarityQueries {
 
   /** The q110/q111 oracle: the full train-assign-probe pipeline
     * restated in DuckDB, centroid arithmetic CTE-for-CTE. */
-  private[graft] lazy val semanticIncrementalOracle: String = {
+  /** Shared CTE prefix of the standing-corpus-trained oracles (q110
+    * family and q124/q125): codebook trained on vec_id % 10 != 7,
+    * every vector assigned to (cell, sub) — ends at `cells`. */
+  private[graft] lazy val semStandingCellsOracleCtes: String = {
     val k = NumCells
     val seedIds = (0L until 16L).filter(_ % 10 != 7).take(k)
     val svCols = (0 until k)
@@ -1205,7 +1291,11 @@ object SimilarityQueries {
        |geo AS (SELECT cid, m, ${sqlDotFold("m", "m")} AS mm, $mhCols FROM mv),
        |cells AS (SELECT vec_id, v, cell,
        |    $subSql AS sub
-       |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params),
+       |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params)""".stripMargin
+  }
+
+  private[graft] lazy val semanticIncrementalOracle: String =
+    s"""$semStandingCellsOracleCtes,
        |hits AS (SELECT d.vec_id AS d_id, c.vec_id AS c_id,
        |    ${sqlCosine("d.v", "c.v")} AS cosine
        |  FROM cells d JOIN cells c
@@ -1217,7 +1307,26 @@ object SimilarityQueries {
        |SELECT h.d_id AS vec_id, k.keeper_id, h.cosine
        |FROM hits h JOIN keep k
        |  ON h.d_id = k.d_id AND h.c_id = k.keeper_id""".stripMargin
-  }
+
+  /** q124/q125 shared oracle: top-K retrieval — every query (the
+    * held-out decile) against every standing vector in its CELL,
+    * ranked by cosine with vec_id tiebreak. The Spark plan probes the
+    * cell as the union of its 2^pc sub-block keys (so the join stays
+    * on the bucketed block_key); since every indexed vector's sub is
+    * < 2^pc, that union IS the whole cell — the two statements are
+    * equivalent by construction. */
+  private[graft] lazy val annServeOracle: String =
+    s"""$semStandingCellsOracleCtes,
+       |scored AS (SELECT d.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${sqlCosine("d.v", "c.v")} AS cosine
+       |  FROM cells d JOIN cells c ON d.cell = c.cell
+       |   AND d.vec_id % 10 = 7 AND c.vec_id % 10 != 7),
+       |ranked AS (SELECT q_id, c_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cosine
+       |FROM ranked WHERE rank <= $RetrievalK""".stripMargin
 
   /** Threshold over which an arriving embedding delta stops
     * broadcasting and instead shuffles both sides on (cell, sub) —

@@ -335,6 +335,40 @@ class PlanAuditSpec extends SparkSpec {
       "index-side Exchange between the block-index scan and the probe join")
   }
 
+  test("q124/q125 ANN serving: block index scanned Exchange-free on both routes") {
+    // the retrieval read path must inherit the probe family's physical
+    // contract: the candidate join runs on the bucketed block_key —
+    // broadcast keys on the serving route, sort-merge on the pinned
+    // bulk route — and the index side never shuffles or broadcasts
+    Seq(
+      (None: Option[Boolean]) -> classOf[BroadcastHashJoinExec],
+      (Some(true): Option[Boolean]) -> classOf[SortMergeJoinExec]
+    ).foreach { case (force, expectedJoin) =>
+      val plan = finalPlan(
+        graft.queries.SimilarityQueries.semIndexTopK(spark, sfDir, force))
+      def isBlockScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table.startsWith("sem_blocks")) ||
+            f.relation.location.rootPaths.exists(_.toString.contains("sem_blocks"))
+        case _ => false
+      }
+      assert(flatten(plan).exists(isBlockScan),
+        s"serving plan (force=$force) does not read the persisted sem_blocks table")
+      val path = pathTo(plan, isBlockScan).get
+      val joinIdx = path.lastIndexWhere(p =>
+        p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+          || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+          || p.isInstanceOf[CartesianProductExec])
+      assert(joinIdx >= 0, s"no join found above the block-index scan (force=$force)")
+      assert(expectedJoin.isInstance(path(joinIdx)),
+        s"candidate join is ${path(joinIdx).getClass.getSimpleName}, " +
+          s"expected ${expectedJoin.getSimpleName} (force=$force)")
+      assert(!path.drop(joinIdx + 1).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+        s"index-side Exchange under the candidate join (force=$force)")
+    }
+  }
+
   test("q110 probe: delta blocks broadcast, no shuffle added on the corpus side") {
     // reconstruct the pre-checkpoint probe stage: the incremental claim
     // is that probing costs ONLY the training shuffles (k-row) plus a

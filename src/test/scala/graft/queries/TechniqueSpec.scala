@@ -139,6 +139,47 @@ class TechniqueSpec extends SparkSpec {
     assert(broken.count() == 0)
   }
 
+  test("q124 index serving: ranks follow exact cosine; recall vs brute force non-trivial") {
+    import graft.functions.CrossEngine.cosine
+    val served = SparkEntry.queries("q124_ann_index_serve")(spark, sfDir).collect()
+    assert(served.nonEmpty)
+    // within each query the rank order must be exact-cosine order
+    served.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getAs[Double]("cosine"), b.getAs[Double]("cosine"))
+          assert(ca > cb ||
+            (ca == cb && a.getAs[Long]("c_id") < b.getAs[Long]("c_id")))
+        case _ => ()
+      }
+    }
+    // recall@3 against the exact full-corpus top-3 (computed here by
+    // brute force — sf0.001 is pair-enumerable in a test). Random unit
+    // vectors + a single-cell probe of 8 cells bounds recall well below
+    // 1; a regression to chance (broken cell assignment) fails the 1/5
+    // floor
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = emb.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(emb.filter(col("vec_id") % 10 =!= 7)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val exactTop = exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("q_id", "c_id").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val hits = served.count(r =>
+      exactTop.getOrElse(r.getAs[Long]("q_id"), Set.empty)
+        .contains(r.getAs[Long]("c_id")))
+    info(s"q124 recall@3 = $hits/${served.length}")
+    assert(hits * 5 >= served.length,
+      s"serving recall too low: $hits of ${served.length}")
+  }
+
   test("q120 merged standing+delta registers equal the batch q51 estimate exactly") {
     val batch = SparkEntry.queries("q51_hll_distinct")(spark, sfDir)
       .select("event_type", "hll_estimate", "nonzero_regs")
