@@ -1049,6 +1049,20 @@ object SimilarityQueries {
       s"LARGE-BATCH ANN retrieval from the PERSISTED block index: q124 with the broadcast dropped — query keys/vectors shuffle-join (merge hint) into the Exchange-free bucketed scan",
       annServeOracle) { (s, dir) =>
       semIndexTopK(s, dir, forceLarge = Some(true))
+    },
+
+    // ------------------------------------------------------------------
+    // The serving path live: an online vector-search service is a query
+    // STREAM against a standing index. Retrieval answers are per-query
+    // pure functions of (query, index), so batch-local top-K is
+    // globally exact, replay rewrites identical rows, and drop order
+    // is irrelevant — streaming's easiest consistency case, stated and
+    // tested rather than assumed.
+    QueryDef(
+      "q126_stream_ann_serve",
+      s"streaming ANN serving: 3 query drops -> checkpointed AvailableNow drain, each micro-batch served top-$RetrievalK from the durable block index (per-batch size gate), batch_id-partitioned idempotent sink; == batch q124 verbatim",
+      annServeOracle) { (s, dir) =>
+      streamAnnServe(s, dir)
     })
 
   /** q124/q125's body: top-K retrieval SERVED from the durable block
@@ -1069,10 +1083,18 @@ object SimilarityQueries {
     * against the Exchange-free bucketed scan (`forceLarge` pins the
     * route for q125 and the plan audit). */
   private[graft] def semIndexTopK(s: SparkSession, dir: String,
-      forceLarge: Option[Boolean] = None): DataFrame = {
+      forceLarge: Option[Boolean] = None): DataFrame =
+    semIndexTopKOf(s, dir,
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7), forceLarge)
+
+  /** [[semIndexTopK]] parameterized over the arriving query rows (raw
+    * embeddings schema) so the streaming drain (q126) can serve each
+    * micro-batch; the size gate runs per call — i.e. per micro-batch
+    * in the streaming case, like q114's in-drain gate. */
+  private[graft] def semIndexTopKOf(s: SparkSession, dir: String,
+      raw: DataFrame, forceLarge: Option[Boolean] = None): DataFrame = {
     val idx = semBlockIndexTable(s, dir)
     val codebook = semCodebookTable(s, dir)
-    val raw = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
     val large = forceLarge.getOrElse(
       raw.select("vec_id").count() > SemDeltaBroadcastMaxVecs)
     val vq = raw
@@ -1100,6 +1122,63 @@ object SimilarityQueries {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= RetrievalK)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
+  }
+
+  /** q126's body: the serving path LIVE — a stream of retrieval
+    * queries drained against the standing durable index, the shape of
+    * an online vector-search service. Queries arrive as 3 drops (mod-3
+    * classes — retrieval answers are per-query, so batch-local top-K
+    * is globally exact and drop order is irrelevant); each micro-batch
+    * runs [[semIndexTopKOf]] — re-gated per batch — and dynamic-
+    * overwrites its own batch_id partition (replay-idempotent: the
+    * answer to a query is a pure function of the query and the
+    * standing index). Final table == batch q124 under the verbatim
+    * oracle. Test hooks as in [[graft.queries.DedupQueries]]. */
+  private[graft] def streamAnnServe(s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q126_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q126_ckpt").toString))
+    val outTable = JvmScratch.tableName("stream_ann_out")
+    try {
+      if (!resume) {
+        (0 until 3).foreach { i =>
+          queries.filter(pmod(col("vec_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_ann_out")
+        createBatchSink(s, outTable, Seq("q_id" -> "bigint",
+          "rank" -> "bigint", "c_id" -> "bigint", "cosine" -> "double"))
+      }
+      // build/attach the index and codebook BEFORE the drain (the
+      // standing artifacts exist before a serving stream starts)
+      semBlockIndexTable(s, dir)
+      semCodebookTable(s, dir)
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            semIndexTopKOf(ss, dir, batch)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      s.table(outTable).select("q_id", "rank", "c_id", "cosine")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
   }
 
   /** The shared keeper tail of the durable-probe queries (q112/q115):

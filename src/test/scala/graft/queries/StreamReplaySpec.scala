@@ -103,6 +103,27 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q126: a replayed serving micro-batch re-answers its queries identically") {
+    val clean = SimilarityQueries.streamAnnServe(spark, sfDir)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(clean.nonEmpty, "clean q126 run produced no results — test is vacuous")
+
+    val scratch = (tmp("graft_rp126_src"), tmp("graft_rp126_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        SimilarityQueries.streamAnnServe(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = SimilarityQueries
+        .streamAnnServe(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("q_id", "rank").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q113: a replayed semantic micro-batch does not double-write keepers") {
     val clean = DedupQueries.streamSemanticDedup(spark, sfDir)
       .orderBy("vec_id", "keeper_id").collect().toSeq
