@@ -131,6 +131,30 @@ class PlanAuditSpec extends SparkSpec {
       "corpus-side Exchange between the band-index scan and the candidate join")
   }
 
+  test("q128 reads the persisted fingerprint index broadcast-joined with zero index-side Exchange") {
+    val plan = finalPlan(
+      SparkEntry.queries("q128_incremental_simhash")(spark, sfDir))
+    def isFpScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("simhash_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("simhash_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isFpScan),
+      "q128's plan does not read the persisted fingerprint index")
+    val path = pathTo(plan, isFpScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the fingerprint-index scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"probe join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the fingerprint-index scan and the probe join")
+  }
+
   test("q108 large-delta probe: merge join with zero index-side Exchange and no delta broadcast") {
     // the size-gated non-broadcast path (round-9 verdict #1): past the
     // delta-size gate the probe must shuffle the DELTA into the index's

@@ -79,6 +79,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(found.count() == n)
   }
 
+  test("simhash blocking is pigeonhole-complete: blocked pairs == brute-force Hamming<=3 pairs") {
+    // 48 bits in 4 blocks of 12: a pair within Hamming distance 3 can
+    // touch at most 3 blocks, so at least one block matches exactly —
+    // block-equality candidate generation provably loses NOTHING at
+    // the declared threshold. Proven against the all-pairs computation
+    // q127 exists to avoid.
+    val fp = DedupQueries.shingleSimhash(
+      graft.sources.Tables.documents(spark, sfDir)).cache()
+    try {
+      val a = fp.select(col("doc_id").as("da"), col("simhash").as("fa"))
+      val b = fp.select(col("doc_id").as("db"), col("simhash").as("fb"))
+      val brute = a.join(b, col("da") < col("db"))
+        .select(col("da"), col("db"),
+          expr("CAST(bit_count(fa ^ fb) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("da", "db").collect().toSeq
+      assert(brute.nonEmpty, "no pairs within Hamming 3 — test is vacuous")
+      val blocked = graft.SparkEntry.queries("q127_simhash_pairs")(spark, sfDir)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(blocked == brute,
+        s"blocked join lost or invented pairs: ${blocked.size} vs brute-force ${brute.size}")
+    } finally fp.unpersist(): Unit
+  }
+
   test("rank-dedup keeps exactly one row per key under a total order") {
     import spark.implicits._
     val revs = (0 until 500).map { i =>

@@ -61,6 +61,27 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q129: a replayed simhash micro-batch does not double-write matches") {
+    val clean = DedupQueries.streamSimhashDedup(spark, sfDir)
+      .orderBy("delta_id", "corpus_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q129 run produced no matches — test is vacuous")
+
+    val scratch = (tmp("graft_rp129_src"), tmp("graft_rp129_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        DedupQueries.streamSimhashDedup(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = DedupQueries
+        .streamSimhashDedup(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("delta_id", "corpus_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q121: a replayed register micro-batch does not corrupt the merged estimate") {
     val clean = SketchQueries.streamHllMaintain(spark, sfDir)
       .orderBy("event_type").collect().toSeq
