@@ -153,10 +153,15 @@ object DedupQueries {
     * (doc_a, doc_b, jaccard) pairs at-or-above the threshold, doc_a <
     * doc_b. Shared by q24 (which declares the pairs) and q54 (which
     * clusters them into connected components). */
-  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // staged once (see object Scaladoc): consumed by the signature
-    // pipeline, the per-doc counts, and both sides of the verify join
-    val sh = shingleDf(s, dir).localCheckpoint()
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(shingleDf(s, dir).localCheckpoint())
+
+  /** [[minhashPairs]] parameterized over the staged shingle set, so the
+    * same candidate/verify pipeline runs on any document subset (q130
+    * runs it on the corpus slice and on the delta slice separately —
+    * restricting the input restricts the pair set to exactly the pairs
+    * within that subset, since bands and shingle counts are per-doc). */
+  private[queries] def minhashPairsOf(sh: DataFrame): DataFrame = {
     val bands = sigBands(sh)
     val a = bands.as("a"); val b = bands.as("b")
     // band_key embeds the band index, so one equi-column suffices
@@ -967,6 +972,41 @@ object DedupQueries {
       s"STREAMING SimHash dedup: arriving delta as 3 file drops, one checkpointed AvailableNow drain, each micro-batch fingerprinted and block-probed against the PERSISTED fingerprint index; final table == batch q128 exactly",
       sqlSimhashIncrementalOracle) { (s, dir) =>
       streamSimhashDedup(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental PAIR-SET maintenance — the closure of the incremental
+    // family: q93/q108 answer "what does the delta match?", this answers
+    // "what is the NEW all-pairs result?" without recomputing it from
+    // scratch. Because bands and shingle counts are PER-DOCUMENT
+    // (independent of the rest of the corpus), the full pair set
+    // decomposes exactly into three disjoint parts: standing pairs
+    // (both docs in the indexed corpus — the maintained artifact, here
+    // recomputed from the corpus slice as its stand-in), within-delta
+    // pairs (both docs arriving — delta-sized all-pairs, the cheap
+    // part), and cross pairs (the q93 probe against the DURABLE band
+    // index). Disjointness is structural — a pair is classified by
+    // which side each doc lives on — so the union needs no dedup, and
+    // the result provably equals the batch q24 over the full corpus:
+    // the oracle below is q24's, verbatim. At 100 TB this is how the
+    // pair table is actually maintained: per batch, append (within ∪
+    // cross) to the standing pair table; nothing corpus-sized ever
+    // recomputes.
+    QueryDef(
+      "q130_incremental_pair_maintenance",
+      s"incremental all-pairs maintenance: standing corpus pairs ∪ within-delta pairs ∪ cross pairs (the q93 probe against the durable band index) — a structurally disjoint decomposition that equals batch q24 exactly (verbatim oracle); per-batch cost is delta-pairs + the index probe, never a corpus recompute",
+      s"WITH $sqlMinhashCtes\n$sqlMinhashPairSelect") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val standing = minhashPairsOf(
+        shingle(docs.filter(col("doc_id") % 10 =!= 7)).localCheckpoint())
+      val within = minhashPairsOf(
+        shingle(docs.filter(col("doc_id") % 10 === 7)).localCheckpoint())
+      val cross = incrementalMatches(s, dir,
+          docs.filter(col("doc_id") % 10 === 7))
+        .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
+          greatest(col("delta_id"), col("corpus_id")).as("doc_b"),
+          col("jaccard"))
+      standing.unionByName(within).unionByName(cross)
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
