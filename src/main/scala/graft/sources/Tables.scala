@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish star schema plus the
   * LLM-data-pipeline tables (`documents`, `embeddings`, `events`).
@@ -39,11 +39,26 @@ object Tables {
     normalizeEventTs(load(spark, dir, "events"))
 
   /** Shared by the batch loader and the streaming reader (which must
-    * declare the RAW schema — ts as nano-long — then normalize). */
-  def normalizeEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_millis(expr("ts div 1000000")))
-    else raw.withColumn("ts", date_trunc("millisecond", col("ts")))
+    * declare the RAW schema, then normalize). The harness has shipped
+    * `events.ts` in three encodings across rounds — TIMESTAMP(NANOS)
+    * surfacing as a nano-count long under `nanosAsLong`, untagged µs
+    * surfacing as TIMESTAMP_NTZ, and plain TimestampType — so this
+    * canonicalizes ALL of them to ONE shape: ms-truncated
+    * TimestampType. The session TZ is pinned UTC everywhere, so the
+    * NTZ wall clock and the instant coincide and the cast is lossless.
+    * Every downstream consumer — Catalyst plans, typed encoders
+    * (`Ev`/`SessionRow` declare `java.sql.Timestamp`), driver-side
+    * `Row.getTimestamp` — relies on this invariant; keep it total over
+    * any encoding the data may drift to next. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    val canonical = raw.schema("ts").dataType match {
+      case LongType => timestamp_millis(expr("ts div 1000000"))
+      case TimestampNTZType =>
+        date_trunc("millisecond", col("ts").cast(TimestampType))
+      case _ => date_trunc("millisecond", col("ts"))
+    }
+    raw.withColumn("ts", canonical)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

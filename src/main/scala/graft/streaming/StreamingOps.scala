@@ -82,7 +82,7 @@ object StreamingOps {
   /** Content stamp of a source table: (name, size, mtime) per part
     * file, name-sorted — changes whenever the source is regenerated,
     * even to the same total byte count. */
-  private def sourceStamp(p: java.nio.file.Path): String =
+  private[streaming] def sourceStamp(p: java.nio.file.Path): String =
     listParquet(p).sortBy(_.getFileName.toString).map { f =>
       s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
@@ -156,14 +156,22 @@ object StreamingOps {
   private def writeSentinel(spark: SparkSession, stageDir: String,
       staged: String, overrides: Map[String, org.apache.spark.sql.Column]): Unit = {
     val raw = spark.read.parquet(staged)
-    val newTs: org.apache.spark.sql.Column =
+    // max(ts) + 3h computed wholly in Catalyst (one-row agg cross-joined
+    // back), so the sentinel keeps whichever raw encoding the staged
+    // files carry — nano-count long, TIMESTAMP_NTZ, or TimestampType —
+    // with no driver-side JVM type round-trip to break on drift
+    // (round-10 regression: `Row.getTimestamp` CCE'd on NTZ rows).
+    val bumped: org.apache.spark.sql.Column =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        lit(raw.agg(max(col("ts"))).first().getLong(0) + 3L * 3600 * 1000000000L)
-      else lit(new java.sql.Timestamp(
-        raw.agg(max(col("ts"))).first().getTimestamp(0).getTime + 3L * 3600 * 1000))
-    overrides.foldLeft(raw.limit(1).withColumn("ts", newTs)) {
+        col("__max_ts") + lit(3L * 3600 * 1000000000L)
+      else col("__max_ts") + expr("INTERVAL 3 HOURS")
+    val maxRow = raw.agg(max(col("ts")).as("__max_ts"))
+    overrides.foldLeft(
+        raw.limit(1).crossJoin(maxRow)
+          .withColumn("ts", bumped).drop("__max_ts")) {
         case (df, (c, v)) => df.withColumn(c, v)
       }
+      .select(raw.columns.map(col).toIndexedSeq: _*)
       .write.mode("append").parquet(stageDir)
   }
 

@@ -134,4 +134,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stage stamp detects same-size in-place source regeneration") {
+    // The shared staging dir reuses its copy across bench iterations,
+    // keyed on a per-file (name, size, mtime) stamp. A testdata
+    // regeneration that keeps byte counts identical must still flip the
+    // stamp (via mtime), or a stale stage would silently serve old data.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp")
+    val f = dir.resolve("events_0.parquet")
+    java.nio.file.Files.write(f, Array.fill[Byte](64)(1))
+    val s1 = StreamingOps.sourceStamp(dir)
+    assert(StreamingOps.sourceStamp(dir) == s1, "stamp not stable on untouched source")
+
+    // same name, same size, different mtime — the equal-size in-place rewrite
+    java.nio.file.Files.write(f, Array.fill[Byte](64)(2))
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 1234))
+    assert(StreamingOps.sourceStamp(dir) != s1,
+      "same-size regeneration did not invalidate the stage stamp")
+  }
 }
