@@ -149,6 +149,67 @@ object DedupQueries {
       sigBands(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7))
     }
 
+  /** The persisted standing PAIR table — the q130 contract's maintained
+    * artifact, given the same [[graft.sources.DurableIndex]] treatment
+    * as the band index it complements (round-10 verdict #4: the
+    * standing side must be a table READ, never a corpus recompute).
+    * Content = the exact-Jaccard near-dup pairs of the indexed corpus
+    * (doc_id % 10 != 7), i.e. [[minhashPairsOf]] over that slice —
+    * built once per corpus content fingerprint, then re-read as a bare
+    * parquet scan (PairIndexSpec asserts the re-attach touches no
+    * bytes and the read plan carries no shingle/minhash stages). At
+    * 100 TB the per-batch maintenance write is `append(within ∪
+    * cross)` — delta-sized — which PairIndexSpec proves equals the
+    * full recompute across two successive batches. */
+  private[graft] def pairIndexTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "pair_index", "documents.parquet", None) {
+      minhashPairsOf(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7)
+        .localCheckpoint()).coalesce(1)
+    }
+
+  /** The persisted COMPONENT LABELS of the standing corpus — the q131
+    * contract's maintained artifact, one DurableIndex layer above the
+    * pair table: built by running [[connectedComponents]] over the
+    * persisted [[pairIndexTable]] (never over raw text — the build
+    * itself reads a durable artifact), published as (doc_id, label)
+    * for every doc that appears in a standing pair. Star edges
+    * (doc_id -> label) reconstruct exactly the standing connectivity,
+    * which is what makes the q131 merge sound: CC(star(E0) ∪ E1) ==
+    * CC(E0 ∪ E1) for any new edge set E1. At 100 TB the artifact is
+    * |clustered docs| rows — the label table an entity-resolution
+    * pipeline keeps anyway. */
+  private[graft] def ccIndexTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "cc_index", "documents.parquet", None) {
+      val (labels, _) = connectedComponents(
+        pairIndexTable(s, dir).select(col("doc_a"), col("doc_b")))
+      labels.coalesce(1)
+    }
+
+  /** All-pairs of an arbitrary document subset — [[minhashPairsOf]]
+    * with the shingle staging folded in. The q130 within-delta leg and
+    * PairIndexSpec's recompute oracle. */
+  private[queries] def pairsOfDocs(docs: DataFrame): DataFrame =
+    minhashPairsOf(shingle(docs).localCheckpoint())
+
+  /** Band set of an arbitrary document subset — the index relation a
+    * maintenance batch probes, parameterized for PairIndexSpec's
+    * two-batch scenario (the production path reads the durable
+    * [[bandIndexTable]] instead). */
+  private[queries] def bandsOfDocs(docs: DataFrame): DataFrame =
+    sigBands(shingle(docs).localCheckpoint())
+
+  /** Cross pairs of `deltaDocs` against `corpusBands`, normalized to
+    * the (doc_a < doc_b, jaccard) pair-table shape — the q130 cross leg
+    * parameterized over the standing index for PairIndexSpec. */
+  private[queries] def crossPairsAgainst(s: SparkSession, dir: String,
+      deltaDocs: DataFrame, corpusBands: DataFrame): DataFrame =
+    matchesAgainstIndex(s, dir, shingle(deltaDocs).localCheckpoint(), corpusBands)
+      .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("delta_id"), col("corpus_id")).as("doc_b"),
+        col("jaccard"))
+
   /** The MinHash+LSH candidate/verify pipeline as a reusable plan:
     * (doc_a, doc_b, jaccard) pairs at-or-above the threshold, doc_a <
     * doc_b. Shared by q24 (which declares the pairs) and q54 (which
@@ -224,6 +285,26 @@ object DedupQueries {
        |FROM common JOIN cnt xa ON xa.doc_id = da
        |            JOIN cnt yb ON yb.doc_id = db
        |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
+
+  /** The connected-components oracle (q54's), shared verbatim by the
+    * incremental q131: the contract is ONE labeling — every document
+    * carries its cluster's canonical (min) id and cluster size over the
+    * FULL corpus's near-dup graph — however the components are computed
+    * (batch fixpoint or star-edge merge against the standing labels). */
+  private[queries] val ccOracleSql: String =
+    s"""WITH RECURSIVE $sqlMinhashCtes,
+       |pairs AS ($sqlMinhashPairSelect),
+       |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT eu AS u, ev AS v FROM edges
+       |          UNION
+       |          SELECT e.eu, r.v FROM edges e JOIN reach r ON r.u = e.ev),
+       |comp AS (SELECT u, least(u, min(v)) AS cid FROM reach GROUP BY u),
+       |labeled AS (SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
+       |SELECT doc_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM labeled""".stripMargin
 
   /** The incremental-dedup oracle (q93's), shared verbatim by q93, the
     * streaming q105 and the large-delta q108: the contract is ONE
@@ -641,19 +722,7 @@ object DedupQueries {
     QueryDef(
       "q54_dedup_components",
       "connected components over the MinHash near-dup pairs via min-label propagation to fixpoint; every document labeled with its cluster's canonical (min) id + cluster size; oracle is a recursive-CTE reachability computation",
-      s"""WITH RECURSIVE $sqlMinhashCtes,
-         |pairs AS ($sqlMinhashPairSelect),
-         |edges AS (SELECT doc_a AS eu, doc_b AS ev FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT eu AS u, ev AS v FROM edges
-         |          UNION
-         |          SELECT e.eu, r.v FROM edges e JOIN reach r ON r.u = e.ev),
-         |comp AS (SELECT u, least(u, min(v)) AS cid FROM reach GROUP BY u),
-         |labeled AS (SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS canonical_id
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
-         |SELECT doc_id, canonical_id,
-         |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-         |FROM labeled""".stripMargin) { (s, dir) =>
+      ccOracleSql) { (s, dir) =>
       val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val (labels, _) = connectedComponents(pairs)
       Tables.documents(s, dir)
@@ -981,32 +1050,68 @@ object DedupQueries {
     // scratch. Because bands and shingle counts are PER-DOCUMENT
     // (independent of the rest of the corpus), the full pair set
     // decomposes exactly into three disjoint parts: standing pairs
-    // (both docs in the indexed corpus — the maintained artifact, here
-    // recomputed from the corpus slice as its stand-in), within-delta
-    // pairs (both docs arriving — delta-sized all-pairs, the cheap
-    // part), and cross pairs (the q93 probe against the DURABLE band
-    // index). Disjointness is structural — a pair is classified by
-    // which side each doc lives on — so the union needs no dedup, and
-    // the result provably equals the batch q24 over the full corpus:
-    // the oracle below is q24's, verbatim. At 100 TB this is how the
-    // pair table is actually maintained: per batch, append (within ∪
-    // cross) to the standing pair table; nothing corpus-sized ever
-    // recomputes.
+    // (both docs in the indexed corpus — read from the PERSISTED
+    // [[pairIndexTable]], the maintained artifact, a bare parquet scan
+    // with zero recompute — PairIndexSpec), within-delta pairs (both
+    // docs arriving — delta-sized all-pairs, the cheap part), and
+    // cross pairs (the q93 probe against the DURABLE band index).
+    // Disjointness is structural — a pair is classified by which side
+    // each doc lives on — so the union needs no dedup, and the result
+    // provably equals the batch q24 over the full corpus: the oracle
+    // below is q24's, verbatim. At 100 TB this is how the pair table
+    // is actually maintained: per batch, append (within ∪ cross) to
+    // the standing pair table — PairIndexSpec proves append-then-read
+    // == full recompute across two successive batches; nothing
+    // corpus-sized ever recomputes.
     QueryDef(
       "q130_incremental_pair_maintenance",
-      s"incremental all-pairs maintenance: standing corpus pairs ∪ within-delta pairs ∪ cross pairs (the q93 probe against the durable band index) — a structurally disjoint decomposition that equals batch q24 exactly (verbatim oracle); per-batch cost is delta-pairs + the index probe, never a corpus recompute",
+      s"incremental all-pairs maintenance: PERSISTED standing pair table (bare scan, zero recompute) ∪ within-delta pairs ∪ cross pairs (the q93 probe against the durable band index) — a structurally disjoint decomposition that equals batch q24 exactly (verbatim oracle); per-batch cost is delta-pairs + the index probe, never a corpus recompute",
       s"WITH $sqlMinhashCtes\n$sqlMinhashPairSelect") { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val standing = minhashPairsOf(
-        shingle(docs.filter(col("doc_id") % 10 =!= 7)).localCheckpoint())
-      val within = minhashPairsOf(
-        shingle(docs.filter(col("doc_id") % 10 === 7)).localCheckpoint())
-      val cross = incrementalMatches(s, dir,
-          docs.filter(col("doc_id") % 10 === 7))
+      val standing = pairIndexTable(s, dir)
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      val within = pairsOfDocs(delta)
+      val cross = incrementalMatches(s, dir, delta)
         .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
           greatest(col("delta_id"), col("corpus_id")).as("doc_b"),
           col("jaccard"))
       standing.unionByName(within).unionByName(cross)
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental COMPONENT maintenance — the q130 decomposition lifted
+    // one level, from the pair set to the cluster labeling (the thing
+    // an entity-resolution / dedup-keeper pipeline actually serves).
+    // The standing labels are the PERSISTED [[ccIndexTable]]; their
+    // star edges (doc -> canonical id) reconstruct the standing
+    // connectivity exactly, so running the O(log D) min-label fixpoint
+    // over star(E0) ∪ within-delta ∪ cross — an edge set of
+    // |clustered docs| + |new pairs| rows, NEVER corpus-sized —
+    // produces the identical labeling to a from-scratch CC over all
+    // pairs: CC(star(E0) ∪ E1) == CC(E0 ∪ E1), since stars preserve
+    // reachability and min-labels are order-independent. Oracle is
+    // q54's full-corpus recursive CTE, verbatim.
+    QueryDef(
+      "q131_incremental_components",
+      "incremental connected-components maintenance: PERSISTED standing labels re-entered as star edges, merged with the delta's within + cross pairs through the same O(log D) min-label fixpoint — equals batch q54 over the full corpus exactly (verbatim oracle); per-batch cost scales with clustered docs + new pairs, never the corpus",
+      ccOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val standing = ccIndexTable(s, dir)
+      val starEdges = standing.filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      val within = pairsOfDocs(delta).select("doc_a", "doc_b")
+      val cross = incrementalMatches(s, dir, delta)
+        .select(col("delta_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      val (labels, _) = connectedComponents(
+        starEdges.unionByName(within).unionByName(cross))
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("label", "lbl"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("canonical_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("canonical_id"))))
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
@@ -1309,10 +1414,11 @@ object DedupQueries {
         JvmScratch.resetTable(s, "stream_block_index")
         JvmScratch.resetTable(s, "stream_sem_boot_out")
         JvmScratch.resetTable(s, "stream_sem_codebook")
-        // offline-train/online-serve: the codebook is learned once on
-        // the full corpus and staged for the micro-batches to re-read
-        SimilarityQueries.kmeansCodebook(s, dir, lit(true),
-            (0 until 8).map(_.toLong)).coalesce(1)
+        // offline-train/online-serve: the codebook is learned once PER
+        // CORPUS (durable, fingerprint-keyed — round-10 verdict #6:
+        // repeated bootstraps re-read the sidecar instead of re-running
+        // the two-scan Lloyd train) and staged for the micro-batches
+        SimilarityQueries.semCodebookAllTable(s, dir).coalesce(1)
           .write.format("parquet").saveAsTable(cbTable)
         // initially EMPTY block index: batch_id partitioning (replay
         // idempotency) + the 16-bucket block_key layout

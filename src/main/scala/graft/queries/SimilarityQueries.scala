@@ -1250,6 +1250,25 @@ object SimilarityQueries {
       kmeansCodebook(s, dir, col("vec_id") % 10 =!= 7, seedIds).coalesce(1)
     }
 
+  /** The FULL-corpus sibling of [[semCodebookTable]] (all vectors,
+    * seeds 0..k-1 — the q109/q114 training set, which differs from the
+    * standing-corpus codebook above in both population and seeds, so
+    * the two are distinct durable families). q114's bootstrap used to
+    * re-run the Lloyd iteration — two corpus scans — on EVERY
+    * invocation; at sf1 that train was the bulk of its ~25s wall
+    * (round-10 verdict #6). Persisting it under the corpus content
+    * fingerprint makes the train once-per-corpus: repeated bootstraps
+    * (bench iterations, the sf1 Verify pass) re-read a one-row sidecar.
+    * Arithmetic is deterministic (quantized components, exact integer
+    * folds), so reuse is result-identical and the q114 oracle is
+    * untouched. */
+  private[graft] def semCodebookAllTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "sem_codebook_all", "embeddings.parquet", None) {
+      kmeansCodebook(s, dir, lit(true), (0 until NumCells).map(_.toLong))
+        .coalesce(1)
+    }
+
   /** The persisted corpus block index: (vec_id, v, block_key) for every
     * standing-corpus vector, bucketed 16 ways on block_key so the probe
     * join needs no index-side Exchange (the q41 property). Carries the

@@ -31,4 +31,39 @@ class GraphSpec extends SparkSpec {
     assert((0L to 4L).forall(m(_) == 0L))
     assert((5L to 10L).forall(m(_) == 5L))
   }
+
+  test("q131 star-edge merge equals from-scratch components across two batches") {
+    // the maintenance identity q131 rests on — CC(star(E0) ∪ E1) ==
+    // CC(E0 ∪ E1) — chained twice, with COMPONENT-MERGING deltas: the
+    // second batch's edges bridge clusters that were separate in the
+    // standing labels, the case a naive label-carry-forward gets wrong.
+    def star(labels: org.apache.spark.sql.DataFrame) =
+      labels.filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
+    def asMap(labels: org.apache.spark.sql.DataFrame) =
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // E0: two chains 0-1-2-3 and 10-11-12
+    val e0 = spark.range(3)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .unionByName(spark.range(10, 12)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b")))
+    val (l0, _) = DedupQueries.connectedComponents(e0)
+
+    import spark.implicits._
+    // batch 1: E1 attaches 20-21 and BRIDGES the two standing clusters
+    val e1 = Seq((20L, 21L), (3L, 10L)).toDF("doc_a", "doc_b")
+    val (l1, _) = DedupQueries.connectedComponents(star(l0).unionByName(e1))
+    val (full1, _) = DedupQueries.connectedComponents(e0.unionByName(e1))
+    assert(asMap(l1) == asMap(full1), "batch-1 merge diverged from recompute")
+
+    // batch 2 against the GROWN labels: bridge in the 20-21 cluster too
+    val e2 = Seq((12L, 20L)).toDF("doc_a", "doc_b")
+    val (l2, _) = DedupQueries.connectedComponents(star(l1).unionByName(e2))
+    val (full2, _) = DedupQueries.connectedComponents(
+      e0.unionByName(e1).unionByName(e2))
+    assert(asMap(l2) == asMap(full2), "batch-2 merge diverged from recompute")
+    // everything is now one component rooted at the global min
+    assert(asMap(l2).values.toSet == Set(0L), "bridged graph must collapse to min 0")
+  }
 }
