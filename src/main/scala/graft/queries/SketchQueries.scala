@@ -204,49 +204,125 @@ object SketchQueries {
     (gated.select("gram"), total)
   }
 
+  /** The q46 universal-hash cell index, shared by the grid build and
+    * the probe side (and by q132/q133's maintenance variants). */
+  private def cmsCellCol(h: org.apache.spark.sql.Column,
+      d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (((h * ((lit(1000003L) * (d + 1)) % P) + (lit(7777777L) * (d + 1)) % P) % P) % Width)
+
+  private def cmsDepths = explode(sequence(lit(0L), lit(Depth - 1L))).as("d")
+
+  /** The q46 counter grid over events.user_id — the sketch itself: one
+    * map-side-combinable groupBy to (d, cell, c). Because counts
+    * partition over any row split, the grid of a UNION of datasets ==
+    * cellwise SUM of their grids — the add-mergeability q132/q133 lean
+    * on, the CMS twin of [[hllRegisters]]' max-merge. */
+  private[queries] def cmsCells(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.select(tokenHash(col("user_id").cast("string")).as("h"))
+      .select(col("h"), cmsDepths)
+      .select(col("d"), cmsCellCol(col("h"), col("d")).as("cell"))
+      .groupBy("d", "cell").agg(count(lit(1)).as("c"))
+
+  /** The q46 report tail over a (possibly merged) grid: the probe keys'
+    * min-over-depths point estimates joined against exact truth. The
+    * grid is sketch-sized (<= d*w rows), so it broadcasts. */
+  private[queries] def cmsEstimateOf(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), tokenHash(col("user_id").cast("string")).as("h"))
+    val probes = e.filter(col("user_id") < NumProbes).distinct()
+      .select(col("user_id"), col("h"), cmsDepths)
+      .select(col("user_id"), col("d").as("pd"), cmsCellCol(col("h"), col("d")).as("pcell"))
+    val est = probes
+      .join(broadcast(cells), col("pd") === col("d") && col("pcell") === col("cell"))
+      .groupBy("user_id").agg(min(col("c")).as("cms_estimate"))
+    val truth = Tables.events(s, dir).filter(col("user_id") < NumProbes)
+      .groupBy("user_id").agg(count(lit(1)).as("true_n"))
+    truth.join(est, Seq("user_id"))
+      .select("user_id", "true_n", "cms_estimate")
+  }
+
+  /** q46's oracle, shared verbatim by q132/q133: the maintained grids
+    * must reproduce the full-corpus sketch EXACTLY (add-merge is an
+    * identity, not an approximation). */
+  private val cmsOracle: String = {
+    val colSql = (h: String, d: String) =>
+      s"((($h * (1000003 * ($d + 1) % $P) + (7777777 * ($d + 1) % $P)) % $P) % $Width)"
+    s"""WITH e AS (SELECT user_id, ${sqlTokenHash("user_id::VARCHAR")} AS h FROM events),
+       |cells AS (SELECT d, ${colSql("h", "d")} AS cell, count(*) AS c
+       |  FROM e CROSS JOIN (SELECT unnest(range($Depth)) AS d) dd
+       |  GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT user_id, h FROM e WHERE user_id < $NumProbes),
+       |est AS (SELECT user_id, min(c) AS cms_estimate
+       |  FROM probes CROSS JOIN (SELECT unnest(range($Depth)) AS d) dd
+       |  JOIN cells ON cells.d = dd.d AND cells.cell = ${colSql("h", "dd.d")}
+       |  GROUP BY user_id),
+       |truth AS (SELECT user_id, count(*) AS true_n FROM events
+       |  WHERE user_id < $NumProbes GROUP BY user_id)
+       |SELECT user_id, true_n, cms_estimate
+       |FROM truth JOIN est USING (user_id)""".stripMargin
+  }
+
+  /** q133's body: CMS grid maintenance live — [[streamHllMaintain]]'s
+    * drain shape (checkpointed AvailableNow, maxFilesPerTrigger=1,
+    * batch_id-partitioned idempotent sink) with the per-batch work
+    * swapped for [[cmsCells]]. Grid shards are a pure function of the
+    * batch, so an at-least-once replay dynamic-overwrites identical
+    * rows; merge on read = cellwise SUM over all partitions. Test hooks
+    * as in [[streamHllMaintain]]. */
+  private[queries] def streamCmsMaintain(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    val ev = Tables.events(s, dir).select("event_id", "user_id")
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q133_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q133_ckpt").toString))
+    val outTable = JvmScratch.tableName("stream_cms_grid")
+    try {
+      if (!resume) {
+        (0 until 3).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_cms_grid")
+        createBatchSink(s, outTable, Seq(
+          "d" -> "bigint", "cell" -> "bigint", "c" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            cmsCells(batch)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      val merged = s.table(outTable)
+        .groupBy("d", "cell").agg(sum(col("c")).as("c"))
+      cmsEstimateOf(s, dir, merged)
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q46_countmin_sketch",
       s"count-min sketch (${Depth}x$Width, universal-hash family) over events.user_id: build the mergeable counter grid, point-estimate $NumProbes probe keys as min-over-depths, report vs true counts",
-      {
-        val colSql = (h: String, d: String) =>
-          s"((($h * (1000003 * ($d + 1) % $P) + (7777777 * ($d + 1) % $P)) % $P) % $Width)"
-        s"""WITH e AS (SELECT user_id, ${sqlTokenHash("user_id::VARCHAR")} AS h FROM events),
-           |cells AS (SELECT d, ${colSql("h", "d")} AS cell, count(*) AS c
-           |  FROM e CROSS JOIN (SELECT unnest(range($Depth)) AS d) dd
-           |  GROUP BY 1, 2),
-           |probes AS (SELECT DISTINCT user_id, h FROM e WHERE user_id < $NumProbes),
-           |est AS (SELECT user_id, min(c) AS cms_estimate
-           |  FROM probes CROSS JOIN (SELECT unnest(range($Depth)) AS d) dd
-           |  JOIN cells ON cells.d = dd.d AND cells.cell = ${colSql("h", "dd.d")}
-           |  GROUP BY user_id),
-           |truth AS (SELECT user_id, count(*) AS true_n FROM events
-           |  WHERE user_id < $NumProbes GROUP BY user_id)
-           |SELECT user_id, true_n, cms_estimate
-           |FROM truth JOIN est USING (user_id)""".stripMargin
-      }) { (s, dir) =>
-      val e = Tables.events(s, dir)
-        .select(col("user_id"), tokenHash(col("user_id").cast("string")).as("h"))
-      def cell(h: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
-        (((h * ((lit(1000003L) * (d + 1)) % P) + (lit(7777777L) * (d + 1)) % P) % P) % Width)
-
-      val depths = explode(sequence(lit(0L), lit(Depth - 1L))).as("d")
+      cmsOracle) { (s, dir) =>
       // the sketch: one groupBy builds AND merges the counter grid
-      val cells = e.select(col("h"), depths)
-        .select(col("d"), cell(col("h"), col("d")).as("cell"))
-        .groupBy("d", "cell").agg(count(lit(1)).as("c"))
-
-      val probes = e.filter(col("user_id") < NumProbes).distinct()
-        .select(col("user_id"), col("h"), depths)
-        .select(col("user_id"), col("d").as("pd"), cell(col("h"), col("d")).as("pcell"))
-      val est = probes
-        .join(broadcast(cells), col("pd") === col("d") && col("pcell") === col("cell"))
-        .groupBy("user_id").agg(min(col("c")).as("cms_estimate"))
-
-      val truth = Tables.events(s, dir).filter(col("user_id") < NumProbes)
-        .groupBy("user_id").agg(count(lit(1)).as("true_n"))
-      truth.join(est, Seq("user_id"))
-        .select("user_id", "true_n", "cms_estimate")
+      cmsEstimateOf(s, dir, cmsCells(Tables.events(s, dir)))
     },
 
     // ------------------------------------------------------------------
@@ -344,6 +420,47 @@ object SketchQueries {
       "streaming distinct-count maintenance: 3 event drops -> checkpointed AvailableNow drain, per-micro-batch HLL registers into batch_id partitions (replay-idempotent), cellwise-max merge on read == full-corpus q51 estimate exactly",
       hllFullCorpusOracle) { (s, dir) =>
       streamHllMaintain(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental FREQUENCY-sketch maintenance — q120's contract on the
+    // count-min side, completing the mergeable-sketch maintenance
+    // matrix (HLL merges by max, CMS by ADD; both are identities, not
+    // approximations, because counts partition over any row split).
+    // The standing corpus's counter grid is the persisted artifact; a
+    // delta arrives and only the DELTA is sketched; merge = cellwise
+    // sum over two sketch-sized tables (O(d*w) rows, corpus-size-
+    // independent). The probe estimates off the merged grid equal the
+    // full-corpus q46 estimates EXACTLY — verbatim oracle.
+    QueryDef(
+      "q132_incremental_cms",
+      s"incremental frequency-sketch maintenance: standing ${Depth}x$Width count-min grid persisted (built once per JVM), delta (event_id%10==7) sketched alone, cellwise-ADD merge -> probe estimates == full-corpus q46 exactly (add-mergeability is an identity)",
+      cmsOracle) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val standing = ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
+      val delta = ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      val short = s"cms_standing_${Integer.toHexString(dir.hashCode)}"
+      JvmScratch.ensure(s)
+      val standingTable = JvmScratch.tableName(short)
+      if (!s.catalog.tableExists(standingTable))
+        cmsCells(standing).write.format("parquet").saveAsTable(standingTable)
+      val merged = s.table(standingTable).unionByName(cmsCells(delta))
+        .groupBy("d", "cell").agg(sum(col("c")).as("c"))
+      cmsEstimateOf(s, dir, merged)
+    },
+
+    // ------------------------------------------------------------------
+    // The same contract LIVE — q121's drain shape with the per-batch
+    // work swapped for the counter grid: per-ingest-batch CMS shards
+    // appended forever into batch_id partitions (replay-idempotent:
+    // shards are a pure function of the batch), merged on read in
+    // O(batches x d x w). Final estimates == full-corpus q46, verbatim
+    // oracle — the steady state of a streaming frequency monitor.
+    QueryDef(
+      "q133_stream_cms",
+      "streaming frequency-sketch maintenance: 3 event drops -> checkpointed AvailableNow drain, per-micro-batch count-min grids into batch_id partitions (replay-idempotent), cellwise-ADD merge on read == full-corpus q46 estimates exactly",
+      cmsOracle) { (s, dir) =>
+      streamCmsMaintain(s, dir)
     },
 
     // ------------------------------------------------------------------

@@ -103,6 +103,31 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q133: a replayed counter-grid micro-batch does not double-count") {
+    // the CMS twin of the q121 test — and the sharper one: a double-
+    // applied batch under max-merge (HLL) is absorbed, but under
+    // ADD-merge it would inflate every touched cell, so idempotency
+    // here rests entirely on the batch_id partition overwrite
+    val clean = SketchQueries.streamCmsMaintain(spark, sfDir)
+      .orderBy("user_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q133 run produced no estimates — test is vacuous")
+
+    val scratch = (tmp("graft_rp133_src"), tmp("graft_rp133_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        SketchQueries.streamCmsMaintain(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = SketchQueries
+        .streamCmsMaintain(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("user_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q123: a replayed packing micro-batch sees the same offset and rewrites identical rows") {
     val clean = SamplingQueries.streamContextPacking(spark, sfDir)
       .orderBy("window_id", "doc_id").collect().toSeq
