@@ -1112,6 +1112,26 @@ object DedupQueries {
         .withColumn("cluster_size",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("canonical_id"))))
+    },
+
+    // ------------------------------------------------------------------
+    // The q131 contract LIVE — streaming COMPONENT maintenance, closing
+    // the CC family's {batch q54, incremental q131, streaming q134}
+    // matrix. The delta arrives as 3 ORDERED drops (cross-drop pairs
+    // depend on processing order, q107's shape); each micro-batch mines
+    // its EDGE contribution — within-batch pairs, plus cross pairs
+    // against both the standing band index and the stream-grown delta
+    // band index so far — into batch_id-partitioned edge shards
+    // (replay-idempotent: the probe reads the grown index MINUS the
+    // batch's own partition), then appends its own bands. Post-drain,
+    // ONE min-label fixpoint over star(standing labels) ∪ streamed
+    // edges — state-sized, never corpus-sized — labels the corpus
+    // identically to batch q54: verbatim oracle.
+    QueryDef(
+      "q134_stream_components",
+      "STREAMING connected-components maintenance: delta as 3 ordered drops, each micro-batch mines within + cross edge shards (vs the standing band index AND the stream-grown delta index so far) into replay-idempotent batch_id partitions; post-drain min-label fixpoint over star(standing labels) ∪ streamed edges == batch q54 exactly",
+      ccOracleSql) { (s, dir) =>
+      streamComponents(s, dir)
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
@@ -1274,6 +1294,103 @@ object DedupQueries {
       }
       s.catalog.refreshTable(table)
       s.table(table).select("vec_id", "keeper_id", "cosine")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
+  /** q134's body: streaming COMPONENT maintenance — q107's drain shape
+    * (ordered drops, stream-grown band index, index-minus-own-partition
+    * replay rule) emitting EDGE SHARDS instead of match rows, folded
+    * post-drain into the q131 star-edge merge. Edge completeness per
+    * batch: within-batch pairs from the all-pairs pipeline on the
+    * batch's own shingles; cross pairs from ONE probe against the
+    * UNION of the standing corpus band index and the grown delta index
+    * so far (earlier drops' bands) — so a delta-delta pair across
+    * drops is mined exactly once, by the later drop's batch. Shards
+    * are a pure function of (batch, committed prior state), so the
+    * batch_id dynamic overwrite makes replays idempotent. Test hooks
+    * as in [[streamIncrementalDedup]]. */
+  private[graft] def streamComponents(s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val docs = Tables.documents(s, dir)
+    // the standing artifacts exist before a maintenance stream starts
+    bandIndexTable(s, dir)
+    ccIndexTable(s, dir)
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q134_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q134_ckpt").toString))
+    val idxTable = JvmScratch.tableName("stream_cc_bands")
+    val outTable = JvmScratch.tableName("stream_cc_edges")
+    try {
+      if (!resume) {
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        (0 until 3).foreach { i =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_q134_drop$i")
+          try {
+            delta.filter(pmod(col("doc_id"), lit(3)) === i)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = java.nio.file.Files.list(tmp).iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
+            java.nio.file.Files.copy(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+          } finally rmQuietly(tmp.toString)
+        }
+        JvmScratch.resetTable(s, "stream_cc_bands")
+        JvmScratch.resetTable(s, "stream_cc_edges")
+        sigBands(shingle(docs.limit(0))).withColumn("batch_id", lit(-1L))
+          .write.format("parquet").partitionBy("batch_id")
+          .bucketBy(16, "band_key").sortBy("band_key")
+          .saveAsTable(idxTable)
+        createBatchSink(s, outTable,
+          Seq("doc_a" -> "bigint", "doc_b" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            ss.catalog.refreshTable(idxTable)
+            val batchSh = shingle(batch).localCheckpoint()
+            val soFar = ss.table(idxTable)
+              .filter(col("batch_id") =!= batchId)
+              .select("doc_id", "band_idx", "band_key")
+            val cross = matchesAgainstIndex(ss, dir, batchSh,
+                bandIndexTable(ss, dir).unionByName(soFar))
+              .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
+                greatest(col("delta_id"), col("corpus_id")).as("doc_b"))
+            val within = minhashPairsOf(batchSh).select("doc_a", "doc_b")
+            within.unionByName(cross)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            sigBands(batchSh).withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(idxTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      val standing = ccIndexTable(s, dir)
+      val starEdges = standing.filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
+      val (labels, _) = connectedComponents(
+        starEdges.unionByName(s.table(outTable).select("doc_a", "doc_b")))
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("label", "lbl"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("canonical_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("canonical_id"))))
     } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
   }
 

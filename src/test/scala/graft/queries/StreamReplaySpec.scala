@@ -61,6 +61,31 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q134: a replayed edge-shard micro-batch does not corrupt the labeling") {
+    // the replayed batch re-probes the grown index MINUS its own bands
+    // and dynamic-overwrites its own edge partition; a double-applied
+    // batch would self-match its own bands (phantom within-pairs) or
+    // duplicate edge rows — either diverges the final labeling
+    val clean = DedupQueries.streamComponents(spark, sfDir)
+      .orderBy("doc_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q134 run produced no labeling — test is vacuous")
+
+    val scratch = (tmp("graft_rp134_src"), tmp("graft_rp134_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        DedupQueries.streamComponents(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = DedupQueries
+        .streamComponents(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("doc_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q129: a replayed simhash micro-batch does not double-write matches") {
     val clean = DedupQueries.streamSimhashDedup(spark, sfDir)
       .orderBy("delta_id", "corpus_id").collect().toSeq
