@@ -176,11 +176,23 @@ object SketchQueries {
     * thing the gate hash affects. Shared with TechniqueSpec, which
     * asserts the superset and the pruning. */
   private[queries] def hhGatedOccurrences(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val occ = Tables.documents(s, dir)
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    hhGatedOccurrencesOf(trigramOcc(Tables.documents(s, dir)), HHSupport)
+
+  /** Trigram occurrence stream of a document set (every occurrence,
+    * not distinct) — the input side of q117 and the q135 store/delta/
+    * recount legs. */
+  private[queries] def trigramOcc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(explode(shinglesOf(col("t"), 3)).as("gram"))
+
+  /** [[hhGatedOccurrences]] generalized over the occurrence stream and
+    * the support denominator (q135's store build gates at 2x the query
+    * support — the watermark — with the identical machinery). */
+  private[queries] def hhGatedOccurrencesOf(occ: org.apache.spark.sql.DataFrame,
+      support: Long): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val withCells = occ.select(col("gram") +: (0 until HHDepth).map(d =>
       pmod(xxhash64(lit(d), col("gram")), lit(HHWidth.toLong)).as(s"c$d")): _*)
     // pass 1: the grid. Explode to (depth, cell) pairs; partial
@@ -195,7 +207,7 @@ object SketchQueries {
     // occurrence) — no third scan of the documents
     val total = grid.filter(col("d") === 0).agg(sum(col("c")).as("total"))
     val hot = grid.crossJoin(broadcast(total))
-      .filter(col("c") * HHSupport >= col("total"))
+      .filter(col("c") * support >= col("total"))
     // pass 2: gate = all d cells hot (min-over-depths >= threshold)
     val gated = (0 until HHDepth).foldLeft(withCells) { (acc, d) =>
       acc.join(broadcast(hot.filter(col("d") === d).select(col("cell").as(s"c$d"))),
@@ -240,6 +252,97 @@ object SketchQueries {
       .groupBy("user_id").agg(count(lit(1)).as("true_n"))
     truth.join(est, Seq("user_id"))
       .select("user_id", "true_n", "cms_estimate")
+  }
+
+  /** q117's oracle, shared verbatim by q135: exact heavy hitters over
+    * the FULL corpus — the maintained store must reproduce it exactly,
+    * with no sketch or watermark in sight. */
+  private val hhOracle: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM d),
+       |t AS (SELECT count(*) AS total FROM g)
+       |SELECT gram, count(*) AS n_occurrences
+       |FROM g CROSS JOIN t
+       |GROUP BY gram, total
+       |HAVING count(*) * $HHSupport >= total""".stripMargin
+
+  /** The persisted heavy-hitter STORE of the standing corpus — q135's
+    * maintained artifact: exact counts of every trigram whose standing
+    * count clears the WATERMARK (half the query threshold, i.e.
+    * support 1/(2*HHSupport)), built with the identical CMS-gate
+    * machinery as q117 at the lower support, plus one sentinel row
+    * (gram NULL, cnt 0) carrying the standing total so even an empty
+    * store knows T0. Store size is bounded by ~2*HHSupport entries
+    * (each needs >= T0/(2*HHSupport) occurrences) however large the
+    * corpus — a true sketch-sized standing artifact. */
+  private[queries] def hhStoreTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "hh_store", "documents.parquet", None) {
+      hhStoreOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7))
+        .coalesce(1)
+    }
+
+  /** The store build, parameterized over the standing docs for the
+    * spec's synthetic scenarios. */
+  private[queries] def hhStoreOf(standingDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (gated, total) = hhGatedOccurrencesOf(trigramOcc(standingDocs), 2 * HHSupport)
+    val stored = gated.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (2 * HHSupport) >= col("total"))
+      .select(col("gram"), col("cnt"), col("total").as("standing_total"))
+    val sentinel = total.select(lit(null).cast("string").as("gram"),
+      lit(0L).as("cnt"), col("total").as("standing_total"))
+    stored.unionByName(sentinel)
+  }
+
+  /** q135's core, parameterized over the inputs so the spec can drive
+    * synthetic surge scenarios. Exactness argument, all on exact
+    * integers: a stored gram's full count is store + delta (exact); a
+    * non-stored gram has standing count <= B = floor((T0-1)/(2*S)),
+    * so if (dcnt + B) * S < T1 it cannot be hot — and its (under-
+    * counted) delta-only row is below the final threshold a fortiori,
+    * so the undercount never surfaces; the remaining SURGE grams get
+    * their exact standing count back from a targeted left-semi recount
+    * — the only path that touches standing text, gated on surge
+    * non-emptiness (lazy isEmpty, the S10 conditional-sink pattern).
+    * The two driver-side scalars (T0, Td) are one-row reads off
+    * sketch-sized aggregates. */
+  private[queries] def hhMaintain(s: org.apache.spark.sql.SparkSession,
+      standingDocs: org.apache.spark.sql.DataFrame,
+      deltaDocs: org.apache.spark.sql.DataFrame,
+      store: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stored = store.filter(col("gram").isNotNull)
+      .select(col("gram"), col("cnt"))
+    val t0 = store.agg(max(col("standing_total"))).first().getLong(0)
+    val dCnts = trigramOcc(deltaDocs).groupBy("gram")
+      .agg(count(lit(1)).as("dcnt")).localCheckpoint()
+    val td = Option(dCnts.agg(sum(col("dcnt"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val t1 = t0 + td
+    val b = math.max(t0 - 1, 0L) / (2 * HHSupport)
+    val merged = stored.join(dCnts, Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("n_occurrences"))
+    val surge = dCnts.join(stored, Seq("gram"), "left_anti")
+      .filter((col("dcnt") + b) * HHSupport >= t1)
+      .localCheckpoint()
+    val full =
+      if (surge.isEmpty) merged
+      else {
+        val recount = trigramOcc(standingDocs)
+          .join(broadcast(surge.select("gram")), Seq("gram"), "left_semi")
+          .groupBy("gram").agg(count(lit(1)).as("scnt"))
+        val surged = surge.join(recount, Seq("gram"), "left")
+          .select(col("gram"),
+            (coalesce(col("scnt"), lit(0L)) + col("dcnt")).as("n_occurrences"))
+        merged.join(surge.select("gram"), Seq("gram"), "left_anti")
+          .unionByName(surged)
+      }
+    full.filter(col("n_occurrences") * HHSupport >= t1)
+      .select(col("gram"), col("n_occurrences"))
   }
 
   /** q46's oracle, shared verbatim by q132/q133: the maintained grids
@@ -539,19 +642,35 @@ object SketchQueries {
     QueryDef(
       "q117_heavy_hitters",
       s"sketch-gated exact heavy hitters over trigram shingles: ${HHDepth}x$HHWidth count-min grid -> hot-cell broadcast gate (no false negatives) -> exact recount of survivors at support 1/$HHSupport; shuffle carries near-frequent grams only",
-      s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
-         |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM d),
-         |t AS (SELECT count(*) AS total FROM g)
-         |SELECT gram, count(*) AS n_occurrences
-         |FROM g CROSS JOIN t
-         |GROUP BY gram, total
-         |HAVING count(*) * $HHSupport >= total""".stripMargin) { (s, dir) =>
+      hhOracle) { (s, dir) =>
       val (gated, total) = hhGatedOccurrences(s, dir)
       gated.groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
         .crossJoin(broadcast(total))
         .filter(col("n_occurrences") * HHSupport >= col("total"))
         .select(col("gram"), col("n_occurrences"))
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental EXACT heavy-hitter maintenance — the q117 result kept
+    // current without the full-corpus pass, via a WATERMARKED store
+    // (the two-threshold trick classical frequent-items maintenance
+    // rests on). The store holds exact counts for every standing gram
+    // above HALF the query threshold; a gram absent from it has
+    // standing count <= B = floor((T0-1)/(2*support)) < the threshold,
+    // so it can only become hot if its DELTA count alone bridges the
+    // watermark gap — checkable from (dcnt + B) without touching the
+    // corpus. Only those rare SURGE grams trigger a targeted standing
+    // recount (left-semi on the surge set, the q117 pass-2 shape); the
+    // steady state is store-merge + delta-count, both delta/sketch-
+    // sized. Every exclusion above is an inequality on exact integers,
+    // so the output is EXACT — verbatim q117 oracle.
+    QueryDef(
+      "q135_incremental_heavy_hitters",
+      s"incremental exact heavy-hitter maintenance: watermarked standing store (trigrams above 1/(2x$HHSupport) support, exact counts + standing total) + delta-only counts; non-stored grams are provably cold unless the delta alone bridges the watermark gap, and only those surge grams trigger a targeted standing recount — == full-corpus q117 exactly",
+      hhOracle) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      hhMaintain(s, docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7), hhStoreTable(s, dir))
     },
 
     // ------------------------------------------------------------------

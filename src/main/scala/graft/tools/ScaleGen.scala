@@ -99,15 +99,16 @@ object ScaleGen {
     replicate("orders", Map("o_orderkey" -> orderCap, "o_custkey" -> custCap))
     replicate("lineitem", Map("l_orderkey" -> orderCap,
       "l_partkey" -> partCap, "l_suppkey" -> suppCap))
-    // events.ts arrives as a TIMESTAMP(NANOS) column that the
-    // nanosAsLong session reads as a bare nano count; writing that long
-    // back verbatim would drop the timestamp logical type and break
-    // every events oracle (DuckDB would see BIGINT where the SQL does
-    // date_trunc/epoch_ms). Convert to a microsecond TIMESTAMP on the
-    // way out — every consumer (Spark's normalizeEventTs and the
-    // oracles) truncates to milliseconds, so no fidelity is lost.
+    // events.ts has shipped in three encodings across harness rounds
+    // (nano-count long under nanosAsLong, untagged-µs TIMESTAMP_NTZ,
+    // TimestampType — the drift SchemaDriftSpec pins); writing the raw
+    // shape back verbatim would either drop the timestamp logical type
+    // (BIGINT where the oracles do date_trunc) or propagate NTZ. Route
+    // through the same normalizeEventTs every consumer uses: canonical
+    // ms-truncated TimestampType, whatever the source carried — every
+    // consumer truncates to milliseconds anyway, so no fidelity is lost.
     replicate("events", Map("event_id" -> eventCap, "user_id" -> userCap),
-      (df, _) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      (df, _) => graft.sources.Tables.normalizeEventTs(df))
     replicate("documents", Map("doc_id" -> docCap),
       (df, i) => if (i == 0) df else df.withColumn("text", remapText("text", i)))
     // embeddings share the documents key space (q29 joins vec_id = doc_id).

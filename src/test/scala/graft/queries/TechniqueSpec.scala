@@ -71,6 +71,48 @@ class TechniqueSpec extends SparkSpec {
     assert(q.exceptAll(exact).isEmpty && exact.exceptAll(q).isEmpty)
   }
 
+  test("q135 maintenance is exact in all three regimes, including a forced surge") {
+    import spark.implicits._
+    // synthetic corpus engineered so every watermark regime occurs:
+    //   T0 = 400,000 standing occurrences -> watermark 10, B = 9
+    //   "h h h" standing 30 (stored, hot on its own)
+    //   "s s s" standing 8 (BELOW watermark -> not stored) + delta 40
+    //           -> surge: only the targeted recount can report 48
+    //   "c c c" standing 9 + delta 1 -> cold, provably excluded
+    //           WITHOUT recount ((1+9)*S < T1)
+    //   Td = 1,000 -> T1 = 401,000, hot iff n*20000 >= 401000 (n >= 21)
+    def rep(w: String, n: Int) = Array.fill(n)(w).mkString(" ")
+    def filler(prefix: String, n: Long) = spark.range(n)
+      .select(concat_ws(" ",
+        concat(lit(prefix), col("id"), lit("a")),
+        concat(lit(prefix), col("id"), lit("b")),
+        concat(lit(prefix), col("id"), lit("c"))).as("text"))
+    val standing = filler("f", 399953L)
+      .unionByName(Seq(rep("h", 32), rep("s", 10), rep("c", 11)).toDF("text"))
+    val delta = filler("g", 959L)
+      .unionByName(Seq(rep("s", 42), rep("c", 3)).toDF("text"))
+
+    val store = SketchQueries.hhStoreOf(standing).localCheckpoint()
+    val storedGrams = store.filter(col("gram").isNotNull)
+      .select("gram").as[String].collect().toSet
+    assert(storedGrams == Set("h h h"),
+      s"watermark store admitted the wrong grams: $storedGrams")
+
+    val got = SketchQueries.hhMaintain(spark, standing, delta, store)
+      .as[(String, Long)].collect().toSet
+    // exact counts: 48 (not the delta-only 40) proves the surge
+    // recount ran; 30 proves the store-merge leg; no cold/filler gram
+    assert(got == Set(("h h h", 30L), ("s s s", 48L)), s"got $got")
+
+    // and the same result as the brute-force full-corpus recompute
+    val occ = SketchQueries.trigramOcc(standing.unionByName(delta))
+    val totalN = occ.count()
+    val brute = occ.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") * SketchQueries.HHSupport >= totalN)
+      .as[(String, Long)].collect().toSet
+    assert(got == brute, s"maintenance diverged from brute force: $got vs $brute")
+  }
+
   test("q118 context packing: every window full except the last, per-doc coverage exact") {
     import graft.queries.SamplingQueries
     val p = SparkEntry.queries("q118_context_packing")(spark, sfDir).cache()
