@@ -1031,6 +1031,24 @@ object DedupQueries {
     },
 
     // ------------------------------------------------------------------
+    // q128 through the size-gated NON-broadcast route pinned on — the
+    // q108/q115 treatment applied to the SimHash family, completing the
+    // large-delta symmetry across all three dedup families. Past the
+    // gate the delta fingerprints shuffle once into the index's
+    // 16-bucket block_key layout and merge-join the bucketed scan with
+    // zero index-side Exchange; pinned here regardless of the stand-in
+    // delta's size so the plan is auditable at gate scale
+    // (PlanAuditSpec). Result == q128 exactly: verbatim oracle.
+    QueryDef(
+      "q136_incremental_simhash_large",
+      s"LARGE-delta incremental SimHash dedup: the q128 contract through the size-gated non-broadcast path — delta fingerprints shuffled once into the index's 16-bucket block_key layout, merge-joined with zero index-side Exchange and no delta broadcast; result == q128 exactly",
+      sqlSimhashIncrementalOracle) { (s, dir) =>
+      simhashMatches(s, dir,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+        forceLarge = Some(true))
+    },
+
+    // ------------------------------------------------------------------
     // The SAME contract LIVE: q105's drain shape with the SimHash probe
     // per micro-batch. Final table == batch q128 regardless of
     // micro-batching (static index + drops partition the delta);

@@ -155,6 +155,33 @@ class PlanAuditSpec extends SparkSpec {
       "index-side Exchange between the fingerprint-index scan and the probe join")
   }
 
+  test("q136 large-delta simhash probe: sort-merge into the bucketed index, zero index-side Exchange") {
+    // the SimHash mirror of the q108/q115 audits: the pinned large
+    // route must shuffle the DELTA into the index's bucket layout,
+    // never broadcast it, and never shuffle the index side
+    val plan = finalPlan(
+      SparkEntry.queries("q136_incremental_simhash_large")(spark, sfDir))
+    def isFpScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("simhash_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("simhash_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isFpScan),
+      "q136's plan does not read the persisted fingerprint index")
+    val path = pathTo(plan, isFpScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the fingerprint-index scan")
+    assert(path(joinIdx).isInstanceOf[SortMergeJoinExec],
+      s"large-delta probe join is ${path(joinIdx).getClass.getSimpleName}, not sort-merge")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the fingerprint-index scan and the probe join")
+  }
+
   test("q108 large-delta probe: merge join with zero index-side Exchange and no delta broadcast") {
     // the size-gated non-broadcast path (round-9 verdict #1): past the
     // delta-size gate the probe must shuffle the DELTA into the index's
