@@ -72,6 +72,37 @@ object DedupQueries {
       .select(col("doc_id"), md5Hash48(col("sg")).as("h"))
       .distinct()
 
+  /** The persisted corpus 13-gram SPAN-HASH index — q137's first
+    * artifact: (doc_id, h) distinct pairs for the whole corpus,
+    * bucketed 16 ways on h so a future oversized-benchmark probe can
+    * merge-join with zero index-side Exchange. At 100 TB this is the
+    * inverted index a decontamination service keeps standing: the
+    * corpus is tokenized ONCE per content fingerprint, and every
+    * subsequent benchmark update touches only this table — never the
+    * corpus text. */
+  private[graft] def spanIndexTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "span_index", "documents.parquet", Some(("h", 16))) {
+      spanHashes13Of(Tables.documents(s, dir))
+    }
+
+  /** The persisted STANDING CONTAMINATION table — q137's second
+    * artifact, stacked on the span index (the build never touches
+    * text): q86's (doc_id, bench_id, n_shared) restricted to the
+    * standing benchmark half (bench_id % 10 == 0). */
+  private[graft] def contamIndexTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "contam_index", "documents.parquet", None) {
+      val idx = spanIndexTable(s, dir)
+      val bench = idx.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"), col("h").as("bh"))
+      idx.join(broadcast(bench),
+          col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .coalesce(1)
+    }
+
   /** Oracle CTEs `toks13`/`sh13(doc_id, h)` — the SQL twin of
     * [[spanHashes13]]. */
   private[queries] val sqlSh13Ctes: String =
@@ -759,6 +790,34 @@ object DedupQueries {
           col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental decontamination under BENCHMARK GROWTH — the q86
+    // maintenance direction q116 does not cover (q116 streams the
+    // CORPUS against a fixed benchmark; here the benchmark grows while
+    // the corpus stands). Two stacked durable artifacts: the corpus
+    // span-hash index (tokenize once per corpus fingerprint) and the
+    // standing contamination table (q86 vs the standing benchmark
+    // half). A benchmark update reads the NEW eval docs' spans OUT OF
+    // THE INDEX (zero text touched anywhere), broadcast-probes the
+    // index, and appends — disjoint from the standing rows by bench_id
+    // side, so the union is exact: q86's oracle over the full
+    // benchmark, verbatim. At 100 TB: per-update cost is the index
+    // probe; the corpus is never re-tokenized.
+    QueryDef(
+      "q137_incremental_decontaminate",
+      "incremental decontamination under benchmark growth: persisted corpus span-hash index (tokenize once) + persisted standing contamination table; a new eval slice (bench_id % 10 == 5) reads its spans out of the index and broadcast-probes it, appended to the standing rows — == full-benchmark q86 exactly",
+      decontaminateOracle) { (s, dir) =>
+      val idx = spanIndexTable(s, dir)
+      val standing = contamIndexTable(s, dir)
+      val newBench = idx.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").as("bench_id"), col("h").as("bh"))
+      val fresh = idx.join(broadcast(newBench),
+          col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      standing.unionByName(fresh)
     },
 
     // ------------------------------------------------------------------
