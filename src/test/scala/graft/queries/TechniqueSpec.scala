@@ -164,6 +164,46 @@ class TechniqueSpec extends SparkSpec {
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
   }
 
+  test("q138 chained SCD2 applies equal the full-history window recompute") {
+    import spark.implicits._
+    // three snapshots with every maintenance case: a twice-changing key
+    // (1), a late-changing key (2), a never-changing key (3), and a
+    // mid-stream insert (4)
+    def snap(rows: Seq[(Long, Double, String)]) =
+      rows.toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val s1 = snap(Seq((1L, 1.0, "A"), (2L, 5.0, "B"), (3L, 9.0, "C")))
+    val s2 = snap(Seq((1L, 2.0, "A"), (2L, 5.0, "B"), (3L, 9.0, "C"), (4L, 7.0, "D")))
+    val s3 = snap(Seq((1L, 3.0, "A"), (2L, 6.0, "B"), (3L, 9.0, "C"), (4L, 7.0, "D")))
+
+    // incremental: first load, then two applies against current rows only
+    val inc = RelationalExtras.scd2Apply(
+      RelationalExtras.scd2Apply(RelationalExtras.scd2FirstLoad(s1, 1L), s2, 2L),
+      s3, 3L)
+
+    // batch: q57's full-history window pipeline over the union
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey")).orderBy(col("snap"))
+    val snaps = s1.withColumn("snap", lit(1))
+      .unionByName(s2.withColumn("snap", lit(2)))
+      .unionByName(s3.withColumn("snap", lit(3)))
+    val kept = snaps
+      .withColumn("prev", lag(col("c_acctbal"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("c_acctbal"))
+    val batch = kept.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        row_number().over(w).cast("long").as("version"),
+        col("snap").cast("long").as("effective_from_snap"),
+        lead(col("snap"), 1).over(w).cast("long").as("effective_to_snap"))
+      .withColumn("is_current",
+        when(col("effective_to_snap").isNull, 1L).otherwise(0L))
+
+    assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty,
+      "chained applies diverged from the window recompute")
+    // the twice-changed key carries three versions; the insert opens at snap 2
+    assert(inc.filter(col("c_custkey") === 1L).count() == 3)
+    assert(inc.filter(col("c_custkey") === 4L)
+      .select("version", "effective_from_snap").as[(Long, Long)].head() == ((1L, 2L)))
+  }
+
   test("SCD2 invariants: one current row per key, contiguous validity ranges") {
     val scd = SparkEntry.queries("q57_scd2_versioning")(spark, sfDir)
     val perKey = scd.groupBy("c_custkey")
