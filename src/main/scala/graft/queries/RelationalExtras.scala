@@ -116,6 +116,74 @@ object RelationalExtras {
     carried.unionByName(opens)
   }
 
+  /** q139's body: the q138 apply LIVE — the arriving snapshot lands as
+    * 3 KEY-PARTITIONED drops (SCD2 applies over disjoint keys commute,
+    * so drop order is irrelevant and each key's history is computed in
+    * exactly one batch); each micro-batch restricts the PERSISTED
+    * standing state to its own keys (left-semi), runs the identical
+    * [[scd2Apply]], and dynamic-overwrites its own batch_id partition
+    * of the sink. The output rows are a pure function of (static
+    * standing state, the batch's keys' rows), so an at-least-once
+    * replay rewrites identical rows. Union over batches == the
+    * one-shot q138 apply == batch q57, verbatim oracle. Test hooks as
+    * in the DedupQueries drains. */
+  private[queries] def streamScd2Apply(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    scd2StateTable(s, dir) // the standing dimension exists pre-stream
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q139_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q139_ckpt").toString))
+    val outTable = JvmScratch.tableName("stream_scd2_out")
+    try {
+      if (!resume) {
+        val snap2 = Tables.customer(s, dir)
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")))
+        (0 until 3).foreach { i =>
+          snap2.filter(pmod(col("c_custkey"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_scd2_out")
+        createBatchSink(s, outTable, Seq(
+          "c_custkey" -> "bigint", "c_acctbal" -> "double",
+          "c_mktsegment" -> "string", "version" -> "bigint",
+          "effective_from_snap" -> "bigint", "effective_to_snap" -> "bigint",
+          "is_current" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            val keys = batch.select("c_custkey")
+            val standing = scd2StateTable(ss, dir)
+              .join(keys, Seq("c_custkey"), "left_semi")
+            scd2Apply(standing, batch, 2L)
+              .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      s.table(outTable).select("c_custkey", "c_acctbal", "c_mktsegment",
+        "version", "effective_from_snap", "effective_to_snap", "is_current")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
   /** The persisted SCD2 STATE after the first load — q138's maintained
     * artifact (DurableIndex over the customer table content): at 100 TB
     * this is the dimension table itself, the thing the nightly apply
@@ -521,6 +589,21 @@ object RelationalExtras {
           when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
             .otherwise(col("c_acctbal")))
       scd2Apply(scd2StateTable(s, dir), snap2, 2L)
+    },
+
+    // ------------------------------------------------------------------
+    // The q138 apply LIVE — streaming SCD2, closing the family's
+    // {batch q57, incremental q138, streaming q139} matrix. The
+    // arriving snapshot drains as 3 key-partitioned drops; applies
+    // over disjoint keys commute, so each micro-batch computes its
+    // keys' full post-apply history against the static persisted state
+    // and lands it replay-idempotently in its own batch_id partition.
+    // Union over batches == q138 == batch q57: verbatim oracle.
+    QueryDef(
+      "q139_stream_scd2",
+      "STREAMING SCD2 apply: snapshot as 3 key-partitioned drops, each micro-batch left-semi-restricts the persisted dimension state to its keys and runs the identical apply into replay-idempotent batch_id partitions — disjoint-key applies commute, union == batch q57 exactly",
+      scd2Oracle) { (s, dir) =>
+      streamScd2Apply(s, dir)
     },
 
     // ------------------------------------------------------------------

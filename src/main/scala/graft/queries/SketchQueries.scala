@@ -345,6 +345,105 @@ object SketchQueries {
       .select(col("gram"), col("n_occurrences"))
   }
 
+  /** q56's oracle, shared verbatim by q140/q141: the maintained bin
+    * tables must reproduce the full-corpus quantile lookups exactly. */
+  private val histOracle: String =
+    s"""WITH hist AS (SELECT CAST(floor(o_totalprice / $QWidth.0) AS BIGINT) AS bin,
+       |    count(*) AS c
+       |  FROM orders GROUP BY 1),
+       |cum AS (SELECT bin,
+       |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hist),
+       |n AS (SELECT count(*) AS n FROM orders),
+       |probs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+       |t AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS target_rank
+       |  FROM probs CROSS JOIN n),
+       |est AS (SELECT p, target_rank, min(bin) AS qbin
+       |  FROM t JOIN cum ON cum >= target_rank GROUP BY p, target_rank)
+       |SELECT p, target_rank,
+       |  CAST((qbin + 1) * $QWidth AS BIGINT) AS est_upper_bound
+       |FROM est""".stripMargin
+
+  /** The q56 bin table — the sketch itself: one map-side-combinable
+    * groupBy to (bin, c); grids of a UNION of datasets == cellwise SUM
+    * of their grids, the add-mergeability q140/q141 lean on. */
+  private[queries] def histBins(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    o.select(floor(col("o_totalprice") / QWidth.toDouble).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+
+  /** The q56 quantile tail over a (possibly merged) bin table. n is
+    * read off the bins themselves (sum of counts IS the row count —
+    * every order lands in exactly one bin), so a maintained bin table
+    * needs no second pass over the data. The cumulative window runs
+    * over the sketch-sized bin table only. */
+  private[queries] def histQuantilesOf(s: org.apache.spark.sql.SparkSession,
+      hist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val nDf = hist.agg(sum(col("c")).as("n"))
+    val probs = s.range(1)
+      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+    val targets = probs.crossJoin(broadcast(nDf))
+      .select(col("p"), ceil(col("p") * col("n")).cast("long").as("target_rank"))
+    targets.join(broadcast(cum), col("cum") >= col("target_rank"))
+      .groupBy("p", "target_rank").agg(min(col("bin")).as("qbin"))
+      .select(col("p"), col("target_rank"),
+        ((col("qbin") + 1) * QWidth).cast("long").as("est_upper_bound"))
+  }
+
+  /** q141's body: [[streamHllMaintain]]'s drain shape with the
+    * per-batch work swapped for [[histBins]] — bin shards are a pure
+    * function of the batch, so the batch_id dynamic overwrite makes
+    * replays idempotent; merge on read = cellwise SUM. Test hooks as
+    * in the other drains. */
+  private[queries] def streamHistMaintain(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q141_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q141_ckpt").toString))
+    val outTable = JvmScratch.tableName("stream_hist_bins")
+    try {
+      if (!resume) {
+        (0 until 3).foreach { i =>
+          o.filter(pmod(col("o_orderkey"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_hist_bins")
+        createBatchSink(s, outTable, Seq("bin" -> "bigint", "c" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            histBins(batch)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      val merged = s.table(outTable)
+        .groupBy("bin").agg(sum(col("c")).as("c"))
+      histQuantilesOf(s, merged)
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
   /** q46's oracle, shared verbatim by q132/q133: the maintained grids
     * must reproduce the full-corpus sketch EXACTLY (add-merge is an
     * identity, not an approximation). */
@@ -582,42 +681,45 @@ object SketchQueries {
     QueryDef(
       "q56_histogram_quantiles",
       "mergeable equi-width histogram sketch over o_totalprice (merge = cellwise add) with p50/p90/p99 rank lookups on the cumulative bin table; estimate within one bin width of the exact order statistic",
-      s"""WITH hist AS (SELECT CAST(floor(o_totalprice / $QWidth.0) AS BIGINT) AS bin,
-         |    count(*) AS c
-         |  FROM orders GROUP BY 1),
-         |cum AS (SELECT bin,
-         |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM hist),
-         |n AS (SELECT count(*) AS n FROM orders),
-         |probs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
-         |t AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS target_rank
-         |  FROM probs CROSS JOIN n),
-         |est AS (SELECT p, target_rank, min(bin) AS qbin
-         |  FROM t JOIN cum ON cum >= target_rank GROUP BY p, target_rank)
-         |SELECT p, target_rank,
-         |  CAST((qbin + 1) * $QWidth AS BIGINT) AS est_upper_bound
-         |FROM est""".stripMargin) { (s, dir) =>
-      val o = Tables.orders(s, dir).select(col("o_totalprice"))
+      histOracle) { (s, dir) =>
       // the sketch: one partial-agg groupBy; merge = cellwise add
-      val hist = o
-        .select(floor(col("o_totalprice") / QWidth.toDouble).cast("long").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("c"))
-      // cumulative ranks over the BIN TABLE (sketch-sized; the global
-      // window here is over ~100 rows, deliberately not a data-scale sort)
-      val cum = hist.withColumn("cum",
-        sum(col("c")).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("bin"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-      val nDf = o.agg(count(lit(1)).as("n"))
-      val probs = s.range(1)
-        .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
-      val targets = probs.crossJoin(broadcast(nDf))
-        .select(col("p"), ceil(col("p") * col("n")).cast("long").as("target_rank"))
-      targets.join(broadcast(cum), col("cum") >= col("target_rank"))
-        .groupBy("p", "target_rank").agg(min(col("bin")).as("qbin"))
-        .select(col("p"), col("target_rank"),
-          ((col("qbin") + 1) * QWidth).cast("long").as("est_upper_bound"))
+      histQuantilesOf(s, histBins(Tables.orders(s, dir)))
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental HISTOGRAM maintenance — the q120/q132 contract on the
+    // third classic sketch, completing the {HLL max-merge, CMS
+    // add-merge, histogram add-merge} x {batch, incremental, streaming}
+    // matrix. Standing bin table persisted; only the delta is binned;
+    // merge = cellwise add over two sketch-sized tables; the quantile
+    // tail (which reads n off the merged bins — sum of counts IS the
+    // row count, no second data pass) equals full-corpus q56 exactly.
+    QueryDef(
+      "q140_incremental_histogram",
+      "incremental quantile-sketch maintenance: standing equi-width bin table persisted (built once per JVM), delta (o_orderkey%10==7) binned alone, cellwise-ADD merge -> p50/p90/p99 lookups == full-corpus q56 exactly",
+      histOracle) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val standing = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val delta = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      val short = s"hist_standing_${Integer.toHexString(dir.hashCode)}"
+      JvmScratch.ensure(s)
+      val standingTable = JvmScratch.tableName(short)
+      if (!s.catalog.tableExists(standingTable))
+        histBins(standing).write.format("parquet").saveAsTable(standingTable)
+      val merged = s.table(standingTable).unionByName(histBins(delta))
+        .groupBy("bin").agg(sum(col("c")).as("c"))
+      histQuantilesOf(s, merged)
+    },
+
+    // ------------------------------------------------------------------
+    // The same contract LIVE — per-micro-batch bin shards into batch_id
+    // partitions (replay-idempotent: shards are a pure function of the
+    // batch), merged on read in O(batches x bins). == q56 verbatim.
+    QueryDef(
+      "q141_stream_histogram",
+      "streaming quantile-sketch maintenance: 3 order drops -> checkpointed AvailableNow drain, per-micro-batch bin tables into batch_id partitions (replay-idempotent), cellwise-ADD merge on read == full-corpus q56 exactly",
+      histOracle) { (s, dir) =>
+      streamHistMaintain(s, dir)
     },
 
     // ------------------------------------------------------------------

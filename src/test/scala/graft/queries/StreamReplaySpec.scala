@@ -128,6 +128,48 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q139: a replayed SCD2 apply micro-batch rewrites identical history rows") {
+    val clean = RelationalExtras.streamScd2Apply(spark, sfDir)
+      .orderBy("c_custkey", "version").collect().toSeq
+    assert(clean.nonEmpty, "clean q139 run produced no history — test is vacuous")
+
+    val scratch = (tmp("graft_rp139_src"), tmp("graft_rp139_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        RelationalExtras.streamScd2Apply(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = RelationalExtras
+        .streamScd2Apply(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("c_custkey", "version").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
+  test("q141: a replayed bin-shard micro-batch does not inflate the quantiles") {
+    val clean = SketchQueries.streamHistMaintain(spark, sfDir)
+      .orderBy("p").collect().toSeq
+    assert(clean.nonEmpty, "clean q141 run produced no quantiles — test is vacuous")
+
+    val scratch = (tmp("graft_rp141_src"), tmp("graft_rp141_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        SketchQueries.streamHistMaintain(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = SketchQueries
+        .streamHistMaintain(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("p").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q133: a replayed counter-grid micro-batch does not double-count") {
     // the CMS twin of the q121 test — and the sharper one: a double-
     // applied batch under max-merge (HLL) is absorbed, but under
