@@ -27,7 +27,7 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line survives growth to a simulated 145 queries with failures") {
-    // the real set is 138; this pins the growth margin (round-10 advice:
+    // the real set is 141; this pins the growth margin (round-10 advice:
     // re-pin past 140 plus a worst-case failed array). With qNN keys and
     // 1-decimal seconds the format breaks around ~150 queries — when
     // THIS test starts failing, shrink the format (e.g. drop the 'q'
