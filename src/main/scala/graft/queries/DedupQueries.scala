@@ -34,7 +34,7 @@ object DedupQueries {
   private val Bands = 6
   private val RowsPerBand = NumPerms / Bands
   private val JaccardThreshold = "0.8"
-  private val DfCut = 50 // inverted-index document-frequency cut
+  private[queries] val DfCut = 50 // inverted-index document-frequency cut
 
   /** (doc_id, sg): distinct word-3-gram shingles per document. */
   private def shingle(docs: DataFrame): DataFrame =
@@ -316,6 +316,147 @@ object DedupQueries {
        |FROM common JOIN cnt xa ON xa.doc_id = da
        |            JOIN cnt yb ON yb.doc_id = db
        |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
+
+  /** q26's oracle, shared verbatim by the incremental q142. */
+  private[queries] val sqlNgramOracle: String =
+    s"""WITH $sqlShingleCte,
+       |hot AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) <= $DfCut),
+       |fsh AS (SELECT sh.doc_id, sh.sg FROM sh JOIN hot USING (sg)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       |  FROM fsh a JOIN fsh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  GROUP BY da, db)
+       |SELECT da AS doc_a, db AS doc_b, c AS n_common,
+       |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
+       |FROM pairs JOIN cnt xa ON xa.doc_id = da
+       |           JOIN cnt yb ON yb.doc_id = db
+       |WHERE c::DOUBLE / (xa.n + yb.n - c) >= 0.3""".stripMargin
+
+  /** The q26 score tail over a staged filtered shingle set: inverted-
+    * index pair join + exact Jaccard at the 0.3 threshold. Shared by
+    * q26 (full-corpus fsh), the q142 standing-pair artifact build, and
+    * the spec's brute-force oracle. */
+  private[queries] def ngramScoredPairs(fsh: DataFrame): DataFrame = {
+    val cnt = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = fsh.select(col("doc_id").as("da"), col("sg"))
+    val b = fsh.select(col("doc_id").as("db"), col("sg").as("bsg"))
+    val pairs = a.join(b, col("sg") === col("bsg") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+    pairs
+      .join(cnt.select(col("doc_id").as("xd"), col("n").as("xn")), col("xd") === col("da"))
+      .join(cnt.select(col("doc_id").as("yd"), col("n").as("yn")), col("yd") === col("db"))
+      .filter(jac >= 0.3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("c").as("n_common"), jac.as("jaccard"))
+  }
+
+  /** Unfiltered standing postings WITH per-shingle document frequency —
+    * q142's base artifact. Unfiltered on purpose: the df<=DfCut cut is
+    * a property of the WORLD, not the index; keeping every posting row
+    * (plus its standing df) lets a later batch re-derive the filtered
+    * set under the GROWN df without touching text. The window-over-sg
+    * formulation computes df and leaves the postings hash-partitioned
+    * on sg in the same single shuffle (the q26 trick). */
+  private[queries] def ngramPostingsOf(docs: DataFrame): DataFrame =
+    shingle(docs).withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))))
+
+  private[graft] def ngramPostingsTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "ngram_postings", "documents.parquet", None) {
+      ngramPostingsOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7))
+    }
+
+  /** The standing per-shingle df sidecar (vocabulary-sized), derived
+    * from the postings artifact — never from text. */
+  private[graft] def ngramDfTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "ngram_df", "documents.parquet", None) {
+      ngramPostingsTable(s, dir).select("sg", "df").distinct()
+    }
+
+  /** The standing PAIR table of the n-gram family — q26 over the
+    * standing corpus under its own df cut, built from the postings
+    * artifact. */
+  private[graft] def ngramPairsTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "ngram_pairs", "documents.parquet", None) {
+      ngramScoredPairs(ngramPostingsTable(s, dir)
+        .filter(col("df") <= DfCut).select("doc_id", "sg").localCheckpoint())
+        .coalesce(1)
+    }
+
+  /** q142's core, parameterized over the three standing artifacts and
+    * the delta's staged shingles so the spec can force a cut-crossing
+    * scenario. Exactness argument:
+    *   - df only GROWS under corpus growth, and only for delta-carried
+    *     shingles, so the crossing set X = {sg : df <= DfCut < df+ddf}
+    *     is delta-bounded and each member names <= DfCut standing docs;
+    *   - R = (docs carrying an X shingle) ∪ delta is the complete set
+    *     of docs whose filtered shingle set changes: a non-R doc's set,
+    *     every common count with another non-R doc, and both
+    *     denominators are unchanged — its persisted pair rows carry
+    *     over verbatim, and no NEW pair between two non-R docs can
+    *     appear (their world did not change);
+    *   - every pair touching R re-scores through one probe of R's
+    *     filtered shingles against the full filtered index (standing
+    *     postings under the grown df ∪ delta shingles under theirs);
+    *     the (lo, hi, sg)-distinct stage makes both-in-R pairs count
+    *     once.
+    * The per-batch cost is one postings-table scan (no text) plus
+    * R-bounded joins; the delta-sized sides broadcast (size-gate them
+    * at true scale, as in `matchesAgainstIndex`). */
+  private[queries] def ngramMaintain(post: DataFrame, sdf: DataFrame,
+      p0: DataFrame, deltaSh: DataFrame): DataFrame = {
+    val ddf = deltaSh.groupBy("sg").agg(count(lit(1)).as("ddf")).localCheckpoint()
+    val postFull = post.join(broadcast(ddf), Seq("sg"), "left")
+      .select(col("doc_id"), col("sg"), col("df"),
+        (col("df") + coalesce(col("ddf"), lit(0L))).as("dff"))
+      .localCheckpoint()
+    val crossing = postFull
+      .filter(col("df") <= DfCut && col("dff") > DfCut)
+      .select("sg").distinct()
+    val dx = postFull.join(broadcast(crossing), Seq("sg"), "left_semi")
+      .select("doc_id").distinct()
+    val rIds = dx.unionByName(deltaSh.select("doc_id").distinct())
+      .distinct().localCheckpoint()
+    // the new world's filtered shingle sets, standing and delta sides
+    val standingFsh = postFull.filter(col("dff") <= DfCut).select("doc_id", "sg")
+    val deltaDff = ddf.join(sdf, Seq("sg"), "left")
+      .select(col("sg"), (col("ddf") + coalesce(col("df"), lit(0L))).as("dff"))
+    val deltaFsh = deltaSh.join(
+      broadcast(deltaDff.filter(col("dff") <= DfCut).select("sg")),
+      Seq("sg"), "left_semi")
+    val allFsh = standingFsh.unionByName(deltaFsh).localCheckpoint()
+    // pairs touching R: R's shingles probed against the whole index;
+    // (lo, hi, sg)-distinct counts a both-in-R pair once
+    val rFsh = allFsh.join(broadcast(rIds), Seq("doc_id"), "left_semi")
+    val c = rFsh.select(col("doc_id").as("ra"), col("sg"))
+      .join(allFsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
+        col("sg") === col("bsg") && col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("da"),
+        greatest(col("ra"), col("rb")).as("db"), col("sg"))
+      .distinct()
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val pids = c.select(col("da").as("doc_id"))
+      .unionByName(c.select(col("db").as("doc_id"))).distinct()
+    val n = allFsh.join(broadcast(pids), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+    val rescored = c
+      .join(n.select(col("doc_id").as("xd"), col("n").as("xn")), col("xd") === col("da"))
+      .join(n.select(col("doc_id").as("yd"), col("n").as("yn")), col("yd") === col("db"))
+      .filter(jac >= 0.3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("c").as("n_common"), jac.as("jaccard"))
+    p0.join(rIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(rIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .unionByName(rescored)
+      // the USING anti-joins move their key column to the front; pin
+      // the q26 output order back
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
 
   /** The connected-components oracle (q54's), shared verbatim by the
     * incremental q131: the contract is ONE labeling — every document
@@ -692,18 +833,7 @@ object DedupQueries {
     QueryDef(
       "q26_ngram_jaccard",
       s"word-3-gram Jaccard similarity through an inverted-index self-join with df<=$DfCut shingle cut; emits pairs >= 0.3 — no all-pairs stage",
-      s"""WITH $sqlShingleCte,
-         |hot AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) <= $DfCut),
-         |fsh AS (SELECT sh.doc_id, sh.sg FROM sh JOIN hot USING (sg)),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-         |  FROM fsh a JOIN fsh b ON a.sg = b.sg AND a.doc_id < b.doc_id
-         |  GROUP BY da, db)
-         |SELECT da AS doc_a, db AS doc_b, c AS n_common,
-         |  c::DOUBLE / (xa.n + yb.n - c) AS jaccard
-         |FROM pairs JOIN cnt xa ON xa.doc_id = da
-         |           JOIN cnt yb ON yb.doc_id = db
-         |WHERE c::DOUBLE / (xa.n + yb.n - c) >= 0.3""".stripMargin) { (s, dir) =>
+      sqlNgramOracle) { (s, dir) =>
       // df-cut as a count-over-window on sg: ONE shuffle both computes
       // the document frequency and leaves the index hash-partitioned on
       // sg — the groupBy+join formulation paid a second shuffle to
@@ -716,18 +846,33 @@ object DedupQueries {
         .filter(col("df") <= DfCut)
         .select("doc_id", "sg")
         .localCheckpoint()
-      val cnt = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = fsh.select(col("doc_id").as("da"), col("sg"))
-      val b = fsh.select(col("doc_id").as("db"), col("sg").as("bsg"))
-      val pairs = a.join(b, col("sg") === col("bsg") && col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
-      pairs
-        .join(cnt.select(col("doc_id").as("xd"), col("n").as("xn")), col("xd") === col("da"))
-        .join(cnt.select(col("doc_id").as("yd"), col("n").as("yn")), col("yd") === col("db"))
-        .filter(jac >= 0.3)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          col("c").as("n_common"), jac.as("jaccard"))
+      ngramScoredPairs(fsh)
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental n-gram Jaccard — the LAST dedup family without an
+    // incremental form, and the hardest: the df<=DfCut stop-shingle cut
+    // is GLOBAL, so corpus growth can push a previously-indexed shingle
+    // over the cut and silently invalidate standing pairs (their common
+    // counts AND their per-doc denominators). The maintenance is exact
+    // anyway, via a delta-bounded fix-up set: only delta-carried
+    // shingles can cross the cut; each crossing shingle names at most
+    // DfCut standing docs; those docs plus the delta form R, the only
+    // docs whose pair rows can change. Standing pairs with BOTH ends
+    // outside R carry over from the persisted pair table untouched
+    // (their filtered sets, common counts, and denominators are all
+    // provably unchanged); pairs touching R re-score through one probe
+    // of R's filtered shingles against the full filtered index. == q26
+    // over the full corpus, verbatim oracle. OperatorPropertiesSpec
+    // forces an actual cut-crossing and checks brute-force equality.
+    QueryDef(
+      "q142_incremental_ngram",
+      s"incremental n-gram Jaccard under df-cut drift: persisted postings/df/pair artifacts; only delta-carried shingles can cross the df<=$DfCut cut, so the fix-up set is (crossing-shingle docs ∪ delta) — standing pairs outside it carry over untouched, pairs touching it re-score via one index probe; == full-corpus q26 exactly",
+      sqlNgramOracle) { (s, dir) =>
+      val deltaSh = shingle(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)).localCheckpoint()
+      ngramMaintain(ngramPostingsTable(s, dir), ngramDfTable(s, dir),
+        ngramPairsTable(s, dir), deltaSh)
     },
 
     // ------------------------------------------------------------------

@@ -103,6 +103,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     } finally fp.unpersist(): Unit
   }
 
+  test("q142 maintenance survives a df-cut crossing exactly") {
+    import spark.implicits._
+    // DfCut carriers: shingle "x y z" sits at df == DfCut in standing
+    // (DfCut-2 filler carriers + the pair docs 101/102) and crosses to
+    // DfCut+1 when delta doc 999 arrives — the standing pair (101,102)
+    // must RE-score (common 4 -> 3, n 6 -> 5), not carry over.
+    val filler = (1 to DedupQueries.DfCut - 2)
+      .map(i => (i.toLong, s"x y z u$i v$i"))
+    val standing = (filler :+
+      (101L, "x y z p q r a1 b1") :+ (102L, "x y z p q r a2 b2"))
+      .toDF("doc_id", "text")
+    val delta = Seq((999L, "x y z d9 e9")).toDF("doc_id", "text")
+
+    val post = DedupQueries.ngramPostingsOf(standing).localCheckpoint()
+    val sdf = post.select("sg", "df").distinct()
+    val p0 = DedupQueries.ngramScoredPairs(
+      post.filter(col("df") <= DedupQueries.DfCut).select("doc_id", "sg"))
+      .localCheckpoint()
+    val deltaSh = DedupQueries.ngramPostingsOf(delta).select("doc_id", "sg")
+
+    val got = DedupQueries.ngramMaintain(post, sdf, p0, deltaSh).localCheckpoint()
+    val brute = DedupQueries.ngramScoredPairs(
+      DedupQueries.ngramPostingsOf(standing.unionByName(delta))
+        .filter(col("df") <= DedupQueries.DfCut).select("doc_id", "sg"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "maintained pair set diverged from the full recompute")
+    // the crossing really happened and really re-scored
+    def common(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("doc_a") === 101L && col("doc_b") === 102L)
+      .select("n_common").as[Long].head()
+    assert(common(p0) == 4L, "standing pair should share 4 shingles pre-crossing")
+    assert(common(got) == 3L, "post-crossing pair must re-score to 3 shared shingles")
+  }
+
   test("rank-dedup keeps exactly one row per key under a total order") {
     import spark.implicits._
     val revs = (0 until 500).map { i =>
