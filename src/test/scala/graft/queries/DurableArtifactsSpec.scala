@@ -43,7 +43,10 @@ class DurableArtifactsSpec extends SparkSpec {
       ("contam_index", DedupQueries.contamIndexTable _),
       ("sem_codebook_all", SimilarityQueries.semCodebookAllTable _),
       ("hh_store", SketchQueries.hhStoreTable _),
-      ("scd2_state", RelationalExtras.scd2StateTable _))
+      ("scd2_state", RelationalExtras.scd2StateTable _),
+      ("ngram_postings", DedupQueries.ngramPostingsTable _),
+      ("ngram_df", DedupQueries.ngramDfTable _),
+      ("ngram_pairs", DedupQueries.ngramPairsTable _))
     artifacts.foreach { case (family, attach) =>
       attach(spark, sfDir).count(): Unit
       val before = partFiles(family)
