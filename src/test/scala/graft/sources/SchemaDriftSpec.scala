@@ -75,6 +75,15 @@ class SchemaDriftSpec extends SparkSpec {
       s"ms truncation drifted: ${collected.head.head}")
   }
 
+  test("driver contract: SparkEntry.entry returns rows and every query has an oracle or rows-only note") {
+    assert(graft.SparkEntry.entry(spark).count() > 0,
+      "the driver's smoke check (entry rows > 0) would fail")
+    // every declared query name resolves; oracle keys are a subset of them
+    val qs = graft.SparkEntry.queries.keySet
+    val orphans = graft.SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
   test("typed encoder path over normalized events works (round-10 crash site)") {
     import spark.implicits._
     // the exact shape q36 feeds flatMapGroupsWithState: a java.sql.Timestamp
