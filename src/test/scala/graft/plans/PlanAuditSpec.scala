@@ -155,6 +155,34 @@ class PlanAuditSpec extends SparkSpec {
       "index-side Exchange between the fingerprint-index scan and the probe join")
   }
 
+  test("q137 span-index probe: broadcast join over the bucketed scan, zero index-side Exchange") {
+    // the decontamination maintenance claim: a benchmark update reads
+    // the persisted span index (never text) and broadcast-probes it —
+    // the index side must be a bare bucketed scan with no Exchange
+    // between the scan and the probe join
+    val plan = finalPlan(
+      SparkEntry.queries("q137_incremental_decontaminate")(spark, sfDir))
+    def isSpanScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("span_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("span_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isSpanScan),
+      "q137's plan does not read the persisted span index")
+    val path = pathTo(plan, isSpanScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the span-index scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"probe join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the span-index scan and the probe join")
+  }
+
   test("q136 large-delta simhash probe: sort-merge into the bucketed index, zero index-side Exchange") {
     // the SimHash mirror of the q108/q115 audits: the pinned large
     // route must shuffle the DELTA into the index's bucket layout,
