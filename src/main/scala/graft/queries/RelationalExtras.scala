@@ -126,7 +126,15 @@ object RelationalExtras {
     * standing state, the batch's keys' rows), so an at-least-once
     * replay rewrites identical rows. Union over batches == the
     * one-shot q138 apply == batch q57, verbatim oracle. Test hooks as
-    * in the DedupQueries drains. */
+    * in the DedupQueries drains.
+    *
+    * PRECONDITION (round-11 advice): the drops must carry a FULL
+    * snapshot — every standing key appears in some micro-batch. History
+    * is emitted only for keys the stream touches; a standing key absent
+    * from every drop would be silently omitted from the union. Holds
+    * here because snap2 rewrites every customer row; a partial-snapshot
+    * (CDC-style) source would need the untouched standing rows unioned
+    * in post-drain. */
   private[queries] def streamScd2Apply(s: org.apache.spark.sql.SparkSession,
       dir: String,
       chaos: Long => Unit = _ => (),

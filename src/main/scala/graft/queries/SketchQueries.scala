@@ -307,19 +307,37 @@ object SketchQueries {
     * their exact standing count back from a targeted left-semi recount
     * — the only path that touches standing text, gated on surge
     * non-emptiness (lazy isEmpty, the S10 conditional-sink pattern).
-    * The two driver-side scalars (T0, Td) are one-row reads off
-    * sketch-sized aggregates. */
+    * The two driver-side scalars (T0, Td) ride ONE job: a union of the
+    * two one-row aggregates collected together (round-11 verdict #6 —
+    * three sequential driver hops per maintenance tick is latency), and
+    * both coalesce to 0 so an empty store/delta cannot NPE. */
   private[queries] def hhMaintain(s: org.apache.spark.sql.SparkSession,
       standingDocs: org.apache.spark.sql.DataFrame,
       deltaDocs: org.apache.spark.sql.DataFrame,
+      store: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hhMaintainFromCounts(s, standingDocs,
+      trigramOcc(deltaDocs).groupBy("gram").agg(count(lit(1)).as("dcnt")),
+      store)
+
+  /** [[hhMaintain]] with the delta's per-gram counts precomputed — the
+    * shared tail of the incremental q135 and the streaming q144, whose
+    * micro-batches land count SHARDS that merge (by sum) into exactly
+    * this relation. */
+  private[queries] def hhMaintainFromCounts(s: org.apache.spark.sql.SparkSession,
+      standingDocs: org.apache.spark.sql.DataFrame,
+      dCnts0: org.apache.spark.sql.DataFrame,
       store: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stored = store.filter(col("gram").isNotNull)
       .select(col("gram"), col("cnt"))
-    val t0 = store.agg(max(col("standing_total"))).first().getLong(0)
-    val dCnts = trigramOcc(deltaDocs).groupBy("gram")
-      .agg(count(lit(1)).as("dcnt")).localCheckpoint()
-    val td = Option(dCnts.agg(sum(col("dcnt"))).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val dCnts = dCnts0.localCheckpoint()
+    val totals = store
+      .agg(coalesce(max(col("standing_total")), lit(0L)).as("v"))
+      .select(lit("t0").as("k"), col("v"))
+      .unionByName(dCnts.agg(coalesce(sum(col("dcnt")), lit(0L)).as("v"))
+        .select(lit("td").as("k"), col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t0 = totals("t0")
+    val td = totals("td")
     val t1 = t0 + td
     val b = math.max(t0 - 1, 0L) / (2 * HHSupport)
     val merged = stored.join(dCnts, Seq("gram"), "full_outer")
@@ -343,6 +361,72 @@ object SketchQueries {
       }
     full.filter(col("n_occurrences") * HHSupport >= t1)
       .select(col("gram"), col("n_occurrences"))
+  }
+
+  /** q144's body: the q135 maintenance contract LIVE, completing the
+    * heavy-hitter {batch q117, incremental q135, streaming q144}
+    * matrix. The arriving delta docs land as 3 drops; each micro-batch
+    * writes ONLY its per-gram count shard (a pure function of the
+    * batch, so the batch_id dynamic overwrite makes at-least-once
+    * replays idempotent — the sharp case here: counts ADD-merge, so a
+    * plain append would double-apply a replayed batch). The watermark
+    * arithmetic, the surge test, and the targeted standing recount all
+    * run POST-DRAIN on the summed shards — after the checkpoint
+    * barrier, so the recount can never run against a half-delivered
+    * delta or double-run on a replay. Summed shards == the one-shot
+    * delta counts exactly (the drops partition docs; trigram counts
+    * add across docs), so the result == q135 == batch q117: verbatim
+    * oracle. Test hooks as in [[streamHllMaintain]]. */
+  private[queries] def streamHeavyHitters(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    val docs = Tables.documents(s, dir)
+    // the standing artifact exists before a maintenance stream starts
+    hhStoreTable(s, dir)
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (java.nio.file.Files.createTempDirectory("graft_q144_src").toString,
+        java.nio.file.Files.createTempDirectory("graft_q144_ckpt").toString))
+    val outTable = JvmScratch.tableName("stream_hh_counts")
+    try {
+      if (!resume) {
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+          .select("doc_id", "text")
+        (0 until 3).foreach { i =>
+          delta.filter(pmod(col("doc_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_hh_counts")
+        createBatchSink(s, outTable, Seq(
+          "gram" -> "string", "dcnt" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            trigramOcc(batch).groupBy("gram")
+              .agg(count(lit(1)).as("dcnt"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      val merged = s.table(outTable)
+        .groupBy("gram").agg(sum(col("dcnt")).as("dcnt"))
+      hhMaintainFromCounts(s, docs.filter(col("doc_id") % 10 =!= 7),
+        merged, hhStoreTable(s, dir))
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
   }
 
   /** q56's oracle, shared verbatim by q140/q141: the maintained bin
@@ -596,7 +680,11 @@ object SketchQueries {
       val ev = Tables.events(s, dir)
       val standing = ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
       val delta = ev.filter(pmod(col("event_id"), lit(10)) === 7)
-      val short = s"hll_standing_${Integer.toHexString(dir.hashCode)}"
+      // content-fingerprinted (not dir.hashCode): an in-place testdata
+      // regeneration within one JVM must invalidate the standing grid,
+      // the same drift contract as the DurableIndex artifacts
+      val short = s"hll_standing_${
+        graft.sources.DurableIndex.fingerprint(s, dir, "events.parquet")}"
       JvmScratch.ensure(s)
       val standingTable = JvmScratch.tableName(short)
       if (!s.catalog.tableExists(standingTable))
@@ -641,7 +729,8 @@ object SketchQueries {
       val ev = Tables.events(s, dir)
       val standing = ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
       val delta = ev.filter(pmod(col("event_id"), lit(10)) === 7)
-      val short = s"cms_standing_${Integer.toHexString(dir.hashCode)}"
+      val short = s"cms_standing_${
+        graft.sources.DurableIndex.fingerprint(s, dir, "events.parquet")}"
       JvmScratch.ensure(s)
       val standingTable = JvmScratch.tableName(short)
       if (!s.catalog.tableExists(standingTable))
@@ -701,7 +790,8 @@ object SketchQueries {
       val o = Tables.orders(s, dir)
       val standing = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
       val delta = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
-      val short = s"hist_standing_${Integer.toHexString(dir.hashCode)}"
+      val short = s"hist_standing_${
+        graft.sources.DurableIndex.fingerprint(s, dir, "orders.parquet")}"
       JvmScratch.ensure(s)
       val standingTable = JvmScratch.tableName(short)
       if (!s.catalog.tableExists(standingTable))
@@ -773,6 +863,23 @@ object SketchQueries {
       val docs = Tables.documents(s, dir)
       hhMaintain(s, docs.filter(col("doc_id") % 10 =!= 7),
         docs.filter(col("doc_id") % 10 === 7), hhStoreTable(s, dir))
+    },
+
+    // ------------------------------------------------------------------
+    // The q135 contract LIVE — streaming heavy-hitter maintenance,
+    // closing the family's {batch, incremental, streaming} matrix (the
+    // last incomplete one, round-11 verdict #3). Per micro-batch ONLY a
+    // count shard lands (pure function of the batch -> replay-
+    // idempotent via the batch_id dynamic overwrite — the sharp case:
+    // counts ADD-merge, so an appended replay would double-count); the
+    // watermark/surge/recount arithmetic runs once POST-DRAIN on the
+    // summed shards, behind the checkpoint barrier. == q135 == batch
+    // q117 exactly, verbatim oracle.
+    QueryDef(
+      "q144_stream_heavy_hitters",
+      s"STREAMING exact heavy-hitter maintenance: delta docs as 3 drops, per-micro-batch per-gram count shards into batch_id partitions (replay-idempotent — add-merged counts must never double-apply), post-drain watermark-store merge + surge-gated targeted recount == full-corpus q117 exactly",
+      hhOracle) { (s, dir) =>
+      streamHeavyHitters(s, dir)
     },
 
     // ------------------------------------------------------------------

@@ -166,6 +166,13 @@ object StreamingOps {
         col("__max_ts") + lit(3L * 3600 * 1000000000L)
       else col("__max_ts") + expr("INTERVAL 3 HOURS")
     val maxRow = raw.agg(max(col("ts")).as("__max_ts"))
+    // the trailing select pins the staged column order, so an override
+    // column absent from the staged schema would be silently dropped —
+    // fail loudly instead (round-11 advice; call sites only override
+    // existing columns today)
+    require(overrides.keySet.subsetOf(raw.columns.toSet),
+      s"writeSentinel: override columns ${overrides.keySet -- raw.columns.toSet} " +
+        "not in the staged schema; the sentinel would drop them")
     overrides.foldLeft(
         raw.limit(1).crossJoin(maxRow)
           .withColumn("ts", bumped).drop("__max_ts")) {

@@ -26,22 +26,23 @@ class BenchFormatSpec extends AnyFunSuite {
         "Trim the format (or the query-name budget) before adding queries.")
   }
 
-  test("compact line survives growth to a simulated 145 queries with failures") {
-    // the real set is 141; this pins the growth margin (round-10 advice:
-    // re-pin past 140 plus a worst-case failed array). With qNN keys and
-    // 1-decimal seconds the format breaks around ~150 queries — when
-    // THIS test starts failing, shrink the format (e.g. drop the 'q'
-    // prefix from keys) BEFORE adding more queries, not after a round's
-    // numbers are lost.
-    val many = (1 to 145).map(i => s"q${i}_some_realistic_query_name" ->
+  test("compact line survives growth margin past the live query count") {
+    // derived from SparkEntry.queries.size so the margin cannot drift
+    // (round-11 advice: a hardcoded count went stale the round after it
+    // was written). With qNN keys and 1-decimal seconds the format
+    // breaks around ~150 queries — when THIS test starts failing,
+    // shrink the format (e.g. drop the 'q' prefix from keys) BEFORE
+    // adding more queries, not after a round's numbers are lost.
+    val n = SparkEntry.queries.size + 3
+    val many = (1 to n).map(i => s"q${i}_some_realistic_query_name" ->
       Seq(13.3713, 9.0401, 10.5512, 8.4477, 12.0009))
     // worst case: several failures render as null AND fill the failed array
-    val failed = Seq(34, 36, 107, 114, 145).map(i => s"q${i}_some_realistic_query_name")
+    val failed = Seq(34, 36, 107, 114, n).map(i => s"q${i}_some_realistic_query_name")
     val line = Bench.compactJson(
       many.map { case (k, ss) => if (failed.contains(k)) k -> Seq.empty[Double] else k -> ss },
       failed, "/root/testdata/sf0.1")
     assert(line.length <= 1880,
-      s"line is ${line.length} chars at 145 queries + 5 failed; the driver " +
+      s"line is ${line.length} chars at $n queries + 5 failed; the driver " +
         "tail window holds ~1880 — shrink the compact format now.")
   }
 

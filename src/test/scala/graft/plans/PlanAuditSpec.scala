@@ -521,6 +521,22 @@ class PlanAuditSpec extends SparkSpec {
       "Exchange under the stream-grown block index self-join — an append lost the bucket layout")
   }
 
+  test("CC labeling: no Window node in the q54/q131 final plans") {
+    // cluster_size must come from groupBy+join (map-side-combinable,
+    // AQE-skew-splittable), never count(*) OVER (PARTITION BY
+    // canonical_id) — a window partition-by sorts whole partitions per
+    // key, and a mega-cluster (boilerplate text) would single-thread one
+    // executor at 100x (round-11 verdict #4). q134 shares the same
+    // labelCorpus tail, so these two audits cover all three family
+    // members without paying its streaming drain here.
+    Seq("q54_dedup_components", "q131_incremental_components").foreach { name =>
+      val nodes = flatten(finalPlan(SparkEntry.queries(name)(spark, sfDir)))
+      assert(!nodes.exists(_.getClass.getSimpleName.startsWith("Window")),
+        s"$name: Window node in the final plan — cluster_size degraded " +
+          "to count(*) OVER (PARTITION BY canonical_id)")
+    }
+  }
+
   test("q41 bucketed join plans with zero Exchange on either side") {
     val plan = finalPlan(SparkEntry.queries("q41_bucketed_join")(spark, sfDir))
     val smj = flatten(plan).collectFirst { case j: SortMergeJoinExec => j }
