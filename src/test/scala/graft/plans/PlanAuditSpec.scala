@@ -521,6 +521,49 @@ class PlanAuditSpec extends SparkSpec {
       "Exchange under the stream-grown block index self-join — an append lost the bucket layout")
   }
 
+  test("q145 large-delta n-gram probe: merge join into the bucketed postings, no delta broadcast") {
+    // the n-gram family's size-gated route (round-11 verdict #2 — the
+    // last large-delta asymmetry): past the gate the delta's per-shingle
+    // counts must shuffle ONCE into the postings table's 16-bucket sg
+    // layout and merge-join the bucketed scan — never broadcast, and
+    // never an Exchange on the index side. Audited on the unstaged
+    // probe stage (the query body localCheckpoints it, which hides the
+    // scan from the final plan).
+    val plan = finalPlan(DedupQueries.ngramProbeStage(spark, sfDir, large = true))
+    def isPostScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("ngram_postings")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("ngram_postings"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isPostScan),
+      "the large probe stage does not read the persisted postings table")
+    val path = pathTo(plan, isPostScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the postings scan")
+    val join = path(joinIdx)
+    assert(join.isInstanceOf[SortMergeJoinExec],
+      s"large-delta df probe is ${join.getClass.getSimpleName}, not sort-merge")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the postings scan and the df probe join")
+    assert(!flatten(join).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "broadcast under the large-delta df probe join")
+
+    // and the small route keeps the broadcast plan on the same stage
+    val small = finalPlan(DedupQueries.ngramProbeStage(spark, sfDir, large = false))
+    val spath = pathTo(small, isPostScan).get
+    val sIdx = spath.lastIndexWhere(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(sIdx >= 0, "small-delta df probe is not a broadcast-hash join")
+    assert(!spath.drop(sIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange under the small-delta df probe join")
+  }
+
   test("CC labeling: no Window node in the q54/q131 final plans") {
     // cluster_size must come from groupBy+join (map-side-combinable,
     // AQE-skew-splittable), never count(*) OVER (PARTITION BY

@@ -44,7 +44,7 @@ class DurableArtifactsSpec extends SparkSpec {
       ("sem_codebook_all", SimilarityQueries.semCodebookAllTable _),
       ("hh_store", SketchQueries.hhStoreTable _),
       ("scd2_state", RelationalExtras.scd2StateTable _),
-      ("ngram_postings", DedupQueries.ngramPostingsTable _),
+      ("ngram_postings_b16", DedupQueries.ngramPostingsTable _),
       ("ngram_df", DedupQueries.ngramDfTable _),
       ("ngram_pairs", DedupQueries.ngramPairsTable _))
     artifacts.foreach { case (family, attach) =>

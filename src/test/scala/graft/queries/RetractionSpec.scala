@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The deletion/retraction contract of the band/pair/cc artifact stack
+  * (q143 — round-11 verdict #1, the top ask): given the standing
+  * artifacts and a delete set D, [[DedupQueries.retractMaintain]] must
+  * return artifacts EQUAL to a from-scratch rebuild over
+  * corpus-minus-D — at every level (bands, pairs, labels) — while
+  * touching only |D| + the affected components. Two halves:
+  *
+  *   1. exactness across TWO successive deletes: the second delete runs
+  *      against the FIRST delete's outputs, so the proof covers the
+  *      maintained-artifact lifecycle (delete-of-a-deleted-state), not
+  *      just one hop off the pristine build. The second delete set is
+  *      chosen to include a whole small component AND a member of a
+  *      larger one, exercising both the retire-the-canonical-id and
+  *      the split/shrink paths;
+  *   2. the plan claim in the q143 doc: band tombstoning consumes the
+  *      persisted band index as a bare scan — the anti-join is
+  *      broadcast-hash (the takedown-sized delete set is the build
+  *      side) with NO Exchange of any kind on the index side.
+  */
+class RetractionSpec extends SparkSpec {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  private def pathTo(p: SparkPlan, pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+    if (pred(p)) Some(List(p))
+    else {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      kids.view.flatMap(k => pathTo(k, pred)).headOption.map(p :: _)
+    }
+
+  private def assertSameSet(got: DataFrame, want: DataFrame, what: String): Unit = {
+    val g = got.select(want.columns.map(col).toIndexedSeq: _*)
+    assert(g.exceptAll(want).isEmpty && want.exceptAll(g).isEmpty,
+      s"$what: maintained artifact != from-scratch rebuild")
+  }
+
+  test("two successive deletes: every artifact equals the rebuild over corpus-minus-deleted") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+
+    // standing artifacts over the indexed corpus (doc_id % 10 != 7)
+    val bands0 = DedupQueries.bandIndexTable(spark, sfDir)
+    val pairs0 = DedupQueries.pairIndexTable(spark, sfDir)
+    val labels0 = DedupQueries.ccIndexTable(spark, sfDir)
+
+    // delete 1: the q143 takedown slice
+    val del1 = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val corpus1 = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3)
+    val (bands1, pairs1, labels1) =
+      DedupQueries.retractMaintain(bands0, pairs0, labels0, del1)
+
+    assertSameSet(bands1, DedupQueries.bandsOfDocs(corpus1), "delete 1 bands")
+    val pairsWant1 = DedupQueries.pairsOfDocs(corpus1)
+    assertSameSet(pairs1, pairsWant1, "delete 1 pairs")
+    val (labelsWant1, _) = DedupQueries.connectedComponents(
+      pairsWant1.select("doc_a", "doc_b"))
+    assertSameSet(labels1, labelsWant1, "delete 1 labels")
+    assertSameSet(
+      DedupQueries.labelCorpus(corpus1, labels1),
+      DedupQueries.labelCorpus(corpus1, labelsWant1), "delete 1 labeling")
+
+    // delete 2 runs against delete 1's OUTPUTS — the maintained-state
+    // lifecycle, not a second hop off the pristine build. Deleting the
+    // minimum doc_id of every remaining cluster forces the
+    // retire-the-canonical-id path in each affected component (the
+    // sharpest relabeling case: every survivor changes label).
+    val del2 = labels1.groupBy("label").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").localCheckpoint()
+    assert(del2.count() > 0, "no clusters survived delete 1 — test is vacuous")
+    val corpus2 = corpus1.join(broadcast(del2), Seq("doc_id"), "left_anti")
+    val (bands2, pairs2, labels2) =
+      DedupQueries.retractMaintain(bands1, pairs1, labels1, del2)
+
+    assertSameSet(bands2, DedupQueries.bandsOfDocs(corpus2), "delete 2 bands")
+    val pairsWant2 = DedupQueries.pairsOfDocs(corpus2)
+    assertSameSet(pairs2, pairsWant2, "delete 2 pairs")
+    val (labelsWant2, _) = DedupQueries.connectedComponents(
+      pairsWant2.select("doc_a", "doc_b"))
+    assertSameSet(labels2, labelsWant2, "delete 2 labels")
+    assertSameSet(
+      DedupQueries.labelCorpus(corpus2, labels2),
+      DedupQueries.labelCorpus(corpus2, labelsWant2), "delete 2 labeling")
+  }
+
+  test("band tombstoning: broadcast anti-join over the bare index scan, zero index-side Exchange") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val (bands1, _, _) = DedupQueries.retractMaintain(
+      DedupQueries.bandIndexTable(spark, sfDir),
+      DedupQueries.pairIndexTable(spark, sfDir),
+      DedupQueries.ccIndexTable(spark, sfDir), del)
+    bands1.collect()
+    val plan = bands1.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def isBandScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("band_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("band_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isBandScan),
+      "the tombstoned band view does not read the persisted band index")
+    val path = pathTo(plan, isBandScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the band-index scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"tombstone anti-join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(_.isInstanceOf[Exchange]),
+      "index-side Exchange between the band-index scan and the tombstone anti-join")
+  }
+}

@@ -195,6 +195,32 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q144: a replayed count-shard micro-batch does not double-count heavy hitters") {
+    // the add-merge twin of the q133 test on the heavy-hitter store: a
+    // replayed batch's per-gram count shard must REWRITE its batch_id
+    // partition, not append — a double-applied shard inflates every
+    // touched gram's delta count, moving both the watermark and the
+    // surge set
+    val clean = SketchQueries.streamHeavyHitters(spark, sfDir)
+      .orderBy("gram").collect().toSeq
+    assert(clean.nonEmpty, "clean q144 run produced no heavy hitters — test is vacuous")
+
+    val scratch = (tmp("graft_rp144_src"), tmp("graft_rp144_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        SketchQueries.streamHeavyHitters(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = SketchQueries
+        .streamHeavyHitters(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("gram").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q123: a replayed packing micro-batch sees the same offset and rewrites identical rows") {
     val clean = SamplingQueries.streamContextPacking(spark, sfDir)
       .orderBy("window_id", "doc_id").collect().toSeq
