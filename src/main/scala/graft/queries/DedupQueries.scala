@@ -111,24 +111,38 @@ object DedupQueries {
     }
 
   /** Oracle CTEs `toks13`/`sh13(doc_id, h)` — the SQL twin of
-    * [[spanHashes13]]. */
-  private[queries] val sqlSh13Ctes: String =
+    * [[spanHashes13]], restricted to `docWhere` (empty = all docs) so
+    * the retraction oracle (q146) can state the pipeline over
+    * corpus-minus-deleted. */
+  private[queries] def sqlSh13CtesFor(docWhere: String): String = {
+    val pred = if (docWhere.isEmpty) "" else s" AND $docWhere"
     s"""toks13 AS (SELECT doc_id, string_split(text, ' ') t FROM documents
-       |           WHERE len(string_split(text, ' ')) >= 13),
+       |           WHERE len(string_split(text, ' ')) >= 13$pred),
        |sh13 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash48("sg")} AS h
        |         FROM (SELECT doc_id, unnest(${sqlShingles("t", 13)}) AS sg
        |               FROM toks13))""".stripMargin
+  }
+
+  private[queries] val sqlSh13Ctes: String = sqlSh13CtesFor("")
 
   /** The q86/q116 shared oracle: every (corpus doc, bench doc) pair
     * sharing at least one 13-gram span hash, with the distinct-hash
     * overlap count. The streaming form reuses it verbatim — its final
-    * table must equal the batch result exactly. */
-  private[queries] lazy val decontaminateOracle: String =
-    s"""WITH $sqlSh13Ctes,
-       |bench AS (SELECT doc_id AS bench_id, h FROM sh13 WHERE doc_id % 5 = 0)
+    * table must equal the batch result exactly. Parameterized over a
+    * corpus-doc predicate and an extra benchmark predicate for the
+    * retraction query (q146). */
+  private[queries] def decontaminateOracleFor(docWhere: String,
+      benchPred: String): String = {
+    val bp = if (benchPred.isEmpty) "" else s" AND $benchPred"
+    s"""WITH ${sqlSh13CtesFor(docWhere)},
+       |bench AS (SELECT doc_id AS bench_id, h FROM sh13 WHERE doc_id % 5 = 0$bp)
        |SELECT a.doc_id, b.bench_id, count(*) AS n_shared
        |FROM sh13 a JOIN bench b ON a.h = b.h AND a.doc_id <> b.bench_id
        |GROUP BY a.doc_id, b.bench_id""".stripMargin
+  }
+
+  private[queries] lazy val decontaminateOracle: String =
+    decontaminateOracleFor("", "")
 
   /** (doc_id, band_idx, band_key): the per-doc LSH band index — the
     * thing a production pipeline stages as a bucketed table and every
@@ -1530,6 +1544,41 @@ object DedupQueries {
       labelCorpus(
         docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7),
         labels1)
+    },
+
+    // ------------------------------------------------------------------
+    // Retraction over the DECONTAMINATION stack (q137's artifacts) —
+    // the q143 contract applied to the span/contam family, in BOTH its
+    // directions at once: corpus docs deleted (takedowns — doc_id % 10
+    // == 3) and a benchmark slice RETIRED (an eval set rotated out —
+    // bench_id % 10 == 0, i.e. the STANDING half, so the tombstones cut
+    // across artifact generations: standing rows retired, appended
+    // rows carried). Both are pure tombstones because contamination
+    // rows are PER-PAIR facts ((doc, bench, n_shared) depends on the
+    // two documents alone) — removal IS the maintenance, no
+    // re-probing, no re-tokenization, cost |D| + |B|. The upstream
+    // span_index tombstone is the same anti-join shape
+    // (RetractionSpec proves it equals the rebuilt index). == q86's
+    // oracle over corpus-minus-deleted vs the surviving benchmark.
+    QueryDef(
+      "q146_decontam_retraction",
+      "retraction over the decontamination artifacts: deleted corpus docs AND a retired benchmark slice tombstoned out of the full-benchmark contamination table (per-pair facts — two anti-joins against the broadcast delete sets, no re-probing or re-tokenization) — == batch decontamination over corpus-minus-deleted vs the surviving benchmark exactly",
+      decontaminateOracleFor("doc_id % 10 != 3", "doc_id % 10 != 0")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // the full-benchmark contamination artifact, as q137 maintains it
+      val idx = spanIndexTable(s, dir)
+      val newBench = idx.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").as("bench_id"), col("h").as("bh"))
+      val fresh = idx.join(broadcast(newBench),
+          col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val full = contamIndexTable(s, dir).unionByName(fresh)
+      val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+      val retired = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"))
+      full.join(broadcast(del), Seq("doc_id"), "left_anti")
+        .join(broadcast(retired), Seq("bench_id"), "left_anti")
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
@@ -1710,7 +1759,8 @@ object DedupQueries {
   private[graft] def streamComponents(s: SparkSession, dir: String,
       chaos: Long => Unit = _ => (),
       scratch: Option[(String, String)] = None,
-      resume: Boolean = false): DataFrame = {
+      resume: Boolean = false,
+      compact: Boolean = true): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val docs = Tables.documents(s, dir)
@@ -1777,6 +1827,13 @@ object DedupQueries {
         q.awaitTermination()
       }
       s.catalog.refreshTable(outTable)
+      if (compact) {
+        // the checkpoint barrier has passed: fold both stream-grown
+        // artifacts' per-batch fragments — the grown band index through
+        // the bucket spec, the edge shards as a plain sink
+        compactBandIndex(s, idxTable): Unit
+        graft.sources.DurableIndex.compactSink(s, outTable): Unit
+      }
       val standing = ccIndexTable(s, dir)
       val starEdges = standing.filter(col("doc_id") =!= col("label"))
         .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
@@ -2052,76 +2109,29 @@ object DedupQueries {
     } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
   }
 
-  /** Per-bucket data-file counts of a bucketed table (bucket id parsed
-    * from the `_NNNNN` suffix Spark writes into bucketed part-file
-    * names), recursive across partition dirs — the fragmentation
-    * metric [[compactBandIndex]] gates on. */
+  /** Forwarders into the shared [[graft.sources.DurableIndex]]
+    * compaction contract (round-11 verdict #5 moved the machinery
+    * there so every batch_id-fragmented artifact family shares it);
+    * kept here because the dedup module owns the band-index column
+    * spec and the existing specs address them through this object. */
   private[graft] def bucketFileCounts(s: SparkSession,
-      qualified: String): Map[Int, Int] = {
-    val Array(db, tbl) = qualified.split('.')
-    val loc = new org.apache.hadoop.fs.Path(
-      s.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))).location)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(loc, true)
-    val names = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (n.endsWith(".parquet")) names += n
-    }
-    val bucketRe = "_(\\d{5})\\.".r
-    names.toSeq
-      .flatMap(n => bucketRe.findFirstMatchIn(n).map(_.group(1).toInt))
-      .groupBy(identity).map { case (b, xs) => b -> xs.size }
-  }
+      qualified: String): Map[Int, Int] =
+    graft.sources.DurableIndex.bucketFileCounts(s, qualified)
 
   /** Compact a stream-grown band index once micro-batch appends have
-    * fragmented any bucket past `maxFilesPerBucket` files: ONE read of
-    * the table, one rewrite into a single `batch_id = -1` compacted
-    * generation through the SAME partition+bucket spec, so the
-    * zero-Exchange bucket-join property survives the rewrite
-    * (PlanAuditSpec re-asserts it post-compaction). Returns whether a
-    * rewrite ran.
-    *
-    * Must run at a QUIESCED checkpoint (after a drain): folding the
-    * batch partitions forfeits replay idempotency for exactly those
-    * batches, which is safe once the checkpoint has committed them —
-    * AvailableNow's awaitTermination is that barrier. The rows are
-    * pinned via localCheckpoint before the overwrite (read-while-
-    * rewriting safety); at 100 TB this becomes the [[bandIndexTable]]
-    * write-aside-and-atomically-publish pattern instead of an in-place
-    * overwrite, with the old generation retired on the same grace
-    * contract. */
+    * fragmented any bucket past `maxFilesPerBucket` files — the band
+    * column spec over [[graft.sources.DurableIndex.compactBucketed]]
+    * (see there for the quiesced-checkpoint contract). */
   private[graft] def compactBandIndex(s: SparkSession, qualified: String,
       maxFilesPerBucket: Int = 2): Boolean =
     compactBucketedIndex(s, qualified,
       Seq("doc_id", "band_idx", "band_key"), "band_key", maxFilesPerBucket)
 
-  /** The generalized rewrite behind [[compactBandIndex]], shared with
-    * the q114 stream-grown BLOCK index: same gate, same single-shuffle-
-    * into-the-bucket-hash rewrite, parameterized over the data columns
-    * and bucket column. */
   private[graft] def compactBucketedIndex(s: SparkSession, qualified: String,
       cols: Seq[String], bucketCol: String,
-      maxFilesPerBucket: Int = 2): Boolean = {
-    val counts = bucketFileCounts(s, qualified)
-    if (!counts.values.exists(_ > maxFilesPerBucket)) false
-    else {
-      val rows = s.table(qualified).select(cols.map(col): _*).localCheckpoint()
-      // one shuffle into the bucket hash itself: each write task then
-      // holds exactly one bucket's rows, so the rewrite lands ONE file
-      // per bucket (a bucketed write without it emits a file per
-      // (task x bucket) — the very fragmentation being repaired)
-      rows.repartition(16, col(bucketCol))
-        .withColumn("batch_id", lit(-1L))
-        .write.format("parquet").mode("overwrite")
-        .partitionBy("batch_id")
-        .bucketBy(16, bucketCol).sortBy(bucketCol)
-        .saveAsTable(qualified)
-      s.catalog.refreshTable(qualified)
-      true
-    }
-  }
+      maxFilesPerBucket: Int = 2): Boolean =
+    graft.sources.DurableIndex.compactBucketed(
+      s, qualified, cols, bucketCol, maxFilesPerBucket)
 
   /** Above this many distinct delta documents the incremental probe
     * stops broadcasting the delta's bands and shuffles them once into

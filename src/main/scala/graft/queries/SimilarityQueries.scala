@@ -1063,6 +1063,29 @@ object SimilarityQueries {
       s"streaming ANN serving: 3 query drops -> checkpointed AvailableNow drain, each micro-batch served top-$RetrievalK from the durable block index (per-batch size gate), batch_id-partitioned idempotent sink; == batch q124 verbatim",
       annServeOracle) { (s, dir) =>
       streamAnnServe(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Retraction over the ANN SERVING index — the q143 contract on the
+    // similarity family: deleted vectors (takedown slice vec_id % 10
+    // == 3) tombstone out of the durable block index by ONE anti-join
+    // against the broadcast delete set; the codebook is deliberately
+    // NOT retrained (assignments stay stable — the honest artifact
+    // semantics: the index is "the same index minus the deleted
+    // rows", and the oracle's training CTEs stay verbatim). Serving
+    // then answers every query exactly as if the deleted vectors had
+    // never been indexed: top-K re-fills from the surviving
+    // cell-mates. Cost |D|; the index side stays an Exchange-free
+    // bucketed scan under the tombstone.
+    QueryDef(
+      "q147_ann_retraction",
+      s"retraction over the ANN serving index: deleted vectors tombstoned out of the durable block index (one anti-join against the broadcast delete set, codebook NOT retrained), then top-$RetrievalK served as q124 — == serving over corpus-minus-deleted exactly, ranks re-filled from surviving cell-mates",
+      annServeOracleFor("c.vec_id % 10 != 3")) { (s, dir) =>
+      val del = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 3)
+        .select("vec_id")
+      semIndexTopKOf(s, dir,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7),
+        deleted = Some(del))
     })
 
   /** q124/q125's body: top-K retrieval SERVED from the durable block
@@ -1092,8 +1115,17 @@ object SimilarityQueries {
     * micro-batch; the size gate runs per call — i.e. per micro-batch
     * in the streaming case, like q114's in-drain gate. */
   private[graft] def semIndexTopKOf(s: SparkSession, dir: String,
-      raw: DataFrame, forceLarge: Option[Boolean] = None): DataFrame = {
-    val idx = semBlockIndexTable(s, dir)
+      raw: DataFrame, forceLarge: Option[Boolean] = None,
+      deleted: Option[DataFrame] = None): DataFrame = {
+    // retraction (q147): deleted vectors tombstone out of the block
+    // index by ONE anti-join against the broadcast takedown-sized set —
+    // the codebook (a trained artifact) is deliberately NOT retrained,
+    // so assignments stay stable and the serving contract is exactly
+    // "the same index minus the deleted rows"
+    val idx0 = semBlockIndexTable(s, dir)
+    val idx = deleted.map(d => idx0.join(
+        broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+      .getOrElse(idx0)
     val codebook = semCodebookTable(s, dir)
     val large = forceLarge.getOrElse(
       raw.select("vec_id").count() > SemDeltaBroadcastMaxVecs)
@@ -1413,18 +1445,26 @@ object SimilarityQueries {
     * on the bucketed block_key); since every indexed vector's sub is
     * < 2^pc, that union IS the whole cell — the two statements are
     * equivalent by construction. */
-  private[graft] lazy val annServeOracle: String =
+  /** The serving oracle parameterized over an extra candidate-side
+    * predicate (alias `c`) — empty for q124/q125/q126; the retraction
+    * query (q147) excludes the deleted vectors. The codebook-training
+    * CTEs stay verbatim: retraction does not retrain. */
+  private[graft] def annServeOracleFor(candPred: String): String = {
+    val cp = if (candPred.isEmpty) "" else s" AND $candPred"
     s"""$semStandingCellsOracleCtes,
        |scored AS (SELECT d.vec_id AS q_id, c.vec_id AS c_id,
        |    ${sqlCosine("d.v", "c.v")} AS cosine
        |  FROM cells d JOIN cells c ON d.cell = c.cell
-       |   AND d.vec_id % 10 = 7 AND c.vec_id % 10 != 7),
+       |   AND d.vec_id % 10 = 7 AND c.vec_id % 10 != 7$cp),
        |ranked AS (SELECT q_id, c_id, cosine,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY cosine DESC, c_id) AS rank
        |  FROM scored)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cosine
        |FROM ranked WHERE rank <= $RetrievalK""".stripMargin
+  }
+
+  private[graft] lazy val annServeOracle: String = annServeOracleFor("")
 
   /** Threshold over which an arriving embedding delta stops
     * broadcasting and instead shuffles both sides on (cell, sub) —

@@ -138,6 +138,9 @@ object SketchQueries {
         q.awaitTermination()
       }
       s.catalog.refreshTable(outTable)
+      // post-drain shard-fragment fold; the max-merge below is
+      // row-order-blind, so the rewrite is invisible to it
+      graft.sources.DurableIndex.compactSink(s, outTable): Unit
       val merged = s.table(outTable)
         .groupBy("event_type", "bucket").agg(max(col("reg")).as("reg"))
       hllEstimateOf(s, merged)
@@ -381,7 +384,8 @@ object SketchQueries {
       dir: String,
       chaos: Long => Unit = _ => (),
       scratch: Option[(String, String)] = None,
-      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+      resume: Boolean = false,
+      compact: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
@@ -422,6 +426,11 @@ object SketchQueries {
         q.awaitTermination()
       }
       s.catalog.refreshTable(outTable)
+      // post-drain (checkpoint barrier passed): fold the per-batch
+      // count-shard fragments; the sum-merge below is row-order-blind,
+      // so the rewrite is invisible to it (DurableArtifactsSpec)
+      if (compact)
+        graft.sources.DurableIndex.compactSink(s, outTable): Unit
       val merged = s.table(outTable)
         .groupBy("gram").agg(sum(col("dcnt")).as("dcnt"))
       hhMaintainFromCounts(s, docs.filter(col("doc_id") % 10 =!= 7),
@@ -522,6 +531,7 @@ object SketchQueries {
         q.awaitTermination()
       }
       s.catalog.refreshTable(outTable)
+      graft.sources.DurableIndex.compactSink(s, outTable): Unit
       val merged = s.table(outTable)
         .groupBy("bin").agg(sum(col("c")).as("c"))
       histQuantilesOf(s, merged)
@@ -596,6 +606,7 @@ object SketchQueries {
         q.awaitTermination()
       }
       s.catalog.refreshTable(outTable)
+      graft.sources.DurableIndex.compactSink(s, outTable): Unit
       val merged = s.table(outTable)
         .groupBy("d", "cell").agg(sum(col("c")).as("c"))
       cmsEstimateOf(s, dir, merged)

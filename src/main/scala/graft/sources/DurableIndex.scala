@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileStatus, ParentNotDirectoryException, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The durable fingerprint-keyed index machinery, shared by every
   * standing artifact the engine maintains between sessions (the MinHash
@@ -146,5 +147,109 @@ private[graft] object DurableIndex {
       }
     }
     if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
+  }
+
+  // ---- the shared COMPACTION contract (round-11 verdict #5) ------------
+  //
+  // Every streaming/incremental apply adds a partition fragment to its
+  // sink (one-plus files per micro-batch under `batch_id=N/`); at a
+  // thousand maintenance ticks every reader pays the small-file tax.
+  // The fix is one shape regardless of family: gate on a driver-side
+  // FS-metadata count, then ONE read of the table rewritten as a single
+  // `batch_id = -1` compacted generation — through the same bucket spec
+  // when the table has one, so the zero-Exchange join property survives.
+  //
+  // Both forms must run at a QUIESCED checkpoint (post-drain): folding
+  // the batch partitions forfeits replay idempotency for exactly those
+  // batches, which is safe once the checkpoint has committed them —
+  // AvailableNow's awaitTermination is that barrier. Rows are pinned via
+  // localCheckpoint before the overwrite (read-while-rewriting safety);
+  // at 100 TB this becomes the [[attachOrBuild]] write-aside-and-
+  // atomically-publish pattern instead of an in-place overwrite.
+
+  /** Resolved FS location of a catalog table. */
+  private def tableLocation(s: SparkSession, qualified: String): Path = {
+    val Array(db, tbl) = qualified.split('.')
+    new Path(s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))).location)
+  }
+
+  private def leafParquetNames(s: SparkSession, qualified: String): Seq[String] = {
+    val loc = tableLocation(s, qualified)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(loc, true)
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (n.endsWith(".parquet")) names += n
+    }
+    names.toSeq
+  }
+
+  /** Total parquet data files under a catalog table — the fragmentation
+    * metric [[compactSink]] gates on. Driver-side FS metadata only. */
+  private[graft] def dataFileCount(s: SparkSession, qualified: String): Int =
+    leafParquetNames(s, qualified).size
+
+  /** Per-bucket data-file counts of a bucketed table (bucket id parsed
+    * from the `_NNNNN` suffix Spark writes into bucketed part-file
+    * names), recursive across partition dirs — the fragmentation
+    * metric [[compactBucketed]] gates on. */
+  private[graft] def bucketFileCounts(s: SparkSession,
+      qualified: String): Map[Int, Int] = {
+    val bucketRe = "_(\\d{5})\\.".r
+    leafParquetNames(s, qualified)
+      .flatMap(n => bucketRe.findFirstMatchIn(n).map(_.group(1).toInt))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size }
+  }
+
+  /** Compact a stream-grown BUCKETED index once micro-batch appends
+    * have fragmented any bucket past `maxFilesPerBucket` files: the
+    * rewrite re-shuffles into the bucket hash itself, so each write
+    * task holds exactly one bucket's rows and the rewrite lands ONE
+    * file per bucket (a bucketed write without it emits a file per
+    * (task x bucket) — the very fragmentation being repaired). Returns
+    * whether a rewrite ran. */
+  private[graft] def compactBucketed(s: SparkSession, qualified: String,
+      cols: Seq[String], bucketCol: String,
+      maxFilesPerBucket: Int = 2): Boolean = {
+    val counts = bucketFileCounts(s, qualified)
+    if (!counts.values.exists(_ > maxFilesPerBucket)) false
+    else {
+      val rows = s.table(qualified).select(cols.map(col): _*).localCheckpoint()
+      rows.repartition(16, col(bucketCol))
+        .withColumn("batch_id", lit(-1L))
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("batch_id")
+        .bucketBy(16, bucketCol).sortBy(bucketCol)
+        .saveAsTable(qualified)
+      s.catalog.refreshTable(qualified)
+      true
+    }
+  }
+
+  /** Compact a PLAIN batch_id-partitioned sink (edge shards, count/
+    * register/bin shards) past `maxFiles` total data files: one table
+    * read, one rewrite as a single `batch_id = -1` generation in
+    * `targetFiles` files. The readers of these sinks consume them
+    * through an order-insensitive merge (union/sum/max over the data
+    * columns), so a row-preserving rewrite is invisible to them —
+    * which the DurableArtifactsSpec extension proves per family.
+    * Returns whether a rewrite ran. */
+  private[graft] def compactSink(s: SparkSession, qualified: String,
+      maxFiles: Int = 2, targetFiles: Int = 1): Boolean = {
+    if (dataFileCount(s, qualified) <= maxFiles) false
+    else {
+      val t = s.table(qualified)
+      val dataCols = t.columns.filterNot(_ == "batch_id")
+      val rows = t.select(dataCols.map(col).toIndexedSeq: _*).localCheckpoint()
+      rows.coalesce(targetFiles)
+        .withColumn("batch_id", lit(-1L))
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("batch_id")
+        .saveAsTable(qualified)
+      s.catalog.refreshTable(qualified)
+      true
+    }
   }
 }

@@ -56,4 +56,70 @@ class DurableArtifactsSpec extends SparkSpec {
         s"$family part files changed — the re-attach rebuilt the artifact")
     }
   }
+
+  test("q134 edge shards: compaction folds batch fragments without changing the edge set") {
+    // the plain-sink half of the shared DurableIndex compaction
+    // contract (round-11 verdict #5): run the drain WITHOUT the
+    // post-drain fold to inspect the raw accretion — one-plus files per
+    // micro-batch — then fold and prove the reader-visible relation
+    // (the edge set the post-drain fixpoint unions in) is untouched
+    import org.apache.spark.sql.functions.col
+    DedupQueries.streamComponents(spark, sfDir, compact = false).collect()
+    val edges = JvmScratch.tableName("stream_cc_edges")
+    val before = graft.sources.DurableIndex.dataFileCount(spark, edges)
+    // at sf0.001 a drop can mine zero edges (no shard file), so 3 drops
+    // can land as few as 2 fragments — still fragmented
+    assert(before >= 2, s"expected fragmented edge shards after 3 drops, got $before files")
+    val content = spark.table(edges).select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(content.nonEmpty, "edge sink is empty — test is vacuous")
+
+    assert(graft.sources.DurableIndex.compactSink(spark, edges, maxFiles = 1),
+      "edge-shard compaction did not run")
+    assert(graft.sources.DurableIndex.dataFileCount(spark, edges) < before,
+      "file count did not drop")
+    val re = spark.table(edges).select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(re == content, "compaction changed the edge shards")
+    assert(!graft.sources.DurableIndex.compactSink(spark, edges, maxFiles = 1),
+      "compaction re-ran on an already-compacted sink")
+
+    // and the grown band index came out of the same drain fragmented —
+    // the bucketed half of the contract, folded by the same machinery
+    val bands = JvmScratch.tableName("stream_cc_bands")
+    val counts = DedupQueries.bucketFileCounts(spark, bands)
+    assert(counts.values.exists(_ > 2),
+      s"expected some fragmented bucket in the grown cc band index, got $counts")
+    val bandContent = spark.table(bands)
+      .select("doc_id", "band_idx", "band_key")
+      .orderBy("doc_id", "band_idx", "band_key").collect().toSeq
+    assert(DedupQueries.compactBandIndex(spark, bands),
+      "cc band-index compaction did not run")
+    assert(DedupQueries.bucketFileCounts(spark, bands).values.forall(_ <= 1),
+      "cc band-index compaction left a fragmented bucket")
+    val bandRe = spark.table(bands)
+      .select("doc_id", "band_idx", "band_key")
+      .orderBy("doc_id", "band_idx", "band_key").collect().toSeq
+    assert(bandRe == bandContent, "compaction changed the cc band index")
+  }
+
+  test("q144 count shards: compaction folds batch fragments without changing the merged counts") {
+    import org.apache.spark.sql.functions.{col, sum}
+    SketchQueries.streamHeavyHitters(spark, sfDir, compact = false).collect()
+    val shards = JvmScratch.tableName("stream_hh_counts")
+    val before = graft.sources.DurableIndex.dataFileCount(spark, shards)
+    assert(before > 2, s"expected fragmented count shards after 3 drops, got $before files")
+    def merged() = spark.table(shards).groupBy("gram")
+      .agg(sum(col("dcnt")).as("dcnt")).orderBy("gram").collect().toSeq
+    val content = merged()
+    assert(content.nonEmpty, "count sink is empty — test is vacuous")
+
+    assert(graft.sources.DurableIndex.compactSink(spark, shards),
+      "count-shard compaction did not run")
+    assert(graft.sources.DurableIndex.dataFileCount(spark, shards) < before,
+      "file count did not drop")
+    assert(merged() == content, "compaction changed the merged counts")
+    assert(!graft.sources.DurableIndex.compactSink(spark, shards),
+      "compaction re-ran on an already-compacted sink")
+  }
 }
