@@ -424,9 +424,10 @@ object DedupQueries {
        |            JOIN cnt yb ON yb.doc_id = db
        |WHERE c::DOUBLE / (xa.n + yb.n - c) >= $JaccardThreshold""".stripMargin
 
-  /** q26's oracle, shared verbatim by the incremental q142. */
-  private[queries] val sqlNgramOracle: String =
-    s"""WITH $sqlShingleCte,
+  /** q26's oracle, shared verbatim by the incremental q142;
+    * parameterized over a document predicate for the retraction q150. */
+  private[queries] def sqlNgramOracleFor(docWhere: String): String =
+    s"""WITH ${sqlShingleCteFor(docWhere)},
        |hot AS (SELECT sg FROM sh GROUP BY sg HAVING count(*) <= $DfCut),
        |fsh AS (SELECT sh.doc_id, sh.sg FROM sh JOIN hot USING (sg)),
        |cnt AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
@@ -438,6 +439,8 @@ object DedupQueries {
        |FROM pairs JOIN cnt xa ON xa.doc_id = da
        |           JOIN cnt yb ON yb.doc_id = db
        |WHERE c::DOUBLE / (xa.n + yb.n - c) >= 0.3""".stripMargin
+
+  private[queries] val sqlNgramOracle: String = sqlNgramOracleFor("")
 
   /** The q26 score tail over a staged filtered shingle set: inverted-
     * index pair join + exact Jaccard at the 0.3 threshold. Shared by
@@ -578,6 +581,77 @@ object DedupQueries {
       .unionByName(rescored)
       // the USING anti-joins move their key column to the front; pin
       // the q26 output order back
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  /** Retraction over the n-gram family's durable artifacts (q150) —
+    * the MIRROR of q142's df-cut drift, and the subtlest retraction in
+    * the matrix: deleting documents LOWERS per-shingle df, so a
+    * stop-shingle can UN-CROSS the cut (df > DfCut falling to
+    * df' <= DfCut) and become newly admitted — surviving documents
+    * carrying it GAIN filtered shingles, changing common counts AND
+    * denominators of standing pairs that never touched a deleted doc.
+    * Deletion is one-sided (df only decreases), so crossings INTO the
+    * cut cannot happen. Delta-boundedness:
+    *   - un-crossing shingles ⊆ shingles(D) — only a deleted doc's
+    *     shingles lose df — and each names <= DfCut surviving docs
+    *     post-delete, so R (docs carrying an un-crossed shingle) is
+    *     |D|-bounded;
+    *   - pairs touching D drop (per-pair facts under a FIXED shingle
+    *     world);
+    *   - pairs between two docs outside R ∪ D carry VERBATIM: an
+    *     admitted shingle stays admitted (df' <= df) and a rejected,
+    *     non-un-crossed shingle stays rejected, so both documents'
+    *     filtered sets are bit-identical;
+    *   - pairs touching R re-score through the q142 R-probe shape
+    *     against the post-delete filtered index.
+    * ZERO text is read anywhere — even the delete set's shingles come
+    * OUT of the postings artifact. The delete set is takedown-sized by
+    * contract, so its derivatives broadcast; a licensing-sweep-scale
+    * delete is a rewrite (the compaction pattern), not a tombstone.
+    * == q26 over corpus-minus-deleted, verbatim oracle. */
+  private[queries] def ngramRetract(post: DataFrame, p0: DataFrame,
+      delIds: DataFrame): DataFrame = {
+    val del = delIds.select("doc_id").distinct().localCheckpoint()
+    // the deleted docs' per-shingle counts, read out of the index
+    val rdf = post.join(broadcast(del), Seq("doc_id"), "left_semi")
+      .groupBy("sg").agg(count(lit(1)).as("rdf")).localCheckpoint()
+    // surviving postings under the post-delete df
+    val postLive = post.join(broadcast(del), Seq("doc_id"), "left_anti")
+      .join(broadcast(rdf), Seq("sg"), "left")
+      .select(col("doc_id"), col("sg"), col("df"),
+        (col("df") - coalesce(col("rdf"), lit(0L))).as("dfl"))
+      .localCheckpoint()
+    val uncrossed = postLive
+      .filter(col("df") > DfCut && col("dfl") <= DfCut)
+      .select("sg").distinct()
+    val rIds = postLive.join(broadcast(uncrossed), Seq("sg"), "left_semi")
+      .select("doc_id").distinct().localCheckpoint()
+    val fsh = postLive.filter(col("dfl") <= DfCut).select("doc_id", "sg")
+      .localCheckpoint()
+    val rFsh = fsh.join(broadcast(rIds), Seq("doc_id"), "left_semi")
+    val c = rFsh.select(col("doc_id").as("ra"), col("sg"))
+      .join(fsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
+        col("sg") === col("bsg") && col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("da"),
+        greatest(col("ra"), col("rb")).as("db"), col("sg"))
+      .distinct()
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val pids = c.select(col("da").as("doc_id"))
+      .unionByName(c.select(col("db").as("doc_id"))).distinct()
+    val n = fsh.join(broadcast(pids), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jac = col("c").cast("double") / (col("xn") + col("yn") - col("c"))
+    val rescored = c
+      .join(n.select(col("doc_id").as("xd"), col("n").as("xn")), col("xd") === col("da"))
+      .join(n.select(col("doc_id").as("yd"), col("n").as("yn")), col("yd") === col("db"))
+      .filter(jac >= 0.3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("c").as("n_common"), jac.as("jaccard"))
+    val dropIds = del.unionByName(rIds).distinct().localCheckpoint()
+    p0.join(broadcast(dropIds.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(dropIds.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+      .unionByName(rescored)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
@@ -785,8 +859,8 @@ object DedupQueries {
     // stream starts (micro-batches run on a clone sharing the catalog)
     simhashIndexTable(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q129_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q129_ckpt").toString))
+      (streamScratch("graft_q129_src"),
+        streamScratch("graft_q129_ckpt")))
     val table = JvmScratch.tableName("stream_simhash_dedup")
     try {
       if (!resume) {
@@ -1579,6 +1653,27 @@ object DedupQueries {
         .select(col("doc_id").as("bench_id"))
       full.join(broadcast(del), Seq("doc_id"), "left_anti")
         .join(broadcast(retired), Seq("bench_id"), "left_anti")
+    },
+
+    // ------------------------------------------------------------------
+    // Retraction over the N-GRAM family — the subtlest member of the
+    // matrix and the mirror of q142: deletion LOWERS df, so stop-
+    // shingles can UN-CROSS the cut and surviving documents GAIN
+    // admitted shingles — standing pairs between docs that never
+    // touched a deleted doc can still change score. The fix-up set is
+    // provably delta-bounded (un-crossing shingles ⊆ shingles(D), each
+    // naming <= DfCut survivors); pairs outside R ∪ D carry over
+    // VERBATIM; zero text is read anywhere — even the delete set's
+    // shingles come out of the postings artifact. == full q26 over
+    // corpus-minus-deleted. OperatorPropertiesSpec forces an actual
+    // un-crossing.
+    QueryDef(
+      "q150_ngram_retraction",
+      s"retraction under df-cut drift, the q142 mirror: deleted docs tombstoned out of the postings artifact, df lowered, stop-shingles that UN-CROSS df<=$DfCut re-admit their <=$DfCut surviving carriers into a delta-bounded re-score set R, standing pairs outside R carried verbatim, zero text read — == full n-gram Jaccard over corpus-minus-deleted exactly",
+      sqlNgramOracleFor("doc_id % 10 NOT IN (3, 7)")) { (s, dir) =>
+      val del = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+        .select("doc_id")
+      ngramRetract(ngramPostingsTable(s, dir), ngramPairsTable(s, dir), del)
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
@@ -1600,6 +1695,21 @@ object DedupQueries {
       s.conf.set("spark.sql.shuffle.partitions", oldParts)
       s.conf.set("spark.sql.sources.partitionOverwriteMode", oldMode)
     }
+  }
+
+
+  /** Scratch dir for stream sources and checkpoints: prefers the
+    * RAM-backed /dev/shm when present — the drains' wall cost is
+    * checkpoint-commit fsync, which tmpfs makes free. Production
+    * checkpoints live on durable shared storage by contract; this
+    * helper only places LOCAL bench/test scratch. The replay specs
+    * pass their own disk-backed scratch dirs, so the chaos-kill
+    * contract still exercises real on-disk checkpoints. */
+  private[graft] def streamScratch(tag: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, tag).toString
+    else java.nio.file.Files.createTempDirectory(tag).toString
   }
 
   private[queries] def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
@@ -1647,8 +1757,8 @@ object DedupQueries {
     // (micro-batches run on a cloned session sharing the catalog)
     bandIndexTable(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q105_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q105_ckpt").toString))
+      (streamScratch("graft_q105_src"),
+        streamScratch("graft_q105_ckpt")))
     val table = JvmScratch.tableName("stream_inc_dedup")
     try {
       if (!resume) {
@@ -1703,8 +1813,8 @@ object DedupQueries {
     // stream starts (micro-batches run on a clone sharing the catalog)
     SimilarityQueries.semBlockIndexTable(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q113_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q113_ckpt").toString))
+      (streamScratch("graft_q113_src"),
+        streamScratch("graft_q113_ckpt")))
     val table = JvmScratch.tableName("stream_sem_dedup")
     try {
       if (!resume) {
@@ -1768,15 +1878,15 @@ object DedupQueries {
     bandIndexTable(s, dir)
     ccIndexTable(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q134_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q134_ckpt").toString))
+      (streamScratch("graft_q134_src"),
+        streamScratch("graft_q134_ckpt")))
     val idxTable = JvmScratch.tableName("stream_cc_bands")
     val outTable = JvmScratch.tableName("stream_cc_edges")
     try {
       if (!resume) {
         val delta = docs.filter(col("doc_id") % 10 === 7)
         (0 until 3).foreach { i =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_q134_drop$i")
+          val tmp = java.nio.file.Paths.get(streamScratch(s"graft_q134_drop$i"))
           try {
             delta.filter(pmod(col("doc_id"), lit(3)) === i)
               .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -1865,8 +1975,8 @@ object DedupQueries {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val docs = Tables.documents(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q107_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q107_ckpt").toString))
+      (streamScratch("graft_q107_src"),
+        streamScratch("graft_q107_ckpt")))
     val idxTable = JvmScratch.tableName("stream_band_index")
     val outTable = JvmScratch.tableName("stream_bootstrap_out")
     try {
@@ -1955,8 +2065,8 @@ object DedupQueries {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val emb = Tables.embeddings(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q114_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q114_ckpt").toString))
+      (streamScratch("graft_q114_src"),
+        streamScratch("graft_q114_ckpt")))
     val idxTable = JvmScratch.tableName("stream_block_index")
     val outTable = JvmScratch.tableName("stream_sem_boot_out")
     val cbTable = JvmScratch.tableName("stream_sem_codebook")
@@ -2060,8 +2170,8 @@ object DedupQueries {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val docs = Tables.documents(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q116_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q116_ckpt").toString))
+      (streamScratch("graft_q116_src"),
+        streamScratch("graft_q116_ckpt")))
     val benchTable = JvmScratch.tableName("stream_bench_hashes")
     val outTable = JvmScratch.tableName("stream_decon_out")
     try {

@@ -48,13 +48,14 @@ object RelationalExtras {
   /** q57's oracle, shared verbatim by the incremental q138: the SCD2
     * history is ONE result however it is derived — full-history window
     * recompute (q57) or current-rows-join apply (q138). */
-  private val scd2Oracle: String =
-    """WITH s1 AS (SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS snap
-      |  FROM customer),
+  private def scd2OracleFor(keyPred: String): String = {
+    val w = if (keyPred.isEmpty) "" else s" WHERE $keyPred"
+    s"""WITH s1 AS (SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS snap
+      |  FROM customer$w),
       |s2 AS (SELECT c_custkey,
       |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
       |         ELSE c_acctbal END AS c_acctbal,
-      |    c_mktsegment, 2 AS snap FROM customer),
+      |    c_mktsegment, 2 AS snap FROM customer$w),
       |snaps AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
       |flagged AS (SELECT c_custkey, c_acctbal, c_mktsegment, snap,
       |    lag(c_acctbal) OVER (PARTITION BY c_custkey ORDER BY snap) AS prev
@@ -69,6 +70,11 @@ object RelationalExtras {
       |    AS is_current
       |FROM kept
       |WINDOW w AS (PARTITION BY c_custkey ORDER BY snap)""".stripMargin
+  }
+
+  /** q57's oracle, shared verbatim by q138/q139; q148 narrows it to
+    * the keys that survive the forget set. */
+  private val scd2Oracle: String = scd2OracleFor("")
 
   /** The SCD2 first load: every snapshot row opens version 1. */
   private[queries] def scd2FirstLoad(snapshot: org.apache.spark.sql.DataFrame,
@@ -144,8 +150,8 @@ object RelationalExtras {
     import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
     scd2StateTable(s, dir) // the standing dimension exists pre-stream
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q139_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q139_ckpt").toString))
+      (DedupQueries.streamScratch("graft_q139_src"),
+        DedupQueries.streamScratch("graft_q139_ckpt")))
     val outTable = JvmScratch.tableName("stream_scd2_out")
     try {
       if (!resume) {
@@ -612,6 +618,35 @@ object RelationalExtras {
       "STREAMING SCD2 apply: snapshot as 3 key-partitioned drops, each micro-batch left-semi-restricts the persisted dimension state to its keys and runs the identical apply into replay-idempotent batch_id partitions — disjoint-key applies commute, union == batch q57 exactly",
       scd2Oracle) { (s, dir) =>
       streamScd2Apply(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Retraction over the SCD2 dimension state — the right-to-be-
+    // forgotten operation a real warehouse must run (GDPR erasure: a
+    // subject's ENTIRE history goes, not just current rows). SCD2
+    // history is strictly per-key and applies are key-partitioned, so
+    // forgetting is ONE anti-join against the broadcast forget set —
+    // and it COMMUTES with subsequent applies over the surviving keys,
+    // which this query proves by doing both: purge the persisted
+    // state, then run the ordinary q138 apply on the purged state and
+    // the forget-filtered snapshot. == batch q57 over
+    // customers-minus-forgotten, verbatim window recompute.
+    QueryDef(
+      "q148_scd2_forget",
+      "SCD2 right-to-be-forgotten: forget keys' ENTIRE history anti-joined out of the persisted dimension state (one broadcast anti-join, per-key history means removal is exact), then the ordinary incremental apply over the surviving keys — deletion commutes with maintenance; == batch q57 over customers-minus-forgotten exactly",
+      scd2OracleFor("c_custkey % 100 != 7")) { (s, dir) =>
+      val forget = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 === 7)
+        .select(col("c_custkey").as("fk"))
+      val purged = scd2StateTable(s, dir)
+        .join(broadcast(forget), col("c_custkey") === col("fk"), "left_anti")
+      val snap2 = Tables.customer(s, dir)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .filter(col("c_custkey") % 100 =!= 7)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      scd2Apply(purged, snap2, 2L)
     },
 
     // ------------------------------------------------------------------

@@ -354,8 +354,8 @@ object SamplingQueries {
     import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q123_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q123_ckpt").toString))
+      (DedupQueries.streamScratch("graft_q123_src"),
+        DedupQueries.streamScratch("graft_q123_ckpt")))
     val outTable = JvmScratch.tableName("stream_pack_out")
     val totalsTable = JvmScratch.tableName("stream_pack_totals")
     try {

@@ -1174,8 +1174,8 @@ object SimilarityQueries {
     import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
     val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q126_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q126_ckpt").toString))
+      (DedupQueries.streamScratch("graft_q126_src"),
+        DedupQueries.streamScratch("graft_q126_ckpt")))
     val outTable = JvmScratch.tableName("stream_ann_out")
     try {
       if (!resume) {

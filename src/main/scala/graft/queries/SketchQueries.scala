@@ -108,8 +108,8 @@ object SketchQueries {
     // copy then round-trips through parquet without the nano-long shape
     val ev = Tables.events(s, dir).select("event_id", "event_type", "user_id", "ts")
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q121_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q121_ckpt").toString))
+      (DedupQueries.streamScratch("graft_q121_src"),
+        DedupQueries.streamScratch("graft_q121_ckpt")))
     val outTable = JvmScratch.tableName("stream_hll_regs")
     try {
       if (!resume) {
@@ -260,8 +260,9 @@ object SketchQueries {
   /** q117's oracle, shared verbatim by q135: exact heavy hitters over
     * the FULL corpus — the maintained store must reproduce it exactly,
     * with no sketch or watermark in sight. */
-  private val hhOracle: String =
-    s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+  private def hhOracleFor(docWhere: String): String = {
+    val w = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
+    s"""WITH d AS (SELECT string_split(text, ' ') AS t FROM documents$w),
        |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM d),
        |t AS (SELECT count(*) AS total FROM g)
@@ -269,6 +270,9 @@ object SketchQueries {
        |FROM g CROSS JOIN t
        |GROUP BY gram, total
        |HAVING count(*) * $HHSupport >= total""".stripMargin
+  }
+
+  private val hhOracle: String = hhOracleFor("")
 
   /** The persisted heavy-hitter STORE of the standing corpus — q135's
     * maintained artifact: exact counts of every trigram whose standing
@@ -298,6 +302,63 @@ object SketchQueries {
     val sentinel = total.select(lit(null).cast("string").as("gram"),
       lit(0L).as("cnt"), col("total").as("standing_total"))
     stored.unionByName(sentinel)
+  }
+
+  /** Deletion/retraction over the heavy-hitter STORE (q149) — the
+    * q143 contract on an AGGREGATE artifact, which is the interesting
+    * case: band/pair/contam/block rows are per-doc or per-pair facts
+    * (deletion = tombstone), but a stored COUNT entangles every
+    * standing document, so retraction must SUBTRACT, not drop. Given a
+    * delete set D: D's text is recounted once (delta-sized — the only
+    * text touched), stored grams get `cnt - rcnt`, zero-count rows
+    * fall out, and the standing total drops to T1 = T0 - Tr.
+    *
+    * Exactness rests on the store's completeness bound: a NON-stored
+    * gram has standing count < basis/(2*S) where `basis` is the
+    * watermark basis the store was built (or last rebuilt) against.
+    * Deletion only decreases counts, so non-stored grams stay
+    * correctly absent — PROVIDED the final report threshold never
+    * falls below the watermark: T1 > basis/2, the HALF-MASS DELETION
+    * BUDGET. Inside the budget the retraction is exact with zero
+    * standing-corpus work; past it the store must rebuild (the
+    * `require` makes the boundary loud instead of silently wrong —
+    * the same discipline as tombstone debt in LSM stores). The
+    * returned store does NOT lower its eviction watermark: the
+    * sentinel carries the pre-delete basis in `cnt`, so chained
+    * [[hhMaintainFromCounts]] applies keep using the conservative
+    * bound (q149 chains a retract THEN an ordinary delta apply and
+    * still matches the batch oracle). */
+  private[queries] def hhRetract(s: org.apache.spark.sql.SparkSession,
+      deletedDocs: org.apache.spark.sql.DataFrame,
+      store: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stored = store.filter(col("gram").isNotNull)
+      .select(col("gram"), col("cnt"))
+    val rCnts = trigramOcc(deletedDocs).groupBy("gram")
+      .agg(count(lit(1)).as("rcnt")).localCheckpoint()
+    val row = store
+      .agg(coalesce(max(col("standing_total")), lit(0L)).as("t0"),
+        coalesce(max(when(col("gram").isNull, col("cnt"))), lit(0L)).as("wb"),
+        lit(0L).as("tr"))
+      .unionByName(rCnts
+        .agg(lit(0L).as("t0"), lit(0L).as("wb"),
+          coalesce(sum(col("rcnt")), lit(0L)).as("tr")))
+      .agg(max(col("t0")).as("t0"), max(col("wb")).as("wb"),
+        max(col("tr")).as("tr"))
+      .first()
+    val t0 = row.getLong(0)
+    val basis = math.max(row.getLong(1), t0)
+    val t1 = t0 - row.getLong(2)
+    require(2 * t1 > basis,
+      s"heavy-hitter retraction past the half-mass deletion budget " +
+        s"(watermark basis $basis, post-delete total $t1): rebuild the store")
+    val corrected = stored.join(rCnts, Seq("gram"), "left")
+      .select(col("gram"),
+        (col("cnt") - coalesce(col("rcnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+      .withColumn("standing_total", lit(t1))
+    corrected.unionByName(s.range(1)
+      .select(lit(null).cast("string").as("gram"), lit(basis).as("cnt"),
+        lit(t1).as("standing_total")))
   }
 
   /** q135's core, parameterized over the inputs so the spec can drive
@@ -333,16 +394,25 @@ object SketchQueries {
     val stored = store.filter(col("gram").isNotNull)
       .select(col("gram"), col("cnt"))
     val dCnts = dCnts0.localCheckpoint()
-    val totals = store
-      .agg(coalesce(max(col("standing_total")), lit(0L)).as("v"))
-      .select(lit("t0").as("k"), col("v"))
-      .unionByName(dCnts.agg(coalesce(sum(col("dcnt")), lit(0L)).as("v"))
-        .select(lit("td").as("k"), col("v")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val t0 = totals("t0")
-    val td = totals("td")
+    val row = store
+      .agg(coalesce(max(col("standing_total")), lit(0L)).as("t0"),
+        coalesce(max(when(col("gram").isNull, col("cnt"))), lit(0L)).as("wb"),
+        lit(0L).as("td"))
+      .unionByName(dCnts
+        .agg(lit(0L).as("t0"), lit(0L).as("wb"),
+          coalesce(sum(col("dcnt")), lit(0L)).as("td")))
+      .agg(max(col("t0")).as("t0"), max(col("wb")).as("wb"),
+        max(col("td")).as("td"))
+      .first()
+    val t0 = row.getLong(0)
+    val td = row.getLong(2)
     val t1 = t0 + td
-    val b = math.max(t0 - 1, 0L) / (2 * HHSupport)
+    // the non-stored-gram count bound rides the store's WATERMARK
+    // BASIS, not the current total: a retraction (q149) shrinks the
+    // total without re-admitting grams, so its sentinel carries the
+    // pre-delete basis in `cnt` (0 on a fresh build) and the bound
+    // stays conservative — a larger basis only ENLARGES the surge set
+    val b = math.max(math.max(row.getLong(1), t0) - 1, 0L) / (2 * HHSupport)
     val merged = stored.join(dCnts, Seq("gram"), "full_outer")
       .select(col("gram"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
@@ -393,8 +463,8 @@ object SketchQueries {
     // the standing artifact exists before a maintenance stream starts
     hhStoreTable(s, dir)
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q144_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q144_ckpt").toString))
+      (DedupQueries.streamScratch("graft_q144_src"),
+        DedupQueries.streamScratch("graft_q144_ckpt")))
     val outTable = JvmScratch.tableName("stream_hh_counts")
     try {
       if (!resume) {
@@ -502,8 +572,8 @@ object SketchQueries {
     import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
     val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q141_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q141_ckpt").toString))
+      (DedupQueries.streamScratch("graft_q141_src"),
+        DedupQueries.streamScratch("graft_q141_ckpt")))
     val outTable = JvmScratch.tableName("stream_hist_bins")
     try {
       if (!resume) {
@@ -576,8 +646,8 @@ object SketchQueries {
     import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
     val ev = Tables.events(s, dir).select("event_id", "user_id")
     val (srcDir, ckpt) = scratch.getOrElse(
-      (java.nio.file.Files.createTempDirectory("graft_q133_src").toString,
-        java.nio.file.Files.createTempDirectory("graft_q133_ckpt").toString))
+      (DedupQueries.streamScratch("graft_q133_src"),
+        DedupQueries.streamScratch("graft_q133_ckpt")))
     val outTable = JvmScratch.tableName("stream_cms_grid")
     try {
       if (!resume) {
@@ -891,6 +961,30 @@ object SketchQueries {
       s"STREAMING exact heavy-hitter maintenance: delta docs as 3 drops, per-micro-batch per-gram count shards into batch_id partitions (replay-idempotent — add-merged counts must never double-apply), post-drain watermark-store merge + surge-gated targeted recount == full-corpus q117 exactly",
       hhOracle) { (s, dir) =>
       streamHeavyHitters(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Retraction over the heavy-hitter store — the q143 maintenance
+    // direction on an AGGREGATE artifact, the case where deletion
+    // cannot be a tombstone: a stored count entangles every standing
+    // document, so retraction SUBTRACTS (the delete set's text is the
+    // only text recounted — delta-sized), the standing total drops,
+    // and the watermark basis is carried so the store's completeness
+    // bound stays conservative (half-mass deletion budget, enforced
+    // loudly by a require). The query then chains an ORDINARY q135
+    // delta apply on the retracted store — deletion composes with
+    // maintenance — and matches batch q117 over corpus-minus-deleted:
+    // verbatim oracle.
+    QueryDef(
+      "q149_hh_retraction",
+      "retraction over the heavy-hitter store: deleted docs' trigrams recounted once (delta-sized) and SUBTRACTED from the stored counts (aggregate artifact — no tombstone possible), watermark basis carried for the completeness bound, then an ordinary incremental delta apply chained on the retracted store — == batch heavy hitters over corpus-minus-deleted exactly",
+      hhOracleFor("doc_id % 10 != 3")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val retracted = hhRetract(s, docs.filter(col("doc_id") % 10 === 3),
+        hhStoreTable(s, dir))
+      hhMaintain(s,
+        docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 === 7), retracted)
     },
 
     // ------------------------------------------------------------------

@@ -201,7 +201,7 @@ object StreamingOps {
   private def hourlyCountsInner(spark: SparkSession, dir: String): DataFrame = {
     val table = freshTable(spark, "stream_hourly")
     val (stageDir, staged) = stageEventsFresh(dir, "q34")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q34_ckpt").toString
+    val ckpt = graft.queries.DedupQueries.streamScratch("graft_q34_ckpt")
 
     val rawSchema = spark.read.parquet(staged).schema
     val agg = Tables.normalizeEventTs(
@@ -234,7 +234,7 @@ object StreamingOps {
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark) {
       val table = freshTable(spark, "stream_dim")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q67_ckpt").toString
+      val ckpt = graft.queries.DedupQueries.streamScratch("graft_q67_ckpt")
       val dim = Tables.nation(spark, dir)
         .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
       val enriched = eventStream(spark, dir)
@@ -295,7 +295,7 @@ object StreamingOps {
     // each match as soon as both sides arrive (the watermark only gates
     // STATE EVICTION), so the single AvailableNow drain emits every match.
     val table = freshTable(spark, "stream_attr")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q47_ckpt").toString
+    val ckpt = graft.queries.DedupQueries.streamScratch("graft_q47_ckpt")
     drainToTable(joined, ckpt, table)
     spark.table(table)
   }
@@ -320,7 +320,7 @@ object StreamingOps {
     // sentinel restart needed (the keep-all state, evictable only with a
     // watermark, is the documented at-scale caveat above).
     val table = freshTable(spark, "stream_dedup")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q48_ckpt").toString
+    val ckpt = graft.queries.DedupQueries.streamScratch("graft_q48_ckpt")
     drainToTable(dedup, ckpt, table)
     spark.table(table)
   }
@@ -379,7 +379,7 @@ object StreamingOps {
     import spark.implicits._
     val table = freshTable(spark, "stream_sessions")
     val (stageDir, staged) = stageEventsFresh(dir, "q36")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q36_ckpt").toString
+    val ckpt = graft.queries.DedupQueries.streamScratch("graft_q36_ckpt")
     val gapMs = 30L * 60 * 1000
 
     val rawSchema = spark.read.parquet(staged).schema

@@ -137,6 +137,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(common(got) == 3L, "post-crossing pair must re-score to 3 shared shingles")
   }
 
+  test("q150 retraction survives a df-cut UN-crossing exactly") {
+    import spark.implicits._
+    // the q142 mirror: "x y z" sits at df == DfCut+1 in standing (a
+    // stop-shingle: DfCut-1 filler carriers + the pair docs 101/102);
+    // deleting filler doc 1 lowers it to df == DfCut, UN-crossing the
+    // cut — the standing pair (101,102), which never touched the
+    // deleted doc, must still re-score (common 3 -> 4, n 5 -> 6)
+    val filler = (1 to DedupQueries.DfCut - 1)
+      .map(i => (i.toLong, s"x y z u$i v$i"))
+    val standing = (filler :+
+      (101L, "x y z p q r a1 b1") :+ (102L, "x y z p q r a2 b2"))
+      .toDF("doc_id", "text")
+    val post = DedupQueries.ngramPostingsOf(standing).localCheckpoint()
+    val p0 = DedupQueries.ngramScoredPairs(
+      post.filter(col("df") <= DedupQueries.DfCut).select("doc_id", "sg"))
+      .localCheckpoint()
+
+    val got = DedupQueries.ngramRetract(post, p0, Seq(1L).toDF("doc_id"))
+      .localCheckpoint()
+    val brute = DedupQueries.ngramScoredPairs(
+      DedupQueries.ngramPostingsOf(standing.filter(col("doc_id") =!= 1L))
+        .filter(col("df") <= DedupQueries.DfCut).select("doc_id", "sg"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "retracted pair set diverged from the full recompute")
+    // the un-crossing really happened and really re-scored
+    def common(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("doc_a") === 101L && col("doc_b") === 102L)
+      .select("n_common").as[Long].head()
+    assert(common(p0) == 3L,
+      "standing pair should share 3 shingles while 'x y z' is a stop-shingle")
+    assert(common(got) == 4L,
+      "post-un-crossing pair must re-score to 4 shared shingles")
+  }
+
   test("rank-dedup keeps exactly one row per key under a total order") {
     import spark.implicits._
     val revs = (0 until 500).map { i =>

@@ -100,6 +100,19 @@ class RetractionSpec extends SparkSpec {
       DedupQueries.labelCorpus(corpus2, labelsWant2), "delete 2 labeling")
   }
 
+  test("span-index tombstone equals the rebuilt index over corpus-minus-deleted") {
+    // q146's upstream claim: the decontamination stack's first
+    // artifact retracts by the same anti-join shape, and the result is
+    // exactly the index a from-scratch build over the surviving corpus
+    // would produce
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val tomb = DedupQueries.spanIndexTable(spark, sfDir)
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+    val want = DedupQueries.spanHashes13Of(docs.filter(col("doc_id") % 10 =!= 3))
+    assertSameSet(tomb, want, "span-index tombstone")
+  }
+
   test("band tombstoning: broadcast anti-join over the bare index scan, zero index-side Exchange") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")

@@ -113,6 +113,67 @@ class TechniqueSpec extends SparkSpec {
     assert(got == brute, s"maintenance diverged from brute force: $got vs $brute")
   }
 
+  test("q149 retraction: subtract + carried watermark basis stays exact, budget enforced") {
+    import spark.implicits._
+    // synthetic corpus: T0 = 400,019 -> build watermark 10; the delete
+    // set removes 99,972 occurrences (inside the half-mass budget), so
+    // t1 = 300,047 — whose naive watermark would be 7.
+    //   "h h h" standing 30 (stored, survives untouched)
+    //   "d d d" standing 25, ONLY in deleted docs (stored, falls out)
+    //   "s s s" standing 8 + delta 40 -> classic surge
+    //   "x x x" standing 9 + delta 7 -> the BASIS pin: 9 sits between
+    //           the shrunken-total watermark (7) and the carried basis
+    //           watermark (10); recomputing the bound from t1 would
+    //           skip its surge recount and silently drop a true heavy
+    //           hitter (true total 16 >= threshold 15.05)
+    def rep(w: String, n: Int) = Array.fill(n)(w).mkString(" ")
+    def filler(prefix: String, n: Long) = spark.range(n)
+      .select(concat_ws(" ",
+        concat(lit(prefix), col("id"), lit("a")),
+        concat(lit(prefix), col("id"), lit("b")),
+        concat(lit(prefix), col("id"), lit("c"))).as("text"))
+    val keep = filler("f", 300000L)
+      .unionByName(Seq(rep("h", 32), rep("s", 10), rep("x", 11)).toDF("text"))
+    val del = filler("e", 99947L).unionByName(Seq(rep("d", 27)).toDF("text"))
+    val standing = keep.unionByName(del)
+    val delta = filler("g", 959L)
+      .unionByName(Seq(rep("s", 42), rep("x", 9)).toDF("text"))
+
+    val store0 = SketchQueries.hhStoreOf(standing).localCheckpoint()
+    val stored0 = store0.filter(col("gram").isNotNull)
+      .select("gram").as[String].collect().toSet
+    assert(stored0 == Set("h h h", "d d d"),
+      s"watermark store admitted the wrong grams: $stored0")
+
+    val store1 = SketchQueries.hhRetract(spark, del, store0).localCheckpoint()
+    val stored1 = store1.filter(col("gram").isNotNull)
+      .select("gram").as[String].collect().toSet
+    assert(stored1 == Set("h h h"), s"post-retract store: $stored1")
+
+    val got = SketchQueries.hhMaintain(spark, keep, delta, store1)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("h h h", 30L), ("s s s", 48L), ("x x x", 16L)),
+      s"got $got")
+
+    // and the same result as the brute-force recompute over
+    // (standing minus deleted) + delta
+    val occ = SketchQueries.trigramOcc(keep.unionByName(delta))
+    val totalN = occ.count()
+    val brute = occ.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") * SketchQueries.HHSupport >= totalN)
+      .as[(String, Long)].collect().toSet
+    assert(got == brute, s"retract+apply diverged from brute force: $got vs $brute")
+
+    // past the half-mass budget the retraction refuses loudly instead
+    // of silently losing completeness
+    val tiny = filler("t", 1000L)
+    val tinyStore = SketchQueries.hhStoreOf(tiny).localCheckpoint()
+    val ex = intercept[IllegalArgumentException] {
+      SketchQueries.hhRetract(spark, tiny.limit(600), tinyStore)
+    }
+    assert(ex.getMessage.contains("half-mass"), ex.getMessage)
+  }
+
   test("q118 context packing: every window full except the last, per-doc coverage exact") {
     import graft.queries.SamplingQueries
     val p = SparkEntry.queries("q118_context_packing")(spark, sfDir).cache()
