@@ -1674,6 +1674,24 @@ object DedupQueries {
       val del = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
         .select("doc_id")
       ngramRetract(ngramPostingsTable(s, dir), ngramPairsTable(s, dir), del)
+    },
+
+    // ------------------------------------------------------------------
+    // The q143 retraction LIVE — takedowns arrive as a FEED, not a
+    // batch: 3 ordered drops of delete ids drain into a batch_id-
+    // partitioned delete log (the audit trail a real pipeline keeps),
+    // and ONE post-drain retraction folds the union — sound because
+    // deletions commute and fold: retract∘retract == retract(∪).
+    // Retraction is the one maintenance direction idempotent BY
+    // NATURE (anti-joins absorb duplicate ids), so replay safety
+    // needs no partition-overwrite argument — it gets one anyway.
+    // == batch q143 exactly, verbatim oracle; StreamReplaySpec
+    // chaos-kill.
+    QueryDef(
+      "q151_stream_retraction",
+      "STREAMING retraction: a takedown feed drained as 3 delete-id drops into a replay-idempotent batch_id-partitioned delete log, one post-drain band/pair/cc retraction over the folded union (deletions commute and fold) — == batch q143 == CC labeling over corpus-minus-deleted exactly",
+      ccOracleSqlFor("doc_id % 10 NOT IN (3, 7)")) { (s, dir) =>
+      streamRetraction(s, dir)
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
@@ -1748,6 +1766,72 @@ object DedupQueries {
     * left uncommitted. Production invocations (scratch = None) stage
     * fresh temp dirs and delete them in the finally — repeated bench
     * iterations accumulate nothing (round-9 advice). */
+  /** q151's body: the q143 retraction LIVE — a takedown FEED (DMCA
+    * notices, licensing pulls) drained as 3 ordered drops of delete
+    * ids. Each micro-batch lands only its delete-id shard into the
+    * DELETE LOG (the audit trail a real pipeline must keep anyway),
+    * batch_id-overwritten for replay idempotency — though retraction
+    * is the one maintenance direction that is idempotent BY NATURE:
+    * anti-joins absorb duplicate delete ids, so even a double-applied
+    * shard could not corrupt the result (the partition overwrite is
+    * defense-in-depth, not the load-bearing wall it is for the
+    * add-merge sinks). Post-drain, ONE [[retractMaintain]] over the
+    * union of shards — sound because deletions COMMUTE and FOLD:
+    * retract(retract(S, D1), D2) == retract(S, D1 ∪ D2), both equal
+    * the rebuild over corpus-minus-all (RetractionSpec proves the
+    * sequential form). == batch q143, verbatim oracle. Test hooks as
+    * in [[streamIncrementalDedup]]. */
+  private[graft] def streamRetraction(s: SparkSession, dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val docs = Tables.documents(s, dir)
+    // the standing artifacts exist before a takedown stream starts
+    bandIndexTable(s, dir)
+    pairIndexTable(s, dir)
+    ccIndexTable(s, dir)
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (streamScratch("graft_q151_src"),
+        streamScratch("graft_q151_ckpt")))
+    val logTable = JvmScratch.tableName("stream_delete_log")
+    try {
+      if (!resume) {
+        val dels = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+        (0 until 3).foreach { i =>
+          dels.filter(pmod(col("doc_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+        JvmScratch.resetTable(s, "stream_delete_log")
+        createBatchSink(s, logTable, Seq("doc_id" -> "bigint"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            batch.select("doc_id")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(logTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(logTable)
+      graft.sources.DurableIndex.compactSink(s, logTable): Unit
+      val (_, _, labels1) = retractMaintain(bandIndexTable(s, dir),
+        pairIndexTable(s, dir), ccIndexTable(s, dir),
+        s.table(logTable).select("doc_id"))
+      labelCorpus(
+        docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7),
+        labels1)
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
+
   private[graft] def streamIncrementalDedup(s: SparkSession, dir: String,
       chaos: Long => Unit = _ => (),
       scratch: Option[(String, String)] = None,

@@ -221,6 +221,27 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q151: a replayed delete-id shard changes nothing (retraction is naturally idempotent)") {
+    val clean = DedupQueries.streamRetraction(spark, sfDir)
+      .orderBy("doc_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q151 run produced no labeling — test is vacuous")
+
+    val scratch = (tmp("graft_rp151_src"), tmp("graft_rp151_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        DedupQueries.streamRetraction(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = DedupQueries
+        .streamRetraction(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("doc_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q123: a replayed packing micro-batch sees the same offset and rewrites identical rows") {
     val clean = SamplingQueries.streamContextPacking(spark, sfDir)
       .orderBy("window_id", "doc_id").collect().toSeq
