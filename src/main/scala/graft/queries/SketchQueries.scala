@@ -242,8 +242,15 @@ object SketchQueries {
     * min-over-depths point estimates joined against exact truth. The
     * grid is sketch-sized (<= d*w rows), so it broadcasts. */
   private[queries] def cmsEstimateOf(s: org.apache.spark.sql.SparkSession,
-      dir: String, cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val e = Tables.events(s, dir)
+      dir: String, cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cmsEstimateOfEv(Tables.events(s, dir), cells)
+
+  /** [[cmsEstimateOf]] parameterized over the event rows, so the
+    * retraction query (q152) can probe and truth-check against
+    * events-minus-deleted. */
+  private[queries] def cmsEstimateOfEv(ev: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = ev
       .select(col("user_id"), tokenHash(col("user_id").cast("string")).as("h"))
     val probes = e.filter(col("user_id") < NumProbes).distinct()
       .select(col("user_id"), col("h"), cmsDepths)
@@ -251,7 +258,7 @@ object SketchQueries {
     val est = probes
       .join(broadcast(cells), col("pd") === col("d") && col("pcell") === col("cell"))
       .groupBy("user_id").agg(min(col("c")).as("cms_estimate"))
-    val truth = Tables.events(s, dir).filter(col("user_id") < NumProbes)
+    val truth = ev.filter(col("user_id") < NumProbes)
       .groupBy("user_id").agg(count(lit(1)).as("true_n"))
     truth.join(est, Seq("user_id"))
       .select("user_id", "true_n", "cms_estimate")
@@ -510,14 +517,15 @@ object SketchQueries {
 
   /** q56's oracle, shared verbatim by q140/q141: the maintained bin
     * tables must reproduce the full-corpus quantile lookups exactly. */
-  private val histOracle: String =
+  private def histOracleFor(oWhere: String): String = {
+    val w = if (oWhere.isEmpty) "" else s" WHERE $oWhere"
     s"""WITH hist AS (SELECT CAST(floor(o_totalprice / $QWidth.0) AS BIGINT) AS bin,
        |    count(*) AS c
-       |  FROM orders GROUP BY 1),
+       |  FROM orders$w GROUP BY 1),
        |cum AS (SELECT bin,
        |    sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM hist),
-       |n AS (SELECT count(*) AS n FROM orders),
+       |n AS (SELECT count(*) AS n FROM orders$w),
        |probs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
        |t AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS target_rank
        |  FROM probs CROSS JOIN n),
@@ -526,6 +534,9 @@ object SketchQueries {
        |SELECT p, target_rank,
        |  CAST((qbin + 1) * $QWidth AS BIGINT) AS est_upper_bound
        |FROM est""".stripMargin
+  }
+
+  private val histOracle: String = histOracleFor("")
 
   /** The q56 bin table — the sketch itself: one map-side-combinable
     * groupBy to (bin, c); grids of a UNION of datasets == cellwise SUM
@@ -611,10 +622,11 @@ object SketchQueries {
   /** q46's oracle, shared verbatim by q132/q133: the maintained grids
     * must reproduce the full-corpus sketch EXACTLY (add-merge is an
     * identity, not an approximation). */
-  private val cmsOracle: String = {
+  private def cmsOracleFor(evWhere: String): String = {
+    val w = if (evWhere.isEmpty) "" else s" WHERE $evWhere"
     val colSql = (h: String, d: String) =>
       s"((($h * (1000003 * ($d + 1) % $P) + (7777777 * ($d + 1) % $P)) % $P) % $Width)"
-    s"""WITH e AS (SELECT user_id, ${sqlTokenHash("user_id::VARCHAR")} AS h FROM events),
+    s"""WITH e AS (SELECT user_id, ${sqlTokenHash("user_id::VARCHAR")} AS h FROM events$w),
        |cells AS (SELECT d, ${colSql("h", "d")} AS cell, count(*) AS c
        |  FROM e CROSS JOIN (SELECT unnest(range($Depth)) AS d) dd
        |  GROUP BY 1, 2),
@@ -623,11 +635,13 @@ object SketchQueries {
        |  FROM probes CROSS JOIN (SELECT unnest(range($Depth)) AS d) dd
        |  JOIN cells ON cells.d = dd.d AND cells.cell = ${colSql("h", "dd.d")}
        |  GROUP BY user_id),
-       |truth AS (SELECT user_id, count(*) AS true_n FROM events
-       |  WHERE user_id < $NumProbes GROUP BY user_id)
+       |truth AS (SELECT user_id, count(*) AS true_n FROM events$w
+       |  ${if (evWhere.isEmpty) "WHERE" else "AND"} user_id < $NumProbes GROUP BY user_id)
        |SELECT user_id, true_n, cms_estimate
        |FROM truth JOIN est USING (user_id)""".stripMargin
   }
+
+  private val cmsOracle: String = cmsOracleFor("")
 
   /** q133's body: CMS grid maintenance live — [[streamHllMaintain]]'s
     * drain shape (checkpointed AvailableNow, maxFilesPerTrigger=1,
@@ -836,6 +850,44 @@ object SketchQueries {
     },
 
     // ------------------------------------------------------------------
+    // Retraction over the count-min grid — the sketch member of the
+    // q143 matrix, and the theoretically clean case: ADD-merge is
+    // INVERTIBLE, so deletion is exact subtraction (sketch the deleted
+    // events alone — delta-sized — and subtract cellwise; counts are
+    // per-cell sums, so grid(S) - grid(D) == grid(S \ D) is an
+    // identity, not an approximation). The contrast inside the sketch
+    // family is the point: CMS and histograms retract exactly; HLL
+    // CANNOT (max is not invertible — its retraction path is
+    // shard-grained: drop the deleted batch's register shard and
+    // re-max, which the q121 batch_id-sharded sink already supports
+    // and TechniqueSpec proves). Zero cells are dropped so the
+    // subtracted grid is bit-identical to a fresh build. Chains the
+    // ordinary q132 delta merge on top — deletion composes with
+    // maintenance. == q46 over events-minus-deleted exactly.
+    QueryDef(
+      "q152_cms_retraction",
+      s"retraction over the ${Depth}x$Width count-min grid: deleted events sketched alone and SUBTRACTED cellwise (add-merge is invertible — an identity, not an approximation), zero cells dropped, then the ordinary delta merge chained on top; probe estimates == full q46 over events-minus-deleted exactly",
+      cmsOracleFor("event_id % 10 != 3")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val standing = ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
+      val deleted = ev.filter(pmod(col("event_id"), lit(10)) === 3)
+      val delta = ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      val short = s"cms_standing_${
+        graft.sources.DurableIndex.fingerprint(s, dir, "events.parquet")}"
+      JvmScratch.ensure(s)
+      val standingTable = JvmScratch.tableName(short)
+      if (!s.catalog.tableExists(standingTable))
+        cmsCells(standing).write.format("parquet").saveAsTable(standingTable)
+      val merged = s.table(standingTable)
+        .unionByName(cmsCells(deleted)
+          .select(col("d"), col("cell"), (-col("c")).as("c")))
+        .unionByName(cmsCells(delta))
+        .groupBy("d", "cell").agg(sum(col("c")).as("c"))
+        .filter(col("c") =!= 0L)
+      cmsEstimateOfEv(ev.filter(pmod(col("event_id"), lit(10)) =!= 3), merged)
+    },
+
+    // ------------------------------------------------------------------
     // Quantile sketch: mergeable equi-width histogram + rank lookup —
     // the third classic sketch next to count-min (q46) and HLL (q51).
     // The 100-TB shape: the histogram is ONE groupBy with map-side
@@ -891,6 +943,37 @@ object SketchQueries {
       "streaming quantile-sketch maintenance: 3 order drops -> checkpointed AvailableNow drain, per-micro-batch bin tables into batch_id partitions (replay-idempotent), cellwise-ADD merge on read == full-corpus q56 exactly",
       histOracle) { (s, dir) =>
       streamHistMaintain(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Retraction over the quantile sketch — the q152 contract on the
+    // equi-width bin table: deleted orders binned alone (delta-sized)
+    // and subtracted cellwise, the ordinary delta merge chained on
+    // top, zero bins dropped. n for the rank lookups comes off the
+    // corrected bins (sum of counts IS the row count), so no second
+    // data pass exists to get wrong. == q56 over orders-minus-deleted
+    // exactly.
+    QueryDef(
+      "q153_histogram_retraction",
+      "retraction over the equi-width quantile sketch: deleted orders binned alone and SUBTRACTED cellwise (add-merge is invertible), ordinary delta merge chained on top, zero bins dropped; p50/p90/p99 lookups == full q56 over orders-minus-deleted exactly",
+      histOracleFor("o_orderkey % 10 != 3")) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val standing = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val deleted = o.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      val delta = o.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      val short = s"hist_standing_${
+        graft.sources.DurableIndex.fingerprint(s, dir, "orders.parquet")}"
+      JvmScratch.ensure(s)
+      val standingTable = JvmScratch.tableName(short)
+      if (!s.catalog.tableExists(standingTable))
+        histBins(standing).write.format("parquet").saveAsTable(standingTable)
+      val merged = s.table(standingTable)
+        .unionByName(histBins(deleted)
+          .select(col("bin"), (-col("c")).as("c")))
+        .unionByName(histBins(delta))
+        .groupBy("bin").agg(sum(col("c")).as("c"))
+        .filter(col("c") =!= 0L)
+      histQuantilesOf(s, merged)
     },
 
     // ------------------------------------------------------------------

@@ -564,6 +564,39 @@ class PlanAuditSpec extends SparkSpec {
       "index-side Exchange under the small-delta df probe join")
   }
 
+  test("q147 ANN tombstone: anti-join broadcast over the bucketed block scan, no index-side Exchange") {
+    // the retraction family's plan contract on the similarity index:
+    // the deleted-vector tombstone must be a broadcast anti-join
+    // CONSUMING the persisted block index as a bare bucketed scan —
+    // no Exchange between the scan and the anti-join (the takedown
+    // set, not the index, is the build side)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val del = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 === 3).select("vec_id")
+    val idx = graft.queries.SimilarityQueries.semBlockIndexTable(spark, sfDir)
+      .join(broadcast(del), Seq("vec_id"), "left_anti")
+    val plan = finalPlan(idx)
+    def isBlockScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("sem_blocks")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("sem_blocks"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isBlockScan),
+      "the tombstoned view does not read the persisted sem_blocks table")
+    val path = pathTo(plan, isBlockScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the block-index scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"tombstone anti-join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the block-index scan and the tombstone anti-join")
+  }
+
   test("CC labeling: no Window node in the q54/q131 final plans") {
     // cluster_size must come from groupBy+join (map-side-combinable,
     // AQE-skew-splittable), never count(*) OVER (PARTITION BY

@@ -174,6 +174,31 @@ class TechniqueSpec extends SparkSpec {
     assert(ex.getMessage.contains("half-mass"), ex.getMessage)
   }
 
+  test("HLL retraction is shard-grained: re-max of surviving register shards == fresh sketch") {
+    // the honest negative result inside the sketch family: CMS and
+    // histograms retract by exact subtraction (q152/q153 — add-merge
+    // is invertible), but HLL's max-merge is NOT invertible, so
+    // per-event retraction is impossible. The supported contract is
+    // SHARD-grained: the q121 sink keeps per-ingest-batch register
+    // shards, so deleting an ingest batch = dropping its shard and
+    // re-maxing the survivors — exactly the fresh sketch over the
+    // surviving events, registers AND estimates.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val shards = (0 until 3).map(i =>
+      SketchQueries.hllRegisters(ev.filter(pmod(col("event_id"), lit(3)) === i)))
+    val merged = shards(0).unionByName(shards(2))
+      .groupBy("event_type", "bucket").agg(max(col("reg")).as("reg"))
+    val fresh = SketchQueries.hllRegisters(
+      ev.filter(pmod(col("event_id"), lit(3)) =!= 1))
+    assert(merged.exceptAll(fresh).isEmpty && fresh.exceptAll(merged).isEmpty,
+      "shard-grained HLL retraction diverged from the fresh register sketch")
+    val em = SketchQueries.hllEstimateOf(spark, merged)
+      .orderBy("event_type").collect().toSeq
+    val ef = SketchQueries.hllEstimateOf(spark, fresh)
+      .orderBy("event_type").collect().toSeq
+    assert(em == ef, "shard-grained HLL retraction changed the estimates")
+  }
+
   test("q118 context packing: every window full except the last, per-doc coverage exact") {
     import graft.queries.SamplingQueries
     val p = SparkEntry.queries("q118_context_packing")(spark, sfDir).cache()
