@@ -141,9 +141,15 @@ object Bench {
     * names + full-precision samples live in bench_out.json, which is
     * committed with the repo. BenchFormatSpec asserts the budget.
     */
+  /** Compact stdout key for a query name: `q114_foo` -> `114`. The `q`
+    * prefix is dropped on the one-line driver-facing summary only
+    * (~150 chars back inside the driver's 2000-char tail window at the
+    * current query count — BenchFormatSpec's growth guard was within a
+    * few chars of its ceiling with the prefix on); `bench_out.json`
+    * keeps full query names. */
   def shortName(n: String): String = {
     val p = n.takeWhile(_ != '_')
-    if (p.length > 1 && p.head == 'q' && p.tail.forall(_.isDigit)) p else n
+    if (p.length > 1 && p.head == 'q' && p.tail.forall(_.isDigit)) p.tail else n
   }
 
   def compactJson(results: Seq[(String, Seq[Double])], failed: Seq[String],

@@ -29,10 +29,12 @@ class BenchFormatSpec extends AnyFunSuite {
   test("compact line survives growth margin past the live query count") {
     // derived from SparkEntry.queries.size so the margin cannot drift
     // (round-11 advice: a hardcoded count went stale the round after it
-    // was written). With qNN keys and 1-decimal seconds the format
-    // breaks around ~150 queries — when THIS test starts failing,
-    // shrink the format (e.g. drop the 'q' prefix from keys) BEFORE
-    // adding more queries, not after a round's numbers are lost.
+    // was written). The qNN keys hit the ceiling at 153 queries
+    // (round 12), so the compact keys are now bare numbers — with
+    // NN keys and 1-decimal seconds the format holds to ~170 queries;
+    // when THIS test starts failing again, shrink further (e.g.
+    // integer seconds past 10s) BEFORE adding more queries, not after
+    // a round's numbers are lost.
     val n = SparkEntry.queries.size + 3
     val many = (1 to n).map(i => s"q${i}_some_realistic_query_name" ->
       Seq(13.3713, 9.0401, 10.5512, 8.4477, 12.0009))
@@ -50,16 +52,16 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.compactJson(fakeResults, Seq("q99_dead"), "/root/testdata/sf0.1")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.contains(""""unit":"sec""""))
-    // short qNN keys on the stdout line; full names live in bench_out.json
-    assert(line.contains(""""q1":8.4"""))
+    // bare-number keys on the stdout line; full names live in bench_out.json
+    assert(line.contains(""""1":8.4"""))
     assert(!line.contains(""""q1_pricing_summary""""))
-    assert(line.contains(""""failed":["q99"]"""))
+    assert(line.contains(""""failed":["99"]"""))
     assert(line.endsWith(""""sf":"sf0.1"}"""))
   }
 
-  test("shortName maps qNN_suffix to qNN and leaves other names intact") {
-    assert(Bench.shortName("q7_dedup_rank") == "q7")
-    assert(Bench.shortName("q104_foo") == "q104")
+  test("shortName maps qNN_suffix to NN and leaves other names intact") {
+    assert(Bench.shortName("q7_dedup_rank") == "7")
+    assert(Bench.shortName("q104_foo") == "104")
     assert(Bench.shortName("warmup") == "warmup")
     assert(Bench.shortName("qx_notdigits") == "qx_notdigits")
   }
