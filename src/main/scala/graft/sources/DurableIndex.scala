@@ -67,9 +67,22 @@ private[graft] object DurableIndex {
     * fingerprint exists. */
   def attachOrBuild(s: SparkSession, dir: String, family: String,
       srcFile: String, bucketSpec: Option[(String, Int)])
+      (build: => DataFrame): DataFrame =
+    attachOrBuildFp(s, dir, family, fingerprint(s, dir, srcFile), bucketSpec)(build)
+
+  /** [[attachOrBuild]] with the version fingerprint supplied by the
+    * caller — for derived generations whose identity is a FUNCTION of
+    * the source fingerprint rather than the source fingerprint itself
+    * (e.g. the retraction-published artifacts, keyed on corpus fp
+    * combined with the delete-set fp). The fp must be lowercase hex:
+    * the staleness/retirement machinery matches versions by that
+    * shape, so a derived generation retires its superseded siblings
+    * under the same family exactly like a source regeneration does. */
+  private[graft] def attachOrBuildFp(s: SparkSession, dir: String,
+      family: String, fp: String, bucketSpec: Option[(String, Int)])
       (build: => DataFrame): DataFrame = synchronized {
+    require(fp.matches("[0-9a-f]+"), s"fingerprint not lowercase hex: $fp")
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val fp = fingerprint(s, dir, srcFile)
     val tableName = s"${family}_${tag}_$fp"
     val qualified = s"$IndexDb.$tableName"
     val base = new Path(s.conf.get("spark.sql.warehouse.dir"), s"graft_$family")

@@ -113,6 +113,61 @@ class RetractionSpec extends SparkSpec {
     assertSameSet(tomb, want, "span-index tombstone")
   }
 
+  test("published retraction generation re-attaches byte-untouched and reads as bare scans") {
+    // the durable half (q154): the post-delete artifacts must be a
+    // WRITE-once generation — a second publish with the same corpus +
+    // delete set touches no bytes, and the re-read plans carry none of
+    // the retraction machinery (no anti-join, no fixpoint)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val (b1, p1, c1) = DedupQueries.retractPublish(spark, sfDir, del)
+
+    // contents equal the in-flight retraction at every level
+    val (bw, pw, cw) = DedupQueries.retractMaintain(
+      DedupQueries.bandIndexTable(spark, sfDir),
+      DedupQueries.pairIndexTable(spark, sfDir),
+      DedupQueries.ccIndexTable(spark, sfDir), del)
+    assertSameSet(b1, bw, "published bands")
+    assertSameSet(p1, pw, "published pairs")
+    assertSameSet(c1, cw, "published labels")
+
+    def partFiles(family: String): Map[String, (Long, Long)] = {
+      val base = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val prefix = s"${family}_${tag}_"
+      val live = fs.listStatus(base).map(_.getPath)
+        .filter(p => p.getName.startsWith(prefix)
+          && p.getName.substring(prefix.length).matches("[0-9a-f]+")).toSeq
+      assert(live.length == 1,
+        s"expected one live $family generation, got ${live.map(_.getName)}")
+      fs.listStatus(live.head)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
+        .toMap
+    }
+    val before = Seq("band_index_r", "pair_index_r", "cc_index_r").map(partFiles)
+    assert(before.forall(_.nonEmpty), "a published generation has no parquet parts")
+
+    // second publish: a re-attach, not a rebuild
+    val (b2, _, c2) = DedupQueries.retractPublish(spark, sfDir, del)
+    assert(Seq("band_index_r", "pair_index_r", "cc_index_r").map(partFiles) == before,
+      "re-publish touched the published generation's bytes")
+
+    // and the re-read plans are bare scans: no join (tombstone),
+    // no aggregate (signatures/fixpoint) anywhere
+    Seq("band_index_r" -> b2, "cc_index_r" -> c2).foreach { case (what, df) =>
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      assert(!nodes.exists(n => n.nodeName.toLowerCase.contains("join")
+          || n.nodeName.toLowerCase.contains("aggregate")),
+        s"$what re-read plan carries retraction machinery")
+      assert(nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+        s"$what re-read plan has no file scan")
+    }
+  }
+
   test("band tombstoning: broadcast anti-join over the bare index scan, zero index-side Exchange") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
