@@ -27,6 +27,88 @@ object TextQueries {
     * the same pattern compiles identically under Java regex and RE2. */
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  // ---- TF-IDF maintenance artifacts (q155/q156) ------------------------
+  //
+  // TF-IDF is its own artifact class in the maintenance matrix:
+  // IMMUTABLE per-doc facts (term frequencies are doc-local — no corpus
+  // change can alter a surviving doc's tf rows) under GLOBAL weights
+  // (df and N shift with every append/delete and re-weight EVERY
+  // document's scores). So maintenance never touches standing text:
+  // the tf index is read back verbatim, and only the broadcast-sized
+  // df sidecar and the doc count move — df adds under append (doc sets
+  // are disjoint, so distinct-doc counts add) and subtracts under
+  // delete (the deleted docs' own tf rows are their df contribution).
+
+  private def termsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+
+  /** The per-doc (doc_id, term, tf) facts of the standing corpus —
+    * tokenized once per content fingerprint, never again. */
+  private[graft] def tfIndexTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "tf_index", "documents.parquet", None) {
+      termsOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .coalesce(1)
+    }
+
+  /** The global-weight sidecar: (term, df) — df derived from the tf
+    * index (one row per (doc, term) means df is a row count), never
+    * from text — plus a sentinel row (term NULL) carrying the standing
+    * DOCUMENT count (q58's N counts all documents, term-bearing or
+    * not). Vocabulary-sized: broadcasts. */
+  private[graft] def dfSidecarTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "term_df", "documents.parquet", None) {
+      val df = tfIndexTable(s, dir).groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val sentinel = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 =!= 7)
+        .agg(count(lit(1)).as("df"))
+        .select(lit(null).cast("string").as("term"), col("df"))
+      df.unionByName(sentinel).coalesce(1)
+    }
+
+  /** The q58 scoring tail over any (tfc, df, n) triple: ubiquity cut,
+    * exact rational idf, per-doc top-3 rank. */
+  private def tfidfTail(tfc: org.apache.spark.sql.DataFrame,
+      dfRel: org.apache.spark.sql.DataFrame,
+      nDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = tfc
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(nDf))
+      .filter(lit(10) * col("df") < lit(9) * col("n"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * col("n")).cast("double") / col("df") as "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+
+  /** q58's oracle restricted to `docWhere` — shared by q155 (empty:
+    * full corpus) and the retraction q156. */
+  private def tfidfOracleFor(docWhere: String): String = {
+    val w = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
+    s"""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents$w),
+       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents$w),
+       |scored AS (SELECT doc_id, term, tf, df,
+       |    (tf * n)::DOUBLE / df AS score
+       |  FROM tfc JOIN df USING (term) CROSS JOIN n
+       |  WHERE 10 * df < 9 * n),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // Quality scoring: length/token/stopword stats per document.
@@ -219,6 +301,76 @@ object TextQueries {
       scored.withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental TF-IDF under corpus growth — the maintenance form of
+    // q58, and its own artifact class: per-doc tf facts are IMMUTABLE
+    // (doc-local), but df and N are GLOBAL weights that re-score every
+    // document on every append. So the apply reads the persisted tf
+    // index verbatim (zero standing re-tokenization), tokenizes only
+    // the delta, ADDS the delta's distinct-doc df (doc sets disjoint —
+    // addition is exact), bumps N, and re-runs only the broadcast-join
+    // scoring tail. == full-corpus q58 verbatim.
+    QueryDef(
+      "q155_incremental_tfidf",
+      "incremental TF-IDF maintenance: persisted per-doc tf index (tokenize once) + broadcast df sidecar; the delta tokenizes alone, df ADDS (disjoint doc sets), N bumps, and only the scoring tail re-runs — standing text never re-read; == full-corpus TF-IDF top-3 exactly",
+      tfidfOracleFor("")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val side = dfSidecarTable(s, dir)
+      val deltaTfc = termsOf(docs.filter(col("doc_id") % 10 === 7))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val deltaDf = deltaTfc.groupBy("term").agg(count(lit(1)).as("ddf"))
+      val df1 = side.filter(col("term").isNotNull)
+        .join(deltaDf, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+      val n1 = side.filter(col("term").isNull).select(col("df").as("n0"))
+        .crossJoin(broadcast(docs.filter(col("doc_id") % 10 === 7)
+          .agg(count(lit(1)).as("nd"))))
+        .select((col("n0") + col("nd")).as("n"))
+      tfidfTail(tfIndexTable(s, dir).unionByName(deltaTfc), df1, n1)
+    },
+
+    // ------------------------------------------------------------------
+    // TF-IDF retraction — the global-weight member of the retraction
+    // matrix: deleting documents changes NOTHING in surviving docs' tf
+    // rows (per-doc facts tombstone by anti-join), but their df
+    // contribution SUBTRACTS out of the sidecar (their own tf rows ARE
+    // that contribution — read from the index, zero text) and N drops,
+    // re-weighting every surviving doc's scores through the same
+    // broadcast tail. Chains the ordinary q155 delta apply on top —
+    // deletion composes with maintenance. == q58 over
+    // corpus-minus-deleted exactly.
+    QueryDef(
+      "q156_tfidf_retraction",
+      "TF-IDF retraction: deleted docs' tf rows tombstoned (per-doc facts), their df contribution subtracted from the broadcast sidecar (read from the index — zero text), N dropped, ordinary delta apply chained on top; == TF-IDF top-3 over corpus-minus-deleted exactly",
+      tfidfOracleFor("doc_id % 10 != 3")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+      val tfc0 = tfIndexTable(s, dir)
+      val side = dfSidecarTable(s, dir)
+      val rdf = tfc0.join(broadcast(del), Seq("doc_id"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("rdf"))
+      val tfc1 = tfc0.join(broadcast(del), Seq("doc_id"), "left_anti")
+      val deltaTfc = termsOf(docs.filter(col("doc_id") % 10 === 7))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val deltaDf = deltaTfc.groupBy("term").agg(count(lit(1)).as("ddf"))
+      val df1 = side.filter(col("term").isNotNull)
+        .join(broadcast(rdf), Seq("term"), "left")
+        .join(deltaDf, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) - coalesce(col("rdf"), lit(0L))
+            + coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+      val n1 = side.filter(col("term").isNull).select(col("df").as("n0"))
+        .crossJoin(broadcast(docs.filter(col("doc_id") % 10 === 7)
+          .agg(count(lit(1)).as("nd"))))
+        .crossJoin(broadcast(del.agg(count(lit(1)).as("ndel"))))
+        .select((col("n0") + col("nd") - col("ndel")).as("n"))
+      tfidfTail(tfc1.unionByName(deltaTfc), df1, n1)
     },
 
     // ------------------------------------------------------------------

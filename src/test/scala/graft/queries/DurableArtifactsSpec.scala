@@ -46,7 +46,9 @@ class DurableArtifactsSpec extends SparkSpec {
       ("scd2_state", RelationalExtras.scd2StateTable _),
       ("ngram_postings_b16", DedupQueries.ngramPostingsTable _),
       ("ngram_df", DedupQueries.ngramDfTable _),
-      ("ngram_pairs", DedupQueries.ngramPairsTable _))
+      ("ngram_pairs", DedupQueries.ngramPairsTable _),
+      ("tf_index", TextQueries.tfIndexTable _),
+      ("term_df", TextQueries.dfSidecarTable _))
     artifacts.foreach { case (family, attach) =>
       attach(spark, sfDir).count(): Unit
       val before = partFiles(family)
