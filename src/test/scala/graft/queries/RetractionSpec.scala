@@ -100,6 +100,57 @@ class RetractionSpec extends SparkSpec {
       DedupQueries.labelCorpus(corpus2, labelsWant2), "delete 2 labeling")
   }
 
+  test("mixed lifecycle: append, delete, append — maintained artifacts equal the net rebuild") {
+    // the real artifact lifecycle interleaves directions: this chains
+    // q130's append contract (per-batch within ∪ cross), q131's
+    // star-edge label merge, and q143's retraction on ONE artifact
+    // stack — bootstrap, append a batch, delete a takedown slice,
+    // append another batch — and proves every level equals the
+    // from-scratch build over the net corpus. No per-direction proof
+    // implies this: the delete runs against APPENDED state and the
+    // second append against RETRACTED state.
+    import org.apache.spark.sql.DataFrame
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val s0 = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 9)
+    val d1 = docs.filter(col("doc_id") % 10 === 9)
+    val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val d2 = docs.filter(col("doc_id") % 10 === 7)
+
+    var bands = DedupQueries.bandsOfDocs(s0).localCheckpoint()
+    var pairs = DedupQueries.pairsOfDocs(s0).localCheckpoint()
+    var labels = DedupQueries.connectedComponents(
+      pairs.select("doc_a", "doc_b"))._1.localCheckpoint()
+
+    def star(l: DataFrame): DataFrame = l.filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
+    def append(delta: DataFrame): Unit = {
+      val fresh = DedupQueries.pairsOfDocs(delta)
+        .unionByName(DedupQueries.crossPairsAgainst(spark, sfDir, delta, bands))
+        .localCheckpoint()
+      pairs = pairs.unionByName(fresh).localCheckpoint()
+      bands = bands.unionByName(DedupQueries.bandsOfDocs(delta)).localCheckpoint()
+      labels = DedupQueries.connectedComponents(
+        star(labels).unionByName(fresh.select("doc_a", "doc_b")))._1.localCheckpoint()
+    }
+
+    append(d1)
+    val (b2, p2, l2) = DedupQueries.retractMaintain(bands, pairs, labels, del)
+    bands = b2.localCheckpoint(); pairs = p2.localCheckpoint()
+    labels = l2.localCheckpoint()
+    append(d2)
+
+    val net = docs.filter(col("doc_id") % 10 =!= 3)
+    assertSameSet(bands, DedupQueries.bandsOfDocs(net), "net bands")
+    val pairsWant = DedupQueries.pairsOfDocs(net)
+    assertSameSet(pairs, pairsWant, "net pairs")
+    val labelsWant = DedupQueries.connectedComponents(
+      pairsWant.select("doc_a", "doc_b"))._1
+    assertSameSet(labels, labelsWant, "net labels")
+    assertSameSet(
+      DedupQueries.labelCorpus(net, labels),
+      DedupQueries.labelCorpus(net, labelsWant), "net labeling")
+  }
+
   test("span-index tombstone equals the rebuilt index over corpus-minus-deleted") {
     // q146's upstream claim: the decontamination stack's first
     // artifact retracts by the same anti-join shape, and the result is
