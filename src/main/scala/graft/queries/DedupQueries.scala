@@ -717,6 +717,15 @@ object DedupQueries {
       .select(col("doc_id"), col("sg"), col("df"),
         (col("df") + coalesce(col("ddf"), lit(0L))).as("dff"))
 
+  /** The q150 tombstone stage over the durable postings, pre-staging —
+    * the relation PlanAuditSpec audits (the query body localCheckpoints
+    * it, which hides the scan from the final plan). */
+  private[graft] def ngramRetractStage(s: SparkSession, dir: String): DataFrame = {
+    val del = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+      .select("doc_id").distinct()
+    ngramPostingsTable(s, dir).join(broadcast(del), Seq("doc_id"), "left_anti")
+  }
+
   /** The q142/q145 probe stage over the durable artifacts, pre-staging —
     * the relation PlanAuditSpec audits. */
   private[graft] def ngramProbeStage(s: SparkSession, dir: String,

@@ -564,6 +564,32 @@ class PlanAuditSpec extends SparkSpec {
       "index-side Exchange under the small-delta df probe join")
   }
 
+  test("q150 postings tombstone: broadcast anti-join over the bucketed scan, no index-side Exchange") {
+    // the n-gram member of the retraction family's plan contract: the
+    // deleted docs tombstone out of the bucketed postings artifact via
+    // a broadcast anti-join — the index side stays a bare scan
+    val plan = finalPlan(DedupQueries.ngramRetractStage(spark, sfDir))
+    def isPostScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("ngram_postings")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("ngram_postings"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isPostScan),
+      "the tombstoned view does not read the persisted postings table")
+    val path = pathTo(plan, isPostScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the postings scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"tombstone anti-join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      "index-side Exchange between the postings scan and the tombstone anti-join")
+  }
+
   test("q147 ANN tombstone: anti-join broadcast over the bucketed block scan, no index-side Exchange") {
     // the retraction family's plan contract on the similarity index:
     // the deleted-vector tombstone must be a broadcast anti-join
