@@ -302,16 +302,28 @@ object DedupQueries {
 
   /** Order-free 48-bit fingerprint of a delete-id set, computed in ONE
     * one-row aggregate (no driver-side id collection however large the
-    * takedown batch): sum-folded multiplicative hashes plus the count,
-    * masked to the lowercase-hex shape [[graft.sources.DurableIndex]]
-    * versions carry. */
-  private def deleteSetFp(del: DataFrame): String = {
+    * takedown batch), masked to the lowercase-hex shape
+    * [[graft.sources.DurableIndex]] versions carry.
+    *
+    * Each id passes through a NON-LINEAR 64-bit finalizer (xxhash64,
+    * codegen'd) before the sum-fold — a round-12 advice fix: the
+    * previous `pmod(id * K, P)` term was linear in the id, so two
+    * distinct delete sets with equal size and equal id-sum (e.g. {1,4}
+    * vs {2,3}) collided, and a stale published generation could be
+    * silently re-attached for a DIFFERENT delete set. Two
+    * independently-seeded hash sums must now both collide, which the
+    * avalanche property reduces to chance. Per-term `pmod` bounds keep
+    * the ANSI-mode sums overflow-free to ~2^31 ids (terms < 2^32,
+    * sum < n * 2^32 < 2^63). */
+  private[queries] def deleteSetFp(del: DataFrame): String = {
     val r = del.agg(
-      coalesce(sum(pmod(col("doc_id") * 2654435761L, lit(281474976710597L))),
-        lit(0L)).as("s"),
+      coalesce(sum(pmod(xxhash64(col("doc_id")), lit(4294967291L))), lit(0L)).as("s1"),
+      coalesce(sum(pmod(xxhash64(lit("graft_del_2"), col("doc_id")),
+        lit(4294967279L))), lit(0L)).as("s2"),
       count(lit(1)).as("n")).first()
     java.lang.Long.toHexString(
-      ((r.getLong(0) * 31 + r.getLong(1)) & 0xFFFFFFFFFFFFL) | 0x1)
+      (((r.getLong(0) * 1000003L + r.getLong(1)) * 31 + r.getLong(2))
+        & 0xFFFFFFFFFFFFL) | 0x1)
   }
 
   /** PERSIST the post-delete band/pair/cc artifacts as a durable

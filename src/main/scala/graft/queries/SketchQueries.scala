@@ -138,9 +138,14 @@ object SketchQueries {
         q.awaitTermination()
       }
       s.catalog.refreshTable(outTable)
-      // post-drain shard-fragment fold; the max-merge below is
-      // row-order-blind, so the rewrite is invisible to it
-      graft.sources.DurableIndex.compactSink(s, outTable): Unit
+      // post-drain compaction, BATCH-PRESERVING (round-12 advice): the
+      // HLL retraction contract is shard-grained — drop a deleted
+      // ingest batch's register shard and re-max — and max-merge is
+      // not invertible, so folding the shards to one batch_id=-1
+      // generation would forfeit that capability on the real sink.
+      // Each batch's fragments rewrite to one file; the shard grain
+      // (and with it both replay idempotency and retraction) survives.
+      graft.sources.DurableIndex.compactSinkBatched(s, outTable): Unit
       val merged = s.table(outTable)
         .groupBy("event_type", "bucket").agg(max(col("reg")).as("reg"))
       hllEstimateOf(s, merged)

@@ -187,17 +187,20 @@ private[graft] object DurableIndex {
       org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))).location)
   }
 
-  private def leafParquetNames(s: SparkSession, qualified: String): Seq[String] = {
+  private def leafParquetPaths(s: SparkSession, qualified: String): Seq[Path] = {
     val loc = tableLocation(s, qualified)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(loc, true)
-    val names = scala.collection.mutable.ArrayBuffer[String]()
+    val paths = scala.collection.mutable.ArrayBuffer[Path]()
     while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (n.endsWith(".parquet")) names += n
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) paths += p
     }
-    names.toSeq
+    paths.toSeq
   }
+
+  private def leafParquetNames(s: SparkSession, qualified: String): Seq[String] =
+    leafParquetPaths(s, qualified).map(_.getName)
 
   /** Total parquet data files under a catalog table — the fragmentation
     * metric [[compactSink]] gates on. Driver-side FS metadata only. */
@@ -235,6 +238,48 @@ private[graft] object DurableIndex {
         .write.format("parquet").mode("overwrite")
         .partitionBy("batch_id")
         .bucketBy(16, bucketCol).sortBy(bucketCol)
+        .saveAsTable(qualified)
+      s.catalog.refreshTable(qualified)
+      true
+    }
+  }
+
+  /** Per-batch data-file counts of a batch_id-partitioned sink (batch
+    * id parsed from the partition dir name) — the fragmentation metric
+    * [[compactSinkBatched]] gates on. Driver-side FS metadata only. */
+  private[graft] def batchFileCounts(s: SparkSession,
+      qualified: String): Map[Long, Int] =
+    leafParquetPaths(s, qualified)
+      .flatMap { p =>
+        val dir = p.getParent.getName
+        if (dir.startsWith("batch_id=")) Some(dir.stripPrefix("batch_id=").toLong)
+        else None
+      }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size }
+
+  /** Compact a batch_id-partitioned sink WITHOUT folding the batch
+    * partitions: each batch's fragments rewrite to one file, but the
+    * shard GRAIN survives. This is the mandatory form for sinks whose
+    * retraction contract is shard-grained — the q121 HLL register sink
+    * above all (round-12 advice): max-merge is not invertible, so
+    * "drop the deleted ingest batch's shard and re-max" is the ONLY
+    * supported HLL retraction, and a batch_id=-1 fold would forfeit it
+    * the moment it ran. [[compactSink]]'s fold remains correct for
+    * sinks whose merge is invertible (count shards subtract) or whose
+    * rows are per-item facts (edge shards tombstone). Replay safety is
+    * untouched: partitions keep their batch ids, so a replayed batch
+    * still dynamic-overwrites exactly its own partition. Runs only at
+    * a quiesced checkpoint, like every compaction. Returns whether a
+    * rewrite ran. */
+  private[graft] def compactSinkBatched(s: SparkSession, qualified: String,
+      maxFilesPerBatch: Int = 1): Boolean = {
+    val counts = batchFileCounts(s, qualified)
+    if (!counts.values.exists(_ > maxFilesPerBatch)) false
+    else {
+      val rows = s.table(qualified).localCheckpoint()
+      rows.repartition(col("batch_id"))
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("batch_id")
         .saveAsTable(qualified)
       s.catalog.refreshTable(qualified)
       true

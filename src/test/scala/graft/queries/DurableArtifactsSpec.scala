@@ -105,6 +105,59 @@ class DurableArtifactsSpec extends SparkSpec {
     assert(bandRe == bandContent, "compaction changed the cc band index")
   }
 
+  test("q121 register shards: compaction preserves the batch grain, shard-drop retraction survives it") {
+    // the HLL sink gets the BATCH-PRESERVING compaction form (round-12
+    // advice): max-merge is not invertible, so the only supported HLL
+    // retraction is shard-grained — drop the deleted ingest batch's
+    // register shard and re-max — which a batch_id=-1 fold would
+    // forfeit. Prove: (1) post-drain compaction left one file per
+    // batch WITHOUT folding the batch ids; (2) dropping a shard and
+    // re-maxing the survivors still equals the fresh sketch over the
+    // surviving events, registers AND estimates, on the REAL sink.
+    import org.apache.spark.sql.functions.{col, max, pmod, lit}
+    SketchQueries.streamHllMaintain(spark, sfDir).collect()
+    val regs = JvmScratch.tableName("stream_hll_regs")
+    val counts = graft.sources.DurableIndex.batchFileCounts(spark, regs)
+    assert(counts.keySet == Set(0L, 1L, 2L),
+      s"batch grain lost — shards folded: ${counts.keySet}")
+    assert(counts.values.forall(_ <= 1),
+      s"compaction left fragmented batch shards: $counts")
+    assert(!graft.sources.DurableIndex.compactSinkBatched(spark, regs),
+      "batched compaction re-ran on an already-compacted sink")
+
+    // file-discovery order need not follow drop order, so first map
+    // batches to the event slices they sketched, then drop the shard
+    // holding slice 1
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Int)] =
+      df.select("event_type", "bucket", "reg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val slices = (0 until 3).map(i => rowSet(
+      SketchQueries.hllRegisters(ev.filter(pmod(col("event_id"), lit(3)) === i))))
+    val shardOfBatch = (0L to 2L).map(b => b -> rowSet(
+      spark.table(regs).filter(col("batch_id") === b))).toMap
+    val sliceOfBatch = shardOfBatch.map { case (b, shard) =>
+      val i = slices.indexOf(shard)
+      assert(i >= 0, s"batch $b shard matches no ingest slice")
+      b -> i
+    }
+    assert(sliceOfBatch.values.toSet == Set(0, 1, 2),
+      s"batches do not map 1-1 onto ingest slices: $sliceOfBatch")
+    val bDrop = sliceOfBatch.collectFirst { case (b, 1) => b }.get
+
+    val surviving = spark.table(regs).filter(col("batch_id") =!= bDrop)
+      .groupBy("event_type", "bucket").agg(max(col("reg")).as("reg"))
+    val fresh = SketchQueries.hllRegisters(
+      ev.filter(pmod(col("event_id"), lit(3)) =!= 1))
+    assert(surviving.exceptAll(fresh).isEmpty && fresh.exceptAll(surviving).isEmpty,
+      "post-compaction shard-drop retraction diverged from the fresh sketch")
+    val em = SketchQueries.hllEstimateOf(spark, surviving)
+      .orderBy("event_type").collect().toSeq
+    val ef = SketchQueries.hllEstimateOf(spark, fresh)
+      .orderBy("event_type").collect().toSeq
+    assert(em == ef, "post-compaction shard-drop retraction changed the estimates")
+  }
+
   test("q144 count shards: compaction folds batch fragments without changing the merged counts") {
     import org.apache.spark.sql.functions.{col, sum}
     SketchQueries.streamHeavyHitters(spark, sfDir, compact = false).collect()

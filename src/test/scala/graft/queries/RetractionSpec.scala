@@ -219,6 +219,23 @@ class RetractionSpec extends SparkSpec {
     }
   }
 
+  test("delete-set fingerprint is order-free but not sum-linear") {
+    // round-12 advice: the fp must distinguish equal-size, equal-id-sum
+    // delete sets ({1,4} vs {2,3} — the linear-hash collision class),
+    // while staying order-free (it keys a durable published generation,
+    // so a reordered takedown log must re-attach, not rebuild)
+    import spark.implicits._
+    def fp(ids: Long*): String =
+      DedupQueries.deleteSetFp(ids.toDF("doc_id"))
+    assert(fp(1L, 4L) == fp(4L, 1L), "fingerprint is order-sensitive")
+    assert(fp(1L, 4L) != fp(2L, 3L),
+      "equal-sum delete sets collide — the fingerprint is linear in the ids")
+    assert(fp(10L, 400L, 95L) != fp(400L, 10L, 96L) &&
+      fp(10L, 400L, 95L) != fp(9L, 401L, 95L),
+      "near-miss delete sets collide")
+    assert(fp() != fp(0L), "empty set collides with {0}")
+  }
+
   test("band tombstoning: broadcast anti-join over the bare index scan, zero index-side Exchange") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
