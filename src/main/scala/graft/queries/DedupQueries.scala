@@ -212,12 +212,21 @@ object DedupQueries {
     * bytes and the read plan carries no shingle/minhash stages). At
     * 100 TB the per-batch maintenance write is `append(within ∪
     * cross)` — delta-sized — which PairIndexSpec proves equals the
-    * full recompute across two successive batches. */
+    * full recompute across two successive batches.
+    *
+    * Published BUCKETED on `doc_a` (round-12 verdict #2): the standing
+    * pair table at 100x is billions of rows, and its consumers —
+    * q143's affected-component semi-join, the retraction tombstones —
+    * probe on exactly that key, so the 16-bucket layout gives them the
+    * zero-index-side-Exchange property the band index already has
+    * (PlanAuditSpec audits the probe). The pre-write repartition into
+    * the bucket hash lands ONE file per bucket instead of one per
+    * (task x bucket). */
   private[graft] def pairIndexTable(s: SparkSession, dir: String): DataFrame =
     graft.sources.DurableIndex.attachOrBuild(
-      s, dir, "pair_index", "documents.parquet", None) {
+      s, dir, "pair_index", "documents.parquet", Some(("doc_a", 16))) {
       minhashPairsOf(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7)
-        .localCheckpoint()).coalesce(1)
+        .localCheckpoint()).repartition(16, col("doc_a"))
     }
 
   /** The persisted COMPONENT LABELS of the standing corpus — the q131
@@ -230,13 +239,16 @@ object DedupQueries {
     * which is what makes the q131 merge sound: CC(star(E0) ∪ E1) ==
     * CC(E0 ∪ E1) for any new edge set E1. At 100 TB the artifact is
     * |clustered docs| rows — the label table an entity-resolution
-    * pipeline keeps anyway. */
+    * pipeline keeps anyway. Published MULTI-FILE (round-12 verdict
+    * #2): the label table scales with the clustered corpus, so the
+    * write keeps the fixpoint's distributed partitioning instead of
+    * funneling through one task. */
   private[graft] def ccIndexTable(s: SparkSession, dir: String): DataFrame =
     graft.sources.DurableIndex.attachOrBuild(
       s, dir, "cc_index", "documents.parquet", None) {
       val (labels, _) = connectedComponents(
         pairIndexTable(s, dir).select(col("doc_a"), col("doc_b")))
-      labels.coalesce(1)
+      labels
     }
 
   /** Deletion/retraction maintenance over the band/pair/cc artifact
@@ -353,9 +365,10 @@ object DedupQueries {
     val b = graft.sources.DurableIndex.attachOrBuildFp(
       s, dir, "band_index_r", fp, Some(("band_key", 16)))(retracted._1)
     val p = graft.sources.DurableIndex.attachOrBuildFp(
-      s, dir, "pair_index_r", fp, None)(retracted._2.coalesce(1))
+      s, dir, "pair_index_r", fp, Some(("doc_a", 16)))(
+      retracted._2.repartition(16, col("doc_a")))
     val c = graft.sources.DurableIndex.attachOrBuildFp(
-      s, dir, "cc_index_r", fp, None)(retracted._3.coalesce(1))
+      s, dir, "cc_index_r", fp, None)(retracted._3)
     (b, p, c)
   }
 
@@ -736,6 +749,29 @@ object DedupQueries {
     val del = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
       .select("doc_id").distinct()
     ngramPostingsTable(s, dir).join(broadcast(del), Seq("doc_id"), "left_anti")
+  }
+
+  /** The q143 pair-retraction stage over the durable BUCKETED pair
+    * table, pre-staging — the relation PlanAuditSpec audits (round-12
+    * verdict #2): the takedown tombstones are broadcast anti-joins
+    * over the bucketed scan, and the affected-component semi-join
+    * probes on `doc_a` — the bucket key — so even forced to
+    * sort-merge it adds NO Exchange on the pair-index side (the probe
+    * side alone shuffles into the 16-bucket layout). */
+  private[graft] def pairRetractStage(s: SparkSession, dir: String): DataFrame = {
+    val del = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+      .select("doc_id").distinct()
+    val pairs0 = pairIndexTable(s, dir)
+    val pairs1 = pairs0
+      .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+      .select(pairs0.columns.map(col).toIndexedSeq: _*)
+    val labels0 = ccIndexTable(s, dir)
+    val affected = labels0.join(broadcast(del), Seq("doc_id"), "left_semi")
+      .select("label").distinct()
+    val affectedDocs = labels0.join(broadcast(affected), Seq("label"), "left_semi")
+      .select(col("doc_id").as("doc_a"))
+    pairs1.hint("merge").join(affectedDocs, Seq("doc_a"), "left_semi")
   }
 
   /** The q142/q145 probe stage over the durable artifacts, pre-staging —

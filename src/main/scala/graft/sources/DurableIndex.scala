@@ -293,15 +293,30 @@ private[graft] object DurableIndex {
     * through an order-insensitive merge (union/sum/max over the data
     * columns), so a row-preserving rewrite is invisible to them —
     * which the DurableArtifactsSpec extension proves per family.
-    * Returns whether a rewrite ran. */
+    * `targetFiles <= 0` (the default) SCALES the rewrite to the data
+    * (round-12 verdict #2): total parquet bytes / the session's
+    * `files.maxPartitionBytes`, so a sink that has grown to terabytes
+    * compacts into proportionally many scan-sized files instead of
+    * funneling through one write task — the gate stays driver-side FS
+    * metadata. Returns whether a rewrite ran. */
   private[graft] def compactSink(s: SparkSession, qualified: String,
-      maxFiles: Int = 2, targetFiles: Int = 1): Boolean = {
+      maxFiles: Int = 2, targetFiles: Int = 0): Boolean = {
     if (dataFileCount(s, qualified) <= maxFiles) false
     else {
+      val nFiles =
+        if (targetFiles > 0) targetFiles
+        else {
+          val loc = tableLocation(s, qualified)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val bytes = leafParquetPaths(s, qualified)
+            .map(p => fs.getFileStatus(p).getLen).sum
+          val perFile = s.sessionState.conf.filesMaxPartitionBytes
+          math.max(1, math.ceil(bytes.toDouble / perFile).toInt)
+        }
       val t = s.table(qualified)
       val dataCols = t.columns.filterNot(_ == "batch_id")
       val rows = t.select(dataCols.map(col).toIndexedSeq: _*).localCheckpoint()
-      rows.coalesce(targetFiles)
+      rows.coalesce(nFiles)
         .withColumn("batch_id", lit(-1L))
         .write.format("parquet").mode("overwrite")
         .partitionBy("batch_id")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
 
 import graft.SparkEntry
@@ -588,6 +588,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!path.drop(joinIdx + 1).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
       "index-side Exchange between the postings scan and the tombstone anti-join")
+  }
+
+  test("pair-index probe: anti-joins + doc_a semi-join over the bucketed scan, zero index-side Exchange") {
+    // round-12 verdict #2: the standing pair table is now published
+    // BUCKETED on doc_a, so the q143 consumer chain — both takedown
+    // tombstone anti-joins plus the affected-component semi-join,
+    // forced to sort-merge — adds NO Exchange anywhere on the
+    // pair-index side: the bucket layout carries the scan's
+    // HashPartitioning(doc_a, 16) through the broadcast anti-joins to
+    // the semi-join, and only the probe side shuffles
+    val plan = finalPlan(DedupQueries.pairRetractStage(spark, sfDir))
+    def isPairScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("pair_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("pair_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isPairScan),
+      "the retraction stage does not read the persisted pair table")
+    val path = pathTo(plan, isPairScan).get
+    assert(!path.exists(_.isInstanceOf[Exchange]),
+      "Exchange on the pair-index side of the retraction consumer chain")
+    val joins = path.filter(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec])
+    assert(joins.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      s"expected two broadcast tombstone anti-joins above the pair scan, got $joins")
+    assert(joins.head.isInstanceOf[SortMergeJoinExec],
+      s"affected-docs semi-join is ${joins.head.getClass.getSimpleName}; " +
+        "expected sort-merge into the bucket layout under the forced hint")
   }
 
   test("q147 ANN tombstone: anti-join broadcast over the bucketed block scan, no index-side Exchange") {
