@@ -591,8 +591,10 @@ object DedupQueries {
     *     postings under the grown df ∪ delta shingles under theirs);
     *     the (lo, hi, sg)-distinct stage makes both-in-R pairs count
     *     once.
-    * The per-batch cost is one postings-table scan (no text) plus
-    * R-bounded joins.
+    * The per-batch cost is a handful of postings-table scans (no
+    * text, no corpus-sized staging — every corpus-sized relation
+    * streams from the bucketed artifact scan; only delta/R-bounded
+    * relations are staged) plus R-bounded joins.
     *
     * SIZE-GATED (round-11 verdict #1 closing the family asymmetry):
     * while the delta is genuinely delta-sized, the delta-derived sides
@@ -610,26 +612,39 @@ object DedupQueries {
     val large = forceLarge.getOrElse(
       deltaSh.select("doc_id").distinct().count() > DeltaBroadcastMaxDocs)
     def bc(df: DataFrame): DataFrame = if (large) df else broadcast(df)
+    // Staging discipline (round-12 verdict #3): ONLY delta/R-bounded
+    // relations are localCheckpoint-staged — ddf, crossing, rIds, the
+    // rescore probe's pair counts. The corpus-sized sides (the probed
+    // postings, the post-growth filtered shingle sets) STREAM from the
+    // bucketed artifact scan on every consumer instead of pinning a
+    // corpus copy in executor storage per maintenance tick; the
+    // per-tick storage footprint stays delta-bounded (a spec asserts
+    // it) at the price of re-reading the postings scan per consumer
+    // branch — cheap columnar reads of a standing artifact, not text.
     val ddf = deltaSh.groupBy("sg").agg(count(lit(1)).as("ddf")).localCheckpoint()
-    val postFull = ngramPostProbe(post, ddf, large).localCheckpoint()
-    val crossing = postFull
-      .filter(col("df") <= DfCut && col("dff") > DfCut)
-      .select("sg").distinct()
-    val dx = postFull.join(bc(crossing), Seq("sg"), "left_semi")
+    // cut-crossing shingles from the df SIDECAR, not the postings:
+    // df is per-sg constant, so the sidecar join gives the identical
+    // set without a postings-wide distinct
+    val crossing = ddf.join(sdf, Seq("sg"))
+      .filter(col("df") <= DfCut && col("df") + col("ddf") > DfCut)
+      .select("sg").localCheckpoint()
+    val dx = post.join(bc(crossing), Seq("sg"), "left_semi")
       .select("doc_id").distinct()
     val rIds = dx.unionByName(deltaSh.select("doc_id").distinct())
       .distinct().localCheckpoint()
     // the new world's filtered shingle sets, standing and delta sides
-    val standingFsh = postFull.filter(col("dff") <= DfCut).select("doc_id", "sg")
+    def standingFsh = ngramPostProbe(post, ddf, large)
+      .filter(col("dff") <= DfCut).select("doc_id", "sg")
     val deltaDff = ddf.join(sdf, Seq("sg"), "left")
       .select(col("sg"), (col("ddf") + coalesce(col("df"), lit(0L))).as("dff"))
-    val deltaFsh = deltaSh.join(
+    def deltaFsh = deltaSh.join(
       bc(deltaDff.filter(col("dff") <= DfCut).select("sg")),
       Seq("sg"), "left_semi")
-    val allFsh = standingFsh.unionByName(deltaFsh).localCheckpoint()
+    def allFsh = standingFsh.unionByName(deltaFsh)
     // pairs touching R: R's shingles probed against the whole index;
     // (lo, hi, sg)-distinct counts a both-in-R pair once
     val rFsh = allFsh.join(bc(rIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val c = rFsh.select(col("doc_id").as("ra"), col("sg"))
       .join(allFsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
         col("sg") === col("bsg") && col("ra") =!= col("rb"))
@@ -637,6 +652,7 @@ object DedupQueries {
         greatest(col("ra"), col("rb")).as("db"), col("sg"))
       .distinct()
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val pids = c.select(col("da").as("doc_id"))
       .unionByName(c.select(col("db").as("doc_id"))).distinct()
     val n = allFsh.join(bc(pids), Seq("doc_id"), "left_semi")
@@ -688,20 +704,26 @@ object DedupQueries {
     // the deleted docs' per-shingle counts, read out of the index
     val rdf = post.join(broadcast(del), Seq("doc_id"), "left_semi")
       .groupBy("sg").agg(count(lit(1)).as("rdf")).localCheckpoint()
-    // surviving postings under the post-delete df
-    val postLive = post.join(broadcast(del), Seq("doc_id"), "left_anti")
+    // surviving postings under the post-delete df — a VIEW over the
+    // bucketed artifact scan, deliberately NOT staged (round-12
+    // verdict #3): pinning the corpus-sized relation in executor
+    // storage per retraction would double the postings traffic at
+    // scale; each consumer streams the scan instead, and only the
+    // delta-bounded derivatives below are staged
+    def postLive = post.join(broadcast(del), Seq("doc_id"), "left_anti")
       .join(broadcast(rdf), Seq("sg"), "left")
       .select(col("doc_id"), col("sg"), col("df"),
         (col("df") - coalesce(col("rdf"), lit(0L))).as("dfl"))
-      .localCheckpoint()
+    // un-crossed rows have dfl <= DfCut, so the distinct runs over a
+    // <= DfCut-per-shingle row set — delta-bounded, staged
     val uncrossed = postLive
       .filter(col("df") > DfCut && col("dfl") <= DfCut)
-      .select("sg").distinct()
+      .select("sg").distinct().localCheckpoint()
     val rIds = postLive.join(broadcast(uncrossed), Seq("sg"), "left_semi")
       .select("doc_id").distinct().localCheckpoint()
-    val fsh = postLive.filter(col("dfl") <= DfCut).select("doc_id", "sg")
-      .localCheckpoint()
+    def fsh = postLive.filter(col("dfl") <= DfCut).select("doc_id", "sg")
     val rFsh = fsh.join(broadcast(rIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val c = rFsh.select(col("doc_id").as("ra"), col("sg"))
       .join(fsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
         col("sg") === col("bsg") && col("ra") =!= col("rb"))
@@ -709,6 +731,7 @@ object DedupQueries {
         greatest(col("ra"), col("rb")).as("db"), col("sg"))
       .distinct()
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val pids = c.select(col("da").as("doc_id"))
       .unionByName(c.select(col("db").as("doc_id"))).distinct()
     val n = fsh.join(broadcast(pids), Seq("doc_id"), "left_semi")
@@ -732,9 +755,8 @@ object DedupQueries {
     * Small deltas broadcast `ddf`; the large route merge-joins the
     * 16-bucket sg-bucketed postings scan with zero index-side Exchange
     * (ddf alone pays the one shuffle into the bucket layout). Split out
-    * so PlanAuditSpec can audit exactly this stage — the query body
-    * stages its output (localCheckpoint), which hides the scan from
-    * the final plan. */
+    * so PlanAuditSpec can audit exactly this stage in isolation from
+    * the maintenance pass's downstream joins. */
   private[graft] def ngramPostProbe(post: DataFrame, ddf: DataFrame,
       large: Boolean): DataFrame =
     (if (large) post.hint("merge") else post)
@@ -742,9 +764,8 @@ object DedupQueries {
       .select(col("doc_id"), col("sg"), col("df"),
         (col("df") + coalesce(col("ddf"), lit(0L))).as("dff"))
 
-  /** The q150 tombstone stage over the durable postings, pre-staging —
-    * the relation PlanAuditSpec audits (the query body localCheckpoints
-    * it, which hides the scan from the final plan). */
+  /** The q150 tombstone stage over the durable postings — the
+    * relation PlanAuditSpec audits in isolation. */
   private[graft] def ngramRetractStage(s: SparkSession, dir: String): DataFrame = {
     val del = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
       .select("doc_id").distinct()
