@@ -609,8 +609,7 @@ object DedupQueries {
   private[queries] def ngramMaintain(post: DataFrame, sdf: DataFrame,
       p0: DataFrame, deltaSh: DataFrame,
       forceLarge: Option[Boolean] = None): DataFrame = {
-    val large = forceLarge.getOrElse(
-      deltaSh.select("doc_id").distinct().count() > DeltaBroadcastMaxDocs)
+    val large = forceLarge.getOrElse(deltaIsLarge(deltaSh))
     def bc(df: DataFrame): DataFrame = if (large) df else broadcast(df)
     // Staging discipline (round-12 verdict #3): ONLY delta/R-bounded
     // relations are localCheckpoint-staged — ddf, crossing, rIds, the
@@ -955,7 +954,7 @@ object DedupQueries {
   private[graft] def simhashMatches(s: SparkSession, dir: String,
       deltaDocs: DataFrame, forceLarge: Option[Boolean] = None): DataFrame = {
     val deltaFp = shingleSimhash(deltaDocs).localCheckpoint()
-    val large = forceLarge.getOrElse(deltaFp.count() > DeltaBroadcastMaxDocs)
+    val large = forceLarge.getOrElse(deltaIsLarge(deltaFp))
     val idx = simhashIndexTable(s, dir)
     val d = simhashBlocks(deltaFp)
       .select(col("doc_id").as("dd"), col("simhash").as("df"), col("block_key"))
@@ -2486,6 +2485,42 @@ object DedupQueries {
   private val DeltaBroadcastMaxDocs =
     sys.env.getOrElse("SPARK_GRAFT_DELTA_BROADCAST_MAX_DOCS", "65536").toLong
 
+  /** The byte form of the same gate, used when the delta is already
+    * STAGED (localCheckpoint'd): ~32 MB of staged delta stops
+    * broadcasting — the same order as the [[DeltaBroadcastMaxDocs]]
+    * doc arithmetic (64k docs x 6 bands x ~60 B ≈ 25 MB), stated in
+    * the unit that actually matters for a broadcast. */
+  private val DeltaBroadcastMaxBytes =
+    sys.env.getOrElse("SPARK_GRAFT_DELTA_BROADCAST_MAX_BYTES",
+      (32L << 20).toString).toLong
+
+  /** Driver-side storage size of an already-staged (localCheckpoint'd)
+    * relation, read from block-manager metadata — ZERO jobs. None when
+    * the relation is not a staged LogicalRDD (synthetic spec inputs),
+    * or its blocks are not registered. */
+  private[queries] def stagedBytes(df: DataFrame): Option[Long] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id =>
+      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .filter(i => i.memSize + i.diskSize > 0)
+      .map(i => i.memSize + i.diskSize)
+
+  /** The shared large-delta gate (round-12 verdict #6): every
+    * maintenance tick used to pay a full delta scan + driver hop
+    * (`distinct().count()`) just to decide broadcast-vs-bucket-join.
+    * The delta is staged by every production caller, so the decision
+    * now reads the staged blocks' byte size from driver-side storage
+    * METADATA — one fewer job per tick, and bytes are the broadcast
+    * criterion anyway. Un-staged (spec) inputs fall back to the count
+    * gate. */
+  private[queries] def deltaIsLarge(delta: DataFrame): Boolean =
+    stagedBytes(delta) match {
+      case Some(bytes) => bytes > DeltaBroadcastMaxBytes
+      case None =>
+        delta.select("doc_id").distinct().count() > DeltaBroadcastMaxDocs
+    }
+
   /** The q93/q105/q108 shared pipeline: match `deltaDocs` (an arriving
     * batch, any size) against the persisted corpus band index.
     *
@@ -2511,9 +2546,9 @@ object DedupQueries {
     * maintains.
     *
     * SIZE-GATED (round-9 verdict #1): while the delta is genuinely
-    * delta-sized (< [[DeltaBroadcastMaxDocs]] distinct docs — the
-    * deltaSh stage is already materialized, so the gate count is one
-    * cheap job), its bands and the candidate set broadcast. A LARGE
+    * delta-sized ([[deltaIsLarge]] reads the staged blocks' byte size
+    * from driver-side storage metadata — zero jobs), its bands and
+    * the candidate set broadcast. A LARGE
     * delta instead pays ONE shuffle into the index's own
     * HashPartitioning(band_key, 16) layout and merge-joins the bucketed
     * scan with ZERO index-side Exchange (the q41 bucket property —
@@ -2524,8 +2559,7 @@ object DedupQueries {
   private def matchesAgainstIndex(s: SparkSession, dir: String,
       deltaSh: DataFrame, corpusBands: DataFrame,
       forceLarge: Option[Boolean] = None): DataFrame = {
-    val large = forceLarge.getOrElse(
-      deltaSh.select("doc_id").distinct().count() > DeltaBroadcastMaxDocs)
+    val large = forceLarge.getOrElse(deltaIsLarge(deltaSh))
     val docs = Tables.documents(s, dir)
     val deltaBands = sigBands(deltaSh)
       .select(col("doc_id").as("dd"), col("band_key"))

@@ -227,6 +227,27 @@ class OperatorPropertiesSpec extends SparkSpec {
         s"(postings $postCnt)")
   }
 
+  test("large-delta gate reads staged-block storage metadata") {
+    // round-12 verdict #6: the broadcast-vs-bucket-join gate must not
+    // cost a delta scan + driver hop per maintenance tick — for the
+    // staged deltas every production caller passes, the decision reads
+    // block-manager metadata (no action in that branch)
+    import spark.implicits._
+    val df = spark.range(2000)
+      .select(col("id").as("doc_id"), concat(lit("sg"), col("id")).as("sg"))
+    assert(DedupQueries.stagedBytes(df).isEmpty,
+      "an un-staged relation reported staged bytes")
+    val staged = df.localCheckpoint()
+    try {
+      assert(DedupQueries.stagedBytes(staged).exists(_ > 0),
+        "staged relation exposes no storage metadata")
+      assert(!DedupQueries.deltaIsLarge(staged),
+        "a KB-sized staged delta gated large")
+      assert(!DedupQueries.deltaIsLarge(df),
+        "the un-staged fallback (count gate) mis-gated a tiny delta")
+    } finally staged.unpersist(): Unit
+  }
+
   test("rank-dedup keeps exactly one row per key under a total order") {
     import spark.implicits._
     val revs = (0 until 500).map { i =>
