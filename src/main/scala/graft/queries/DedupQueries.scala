@@ -353,13 +353,19 @@ object DedupQueries {
     * takedown log advanced) changes the fp and builds the next
     * generation, retiring the old one on the standard grace
     * contract. */
+  /** The (corpus fingerprint x delete-set fingerprint) version every
+    * published retraction generation is keyed on. */
+  private def retractionFp(s: SparkSession, dir: String, del: DataFrame): String = {
+    val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "documents.parquet")
+    java.lang.Long.toHexString(
+      ((java.lang.Long.parseLong(srcFp, 16) * 31 +
+        java.lang.Long.parseLong(deleteSetFp(del), 16)) & 0xFFFFFFFFFFFFL) | 0x1)
+  }
+
   private[graft] def retractPublish(s: SparkSession, dir: String,
       delIds: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val del = delIds.select("doc_id").distinct().localCheckpoint()
-    val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "documents.parquet")
-    val fp = java.lang.Long.toHexString(
-      ((java.lang.Long.parseLong(srcFp, 16) * 31 +
-        java.lang.Long.parseLong(deleteSetFp(del), 16)) & 0xFFFFFFFFFFFFL) | 0x1)
+    val fp = retractionFp(s, dir, del)
     lazy val retracted = retractMaintain(bandIndexTable(s, dir),
       pairIndexTable(s, dir), ccIndexTable(s, dir), del)
     val b = graft.sources.DurableIndex.attachOrBuildFp(
@@ -571,7 +577,6 @@ object DedupQueries {
       s, dir, "ngram_pairs", "documents.parquet", None) {
       ngramScoredPairs(ngramPostingsTable(s, dir)
         .filter(col("df") <= DfCut).select("doc_id", "sg").localCheckpoint())
-        .coalesce(1)
     }
 
   /** q142's core, parameterized over the three standing artifacts and
@@ -748,6 +753,76 @@ object DedupQueries {
       .unionByName(rescored)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
+
+  /** Past this fraction of the standing postings rows, a delete is no
+    * longer a tombstone — it is a REBUILD (see
+    * [[ngramRetractPublishMode]]). */
+  private[queries] val NgramRebuildDebtFraction =
+    sys.env.getOrElse("SPARK_GRAFT_NGRAM_REBUILD_DEBT_FRACTION", "0.2").toDouble
+
+  /** Durable n-gram retraction with a TOMBSTONE-DEBT gate — the
+    * "past-the-budget delete is a rebuild" path q150's contract
+    * promised (round-12 verdict #1): a takedown-sized delete is a
+    * tombstone + delta-bounded fix-up ([[ngramRetract]]), but a
+    * licensing-sweep-scale delete breaks that path's economics — the
+    * un-crossing fix-up set R stops being delta-bounded and the
+    * broadcast delete-set derivatives stop being broadcastable. The
+    * gate measures the debt as the DELETED FRACTION OF THE POSTINGS
+    * ROWS (one doc_id-column scan of the artifact per takedown batch,
+    * never text); past [[NgramRebuildDebtFraction]] the whole family
+    * MAJOR-COMPACTS instead: the base artifacts rebuild over the net
+    * corpus — postings tombstoned and re-df'd in one window shuffle,
+    * pairs fully re-scored — and publish as a fresh
+    * (corpus fp x delete-set fp) generation under sibling families
+    * (`ngram_post_r` bucketed on sg like its base, `ngram_pairs_r`).
+    * Publishing the rebuilt generation IS the log truncation: the
+    * delete set is folded into the artifact identity, every read is a
+    * bare scan again, and no tombstone join survives. Either mode's
+    * pairs == the batch build over corpus-minus-deleted (q157's
+    * verbatim oracle; RetractionSpec proves rebuild == fresh-from-text
+    * build and the gate firing on both sides). Zero text read in both
+    * modes. Returns (published pairs, rebuilt?). */
+  private[graft] def ngramRetractPublishMode(s: SparkSession, dir: String,
+      delIds: DataFrame, forceRebuild: Option[Boolean] = None)
+      : (DataFrame, Boolean) = {
+    val del = delIds.select("doc_id").distinct().localCheckpoint()
+    val post = ngramPostingsTable(s, dir)
+    val rebuild = forceRebuild.getOrElse {
+      // one columnar scan of the postings' doc_id, no broadcast hint:
+      // a sweep-scale delete set is exactly where AQE must choose
+      val r = post.select("doc_id")
+        .join(del.withColumn("d", lit(1)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("tot"),
+          coalesce(sum(col("d")), lit(0L)).as("deleted")).first()
+      r.getLong(1).toDouble > NgramRebuildDebtFraction * r.getLong(0).toDouble
+    }
+    val fp = retractionFp(s, dir, del)
+    val pairs =
+      if (rebuild) {
+        // major compaction: net postings re-df'd in ONE window shuffle
+        // (the q26 trick — df computed and sg-partitioned together),
+        // then the pair set fully re-scored; both published
+        lazy val postLive = post.join(del, Seq("doc_id"), "left_anti")
+          .withColumn("dfn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("sg"))))
+          .select(col("doc_id"), col("sg"), col("dfn").as("df"))
+        val postR = graft.sources.DurableIndex.attachOrBuildFp(
+          s, dir, "ngram_post_r", fp, Some(("sg", 16)))(postLive)
+        graft.sources.DurableIndex.attachOrBuildFp(
+          s, dir, "ngram_pairs_r", fp, None)(
+          ngramScoredPairs(postR.filter(col("df") <= DfCut)
+            .select("doc_id", "sg").localCheckpoint()))
+      } else
+        graft.sources.DurableIndex.attachOrBuildFp(
+          s, dir, "ngram_pairs_r", fp, None)(
+          ngramRetract(post, ngramPairsTable(s, dir), del))
+    (pairs, rebuild)
+  }
+
+  /** [[ngramRetractPublishMode]] as q157's query surface. */
+  private[graft] def ngramRetractPublish(s: SparkSession, dir: String,
+      delIds: DataFrame): DataFrame =
+    ngramRetractPublishMode(s, dir, delIds)._1
 
   /** The first probe of the maintenance pass: standing postings LEFT
     * JOIN the delta's per-shingle counts, producing the grown df (dff).
@@ -1839,6 +1914,77 @@ object DedupQueries {
       labelCorpus(
         docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7),
         labels1)
+    },
+
+    // ------------------------------------------------------------------
+    // PAST-THE-BUDGET deletion — the retraction matrix's one open end
+    // (round-12 verdict #1): q150's tombstone + delta-bounded fix-up is
+    // the takedown-sized contract, but a licensing-sweep-scale delete
+    // breaks its economics (R stops being delta-bounded, the delete
+    // set stops broadcasting) — and without a fold, every future read
+    // pays ever-growing tombstone joins. The debt gate measures the
+    // deleted fraction of the postings rows (one doc_id-column scan of
+    // the artifact, zero text); past it, deletion IS a rebuild: the
+    // base artifacts major-compact over the net corpus and publish as
+    // a fresh (corpus fp x delete-set fp) generation — which IS the
+    // delete-log truncation, since every later read is a bare scan of
+    // an artifact whose identity already contains the delete set. The
+    // ~44% delete below trips the gate naturally (no forcing).
+    QueryDef(
+      "q157_ngram_retraction_rebuild",
+      s"past-the-budget deletion is a REBUILD: a sweep-scale delete (~44% of standing postings) trips the ${(NgramRebuildDebtFraction * 100).toInt}% tombstone-debt gate and major-compacts the n-gram family — net postings re-df'd in one window shuffle, pairs fully re-scored, published as a fresh (corpus fp x delete-set fp) generation that truncates the delete log — == full n-gram Jaccard over corpus-minus-deleted exactly",
+      sqlNgramOracleFor("doc_id % 2 = 0")) { (s, dir) =>
+      val del = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 2 === 1)
+        .select("doc_id")
+      ngramRetractPublish(s, dir, del)
+    },
+
+    // ------------------------------------------------------------------
+    // The FULL artifact lifecycle, declared (round-12 verdict #5):
+    // RetractionSpec proves the mixed append-delete-append chain
+    // spec-side; this is the same defining sequence as an
+    // oracle-checked query over the DURABLE standing artifacts — the
+    // q130 append decomposition (within ∪ cross against the live band
+    // index), the q143 retraction, and the q131 star-edge label merge
+    // chained on ONE artifact stack. The delete runs against APPENDED
+    // state and the second append against RETRACTED state — the
+    // composition no per-direction query covers. == the batch CC
+    // labeling over the net corpus (standing ∪ both appends minus the
+    // takedown), verbatim oracle.
+    QueryDef(
+      "q158_artifact_lifecycle",
+      "the artifact lifecycle end-to-end: append batch -> takedown retraction -> append batch chained over one band/pair/cc artifact stack (q130 within∪cross appends, q143 tombstone+split relabeling, q131 star-edge merges) — == batch CC labeling over the net corpus exactly",
+      ccOracleSqlFor("doc_id % 10 != 3")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // standing artifacts cover doc_id % 10 != 7; the % 10 == 7 slice
+      // arrives as two append batches around a % 10 == 3 takedown
+      val a1 = docs.filter(col("doc_id") % 20 === 7)
+      val a2 = docs.filter(col("doc_id") % 20 === 17)
+      val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+
+      var bands: DataFrame = bandIndexTable(s, dir)
+      var pairs: DataFrame = pairIndexTable(s, dir)
+      var labels: DataFrame = ccIndexTable(s, dir)
+      def star(l: DataFrame): DataFrame = l.filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
+      def append(delta: DataFrame): Unit = {
+        val deltaSh = shingle(delta).localCheckpoint()
+        val fresh = minhashPairsOf(deltaSh)
+          .unionByName(crossPairsAgainst(s, dir, delta, bands))
+          .localCheckpoint()
+        pairs = pairs.unionByName(fresh).localCheckpoint()
+        bands = bands.unionByName(sigBands(deltaSh)).localCheckpoint()
+        labels = connectedComponents(
+          star(labels).unionByName(fresh.select("doc_a", "doc_b")))._1
+          .localCheckpoint()
+      }
+      append(a1)
+      val (b2, p2, l2) = retractMaintain(bands, pairs, labels, del)
+      bands = b2.localCheckpoint(); pairs = p2.localCheckpoint()
+      labels = l2.localCheckpoint()
+      append(a2)
+      labelCorpus(docs.filter(col("doc_id") % 10 =!= 3), labels)
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------

@@ -332,9 +332,15 @@ object SketchQueries {
     * correctly absent — PROVIDED the final report threshold never
     * falls below the watermark: T1 > basis/2, the HALF-MASS DELETION
     * BUDGET. Inside the budget the retraction is exact with zero
-    * standing-corpus work; past it the store must rebuild (the
-    * `require` makes the boundary loud instead of silently wrong —
-    * the same discipline as tombstone debt in LSM stores). The
+    * standing-corpus work; PAST it the store REBUILDS (round-12
+    * verdict #1): when the caller supplies the surviving corpus, the
+    * past-budget branch degrades to a fresh [[hhStoreOf]] build over
+    * corpus-minus-deleted — the one standing-corpus pass a half-mass
+    * takedown has genuinely earned, resetting the watermark basis to
+    * the post-delete total (the same discipline as tombstone-debt
+    * major compaction in LSM stores). Without the surviving corpus
+    * the boundary stays a loud `require` instead of silently wrong
+    * results. The
     * returned store does NOT lower its eviction watermark: the
     * sentinel carries the pre-delete basis in `cnt`, so chained
     * [[hhMaintainFromCounts]] applies keep using the conservative
@@ -342,7 +348,9 @@ object SketchQueries {
     * still matches the batch oracle). */
   private[queries] def hhRetract(s: org.apache.spark.sql.SparkSession,
       deletedDocs: org.apache.spark.sql.DataFrame,
-      store: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      store: org.apache.spark.sql.DataFrame,
+      survivors: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val stored = store.filter(col("gram").isNotNull)
       .select(col("gram"), col("cnt"))
     val rCnts = trigramOcc(deletedDocs).groupBy("gram")
@@ -360,9 +368,16 @@ object SketchQueries {
     val t0 = row.getLong(0)
     val basis = math.max(row.getLong(1), t0)
     val t1 = t0 - row.getLong(2)
-    require(2 * t1 > basis,
-      s"heavy-hitter retraction past the half-mass deletion budget " +
-        s"(watermark basis $basis, post-delete total $t1): rebuild the store")
+    if (2 * t1 <= basis) {
+      // past the budget, subtraction would lose completeness (a
+      // non-stored gram can now clear the report threshold): degrade
+      // to the rebuild when the caller can supply the net corpus,
+      // refuse loudly when it cannot
+      require(survivors.isDefined,
+        s"heavy-hitter retraction past the half-mass deletion budget " +
+          s"(watermark basis $basis, post-delete total $t1): rebuild the store")
+      return hhStoreOf(survivors.get)
+    }
     val corrected = stored.join(rCnts, Seq("gram"), "left")
       .select(col("gram"),
         (col("cnt") - coalesce(col("rcnt"), lit(0L))).as("cnt"))

@@ -219,6 +219,62 @@ class RetractionSpec extends SparkSpec {
     }
   }
 
+  test("past-the-budget n-gram delete is a rebuild: debt gate fires, rebuild == fresh build") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+
+    // a takedown-sized delete (~11% of standing docs) stays on the
+    // tombstone + delta-bounded fix-up path, and its published
+    // generation equals the in-flight retraction
+    val small = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val (pSmall, rebuiltSmall) =
+      DedupQueries.ngramRetractPublishMode(spark, sfDir, small)
+    assert(!rebuiltSmall, "a ~11% takedown tripped the tombstone-debt gate")
+    assertSameSet(pSmall,
+      DedupQueries.ngramRetract(DedupQueries.ngramPostingsTable(spark, sfDir),
+        DedupQueries.ngramPairsTable(spark, sfDir), small),
+      "tombstone-mode publish")
+
+    // a sweep-scale delete (~44% of standing postings) trips the gate:
+    // the family major-compacts, and the published pairs equal the
+    // FRESH-FROM-TEXT batch build over corpus-minus-deleted — the
+    // strongest form of rebuild == fresh build
+    val sweep = docs
+      .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 2 === 1)
+      .select("doc_id")
+    val (pBig, rebuiltBig) =
+      DedupQueries.ngramRetractPublishMode(spark, sfDir, sweep)
+    assert(rebuiltBig, "a ~44% sweep did not trip the tombstone-debt gate")
+    val netDocs = docs.filter(col("doc_id") % 2 === 0) // %10==7 docs are odd
+    val fresh = DedupQueries.ngramScoredPairs(
+      DedupQueries.ngramPostingsOf(netDocs)
+        .filter(col("df") <= DedupQueries.DfCut).select("doc_id", "sg"))
+    assertSameSet(pBig, fresh, "rebuild-mode publish vs fresh-from-text build")
+
+    // the rebuilt generation truncates the log: a re-run with the same
+    // delete set re-attaches byte-untouched (no retraction work, no
+    // tombstone joins — the artifact identity contains the delete set)
+    def partFiles(family: String): Map[String, (Long, Long)] = {
+      val base = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = fs.listStatus(base).map(_.getPath)
+        .filter(_.getName.matches(s"${family}_.*_[0-9a-f]+")).toSeq
+      live.flatMap(d => fs.listStatus(d)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getPath.getName}" ->
+          (f.getLen, f.getModificationTime))).toMap
+    }
+    val before = (partFiles("ngram_pairs_r"), partFiles("ngram_post_r"))
+    assert(before._1.nonEmpty && before._2.nonEmpty,
+      "rebuild published no ngram_post_r/ngram_pairs_r parquet parts")
+    val (pAgain, rebuiltAgain) =
+      DedupQueries.ngramRetractPublishMode(spark, sfDir, sweep)
+    assert(rebuiltAgain, "gate decision changed on re-run")
+    assert((partFiles("ngram_pairs_r"), partFiles("ngram_post_r")) == before,
+      "re-publish touched the rebuilt generation's bytes")
+    assertSameSet(pAgain, fresh, "re-attached rebuild generation")
+  }
+
   test("delete-set fingerprint is order-free but not sum-linear") {
     // round-12 advice: the fp must distinguish equal-size, equal-id-sum
     // delete sets ({1,4} vs {2,3} — the linear-hash collision class),
