@@ -175,10 +175,22 @@ private[graft] object DurableIndex {
   // Both forms must run at a QUIESCED checkpoint (post-drain): folding
   // the batch partitions forfeits replay idempotency for exactly those
   // batches, which is safe once the checkpoint has committed them —
-  // AvailableNow's awaitTermination is that barrier. Rows are pinned via
-  // localCheckpoint before the overwrite (read-while-rewriting safety);
-  // at 100 TB this becomes the [[attachOrBuild]] write-aside-and-
-  // atomically-publish pattern instead of an in-place overwrite.
+  // AvailableNow's awaitTermination is that barrier.
+  //
+  // Every compaction PUBLISHES WRITE-ASIDE (round-12 verdict #4): the
+  // compacted rows land in a fresh generation directory next to the
+  // live one, and the publish is a single catalog pointer flip (ALTER
+  // TABLE SET LOCATION) — the [[attachOrBuild]] discipline applied to
+  // compaction. A reader that planned against the previous generation
+  // keeps reading its files untouched (they are left in place and
+  // purged only by the NEXT compaction — the same one-cycle grace
+  // window attachOrBuild gives retired index versions); a reader that
+  // plans mid-publish sees either generation, both complete. The old
+  // in-place mode("overwrite") deleted the very files a concurrent
+  // scan held. Write-aside also makes the pre-rewrite localCheckpoint
+  // pin unnecessary: the source files are never touched while being
+  // read, so the rewrite streams corpus-sized sinks instead of staging
+  // them.
 
   /** Resolved FS location of a catalog table. */
   private def tableLocation(s: SparkSession, qualified: String): Path = {
@@ -232,16 +244,70 @@ private[graft] object DurableIndex {
     val counts = bucketFileCounts(s, qualified)
     if (!counts.values.exists(_ > maxFilesPerBucket)) false
     else {
+      // staged so the repartition below lands EXACTLY one bucket per
+      // write task (a raw-scan input lets the planned-write path
+      // satisfy the bucket ordering with a per-task sort instead,
+      // scattering buckets across tasks — one file per (task x
+      // bucket), the very fragmentation being repaired)
       val rows = s.table(qualified).select(cols.map(col): _*).localCheckpoint()
-      rows.repartition(16, col(bucketCol))
-        .withColumn("batch_id", lit(-1L))
-        .write.format("parquet").mode("overwrite")
-        .partitionBy("batch_id")
-        .bucketBy(16, bucketCol).sortBy(bucketCol)
-        .saveAsTable(qualified)
-      s.catalog.refreshTable(qualified)
+      publishCompacted(s, qualified) { next =>
+        // a bucketed write is only reachable through the catalog, so
+        // the generation builds via a dropped-after external table —
+        // the attachOrBuild publish shape; file names keep the bucket
+        // suffixes the live table's CLUSTERED BY DDL expects
+        val buildTable = s"${qualified}_cb${ProcessHandle.current().pid()}"
+        s.sql(s"DROP TABLE IF EXISTS $buildTable")
+        rows.repartition(16, col(bucketCol))
+          .withColumn("batch_id", lit(-1L))
+          .write.format("parquet")
+          .partitionBy("batch_id")
+          .bucketBy(16, bucketCol).sortBy(bucketCol)
+          .option("path", next.toString)
+          .saveAsTable(buildTable)
+        s.sql(s"DROP TABLE IF EXISTS $buildTable") // external: files stay
+      }
       true
     }
+  }
+
+  /** The shared write-aside publish (see the contract comment above):
+    * `write` lands the compacted generation under a fresh sibling
+    * directory; the catalog location flip publishes it atomically;
+    * superseded generations (the base dir or older `.gN` dirs) are
+    * purged with a one-compaction grace window — never the one going
+    * live, and never by moving files a concurrent reader may hold. */
+  private def publishCompacted(s: SparkSession, qualified: String)
+      (write: Path => Unit): Unit = {
+    val live = tableLocation(s, qualified)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parent = live.getParent
+    val base = live.getName.replaceAll("\\.g[0-9]+$", "")
+    val baseRe = java.util.regex.Pattern.quote(base)
+    // purge generations superseded before THIS compaction (their grace
+    // window — one full compaction cycle — has elapsed)
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n != live.getName && (n == base || n.matches(s"$baseRe\\.g[0-9]+")))
+        fs.delete(st.getPath, true)
+    }
+    val next = new Path(parent, s"$base.g${System.nanoTime()}")
+    if (fs.exists(next)) fs.delete(next, true)
+    write(next)
+    // the pointer flip IS the publish: one catalog metadata operation
+    s.sql(s"ALTER TABLE $qualified SET LOCATION '$next'")
+    // partitioned datasource tables can track partition locations in
+    // the catalog: re-derive them from the new generation
+    val Array(db, tbl) = qualified.split('.')
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))
+    val cat = s.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    if (meta.partitionColumnNames.nonEmpty && meta.tracksPartitionsInCatalog) {
+      val parts = cat.listPartitions(ident).map(_.spec)
+      if (parts.nonEmpty) cat.dropPartitions(ident, parts,
+        ignoreIfNotExists = true, purge = false, retainData = true)
+      s.sql(s"MSCK REPAIR TABLE $qualified")
+    }
+    s.catalog.refreshTable(qualified)
   }
 
   /** Per-batch data-file counts of a batch_id-partitioned sink (batch
@@ -276,12 +342,13 @@ private[graft] object DurableIndex {
     val counts = batchFileCounts(s, qualified)
     if (!counts.values.exists(_ > maxFilesPerBatch)) false
     else {
-      val rows = s.table(qualified).localCheckpoint()
-      rows.repartition(col("batch_id"))
-        .write.format("parquet").mode("overwrite")
-        .partitionBy("batch_id")
-        .saveAsTable(qualified)
-      s.catalog.refreshTable(qualified)
+      val rows = s.table(qualified)
+      publishCompacted(s, qualified) { next =>
+        rows.repartition(col("batch_id"))
+          .write.format("parquet")
+          .partitionBy("batch_id")
+          .save(next.toString)
+      }
       true
     }
   }
@@ -315,13 +382,14 @@ private[graft] object DurableIndex {
         }
       val t = s.table(qualified)
       val dataCols = t.columns.filterNot(_ == "batch_id")
-      val rows = t.select(dataCols.map(col).toIndexedSeq: _*).localCheckpoint()
-      rows.coalesce(nFiles)
-        .withColumn("batch_id", lit(-1L))
-        .write.format("parquet").mode("overwrite")
-        .partitionBy("batch_id")
-        .saveAsTable(qualified)
-      s.catalog.refreshTable(qualified)
+      val rows = t.select(dataCols.map(col).toIndexedSeq: _*)
+      publishCompacted(s, qualified) { next =>
+        rows.coalesce(nFiles)
+          .withColumn("batch_id", lit(-1L))
+          .write.format("parquet")
+          .partitionBy("batch_id")
+          .save(next.toString)
+      }
       true
     }
   }

@@ -59,6 +59,59 @@ class DurableArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("compaction publishes write-aside: pointer flip, reader consistency, grace purge") {
+    // round-12 verdict #4: compaction must never rewrite the files a
+    // concurrent scan holds. The rewrite lands in a fresh generation
+    // dir, the publish is one catalog pointer flip, and the previous
+    // generation stays on disk untouched for a full compaction cycle —
+    // so a reader resolved BEFORE the compaction collects the same
+    // rows after it, whichever generation its plan pinned.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val tbl = JvmScratch.resetTable(spark, "compact_probe")
+    DedupQueries.createBatchSink(spark, tbl, Seq("id" -> "bigint"))
+    def appendBatches(bs: Range): Unit = bs.foreach { b =>
+      spark.range(b * 100L, b * 100L + 100L)
+        .select(col("id"), lit(b.toLong).as("batch_id"))
+        .repartition(3).write.mode("append").insertInto(tbl)
+    }
+    appendBatches(0 until 3)
+    def loc(): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+        TableIdentifier("compact_probe", Some(JvmScratch.dbName))).location)
+    val fs = loc().getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = (0L until 300L).toSeq
+
+    val pre = spark.table(tbl).select("id")
+    assert(pre.collect().map(_.getLong(0)).sorted.toSeq == want)
+    val gen0 = loc()
+    assert(graft.sources.DurableIndex.compactSink(spark, tbl),
+      "compaction did not run on a fragmented sink")
+    val gen1 = loc()
+    assert(gen1 != gen0, "no generation pointer flip — compacted in place?")
+    assert(fs.exists(gen0),
+      "previous generation purged immediately — no reader grace window")
+    assert(pre.collect().map(_.getLong(0)).sorted.toSeq == want,
+      "a pre-compaction reader lost consistency across the publish")
+    val post = spark.table(tbl)
+    assert(post.select("id").collect().map(_.getLong(0)).sorted.toSeq == want,
+      "post-compaction reads changed the row set")
+    assert(post.select("batch_id").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(-1L),
+      "plain-sink compaction did not fold to the batch_id=-1 generation")
+
+    // fragment again and re-compact: generation 0's grace window has
+    // elapsed (purged), generation 1 now gets its own
+    appendBatches(3 until 5)
+    assert(graft.sources.DurableIndex.compactSink(spark, tbl),
+      "second compaction did not run")
+    assert(!fs.exists(gen0), "superseded generation survived its grace window")
+    assert(fs.exists(gen1), "the just-superseded generation lost its grace window")
+    assert(spark.table(tbl).select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == (0L until 500L).toSeq,
+      "second compaction changed the row set")
+  }
+
   test("q134 edge shards: compaction folds batch fragments without changing the edge set") {
     // the plain-sink half of the shared DurableIndex compaction
     // contract (round-11 verdict #5): run the drain WITHOUT the
