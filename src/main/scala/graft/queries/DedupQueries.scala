@@ -416,7 +416,14 @@ object DedupQueries {
     * parameterized over the standing index for PairIndexSpec. */
   private[queries] def crossPairsAgainst(s: SparkSession, dir: String,
       deltaDocs: DataFrame, corpusBands: DataFrame): DataFrame =
-    matchesAgainstIndex(s, dir, shingle(deltaDocs).localCheckpoint(), corpusBands)
+    crossPairsAgainstSh(s, dir, shingle(deltaDocs).localCheckpoint(), corpusBands)
+
+  /** [[crossPairsAgainst]] over ALREADY-STAGED delta shingles, so a
+    * caller that also needs the shingles for its within-delta pairs
+    * (q158's appends) tokenizes the delta exactly once. */
+  private[queries] def crossPairsAgainstSh(s: SparkSession, dir: String,
+      deltaSh: DataFrame, corpusBands: DataFrame): DataFrame =
+    matchesAgainstIndex(s, dir, deltaSh, corpusBands)
       .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
         greatest(col("delta_id"), col("corpus_id")).as("doc_b"),
         col("jaccard"))
@@ -1971,7 +1978,7 @@ object DedupQueries {
       def append(delta: DataFrame): Unit = {
         val deltaSh = shingle(delta).localCheckpoint()
         val fresh = minhashPairsOf(deltaSh)
-          .unionByName(crossPairsAgainst(s, dir, delta, bands))
+          .unionByName(crossPairsAgainstSh(s, dir, deltaSh, bands))
           .localCheckpoint()
         pairs = pairs.unionByName(fresh).localCheckpoint()
         bands = bands.unionByName(sigBands(deltaSh)).localCheckpoint()
