@@ -2508,10 +2508,15 @@ object DedupQueries {
               col("v").as("dv"), col("block_key"))
             // the q112/q115 size gate, live per micro-batch: drops are
             // delta-sized so broadcast is the steady state, but an
-            // oversized arrival falls back to the bucket merge-join
-            // (staged is checkpointed, so the gate count is one cheap job)
-            val large = staged.count() >
-              SimilarityQueries.SemDeltaBroadcastMaxVecs
+            // oversized arrival falls back to the bucket merge-join.
+            // The gate reads the staged blocks' byte size from
+            // driver-side storage metadata — zero jobs per micro-batch
+            // (round-12 verdict #6); the count runs only if the stage
+            // somehow left no block metadata
+            val large = stagedBytes(staged)
+              .map(_ > SimilarityQueries.SemDeltaBroadcastMaxBytes)
+              .getOrElse(staged.count() >
+                SimilarityQueries.SemDeltaBroadcastMaxVecs)
             (if (large) soFar.hint("merge").join(d, Seq("block_key"))
              else soFar.join(broadcast(d), Seq("block_key")))
               .select(col("d_id").as("vec_id"), col("vec_id").as("dup_of"),

@@ -1471,6 +1471,12 @@ object SimilarityQueries {
     * the same size-gate discipline as the q93/q108 MinHash probe. */
   private[graft] val SemDeltaBroadcastMaxVecs = 100000L
 
+  /** The byte form of the same gate, for call sites whose delta is
+    * already STAGED (the streaming drains): ~32 MB of staged blocks
+    * stops broadcasting — read from block-manager metadata, zero
+    * jobs per micro-batch (round-12 verdict #6). */
+  private[graft] val SemDeltaBroadcastMaxBytes = 32L << 20
+
   /** The q110/q111 shared pipeline: train on the standing corpus,
     * assign everything through the broadcast codebook, probe delta
     * blocks against corpus blocks.
