@@ -221,10 +221,14 @@ object DedupQueries {
     * zero-index-side-Exchange property the band index already has
     * (PlanAuditSpec audits the probe). The pre-write repartition into
     * the bucket hash lands ONE file per bucket instead of one per
-    * (task x bucket). */
+    * (task x bucket). The family tag carries the bucket spec ("_b16",
+    * the ngram_postings discipline) so a pre-bucketing generation in a
+    * persistent warehouse can never be attached under bucketed DDL —
+    * files without bucket suffixes under a CLUSTERED BY table are a
+    * latent runtime error. */
   private[graft] def pairIndexTable(s: SparkSession, dir: String): DataFrame =
     graft.sources.DurableIndex.attachOrBuild(
-      s, dir, "pair_index", "documents.parquet", Some(("doc_a", 16))) {
+      s, dir, "pair_index_b16", "documents.parquet", Some(("doc_a", 16))) {
       minhashPairsOf(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7)
         .localCheckpoint()).repartition(16, col("doc_a"))
     }
@@ -371,7 +375,7 @@ object DedupQueries {
     val b = graft.sources.DurableIndex.attachOrBuildFp(
       s, dir, "band_index_r", fp, Some(("band_key", 16)))(retracted._1)
     val p = graft.sources.DurableIndex.attachOrBuildFp(
-      s, dir, "pair_index_r", fp, Some(("doc_a", 16)))(
+      s, dir, "pair_index_r_b16", fp, Some(("doc_a", 16)))(
       retracted._2.repartition(16, col("doc_a")))
     val c = graft.sources.DurableIndex.attachOrBuildFp(
       s, dir, "cc_index_r", fp, None)(retracted._3)

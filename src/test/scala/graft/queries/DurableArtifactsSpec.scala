@@ -37,7 +37,7 @@ class DurableArtifactsSpec extends SparkSpec {
 
   test("every round-11 durable artifact re-attaches byte-untouched") {
     val artifacts: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      ("pair_index", DedupQueries.pairIndexTable _),
+      ("pair_index_b16", DedupQueries.pairIndexTable _),
       ("cc_index", DedupQueries.ccIndexTable _),
       ("span_index", DedupQueries.spanIndexTable _),
       ("contam_index", DedupQueries.contamIndexTable _),

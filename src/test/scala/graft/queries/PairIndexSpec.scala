@@ -37,9 +37,9 @@ class PairIndexSpec extends SparkSpec {
     * live published pair-table version for `tag`. */
   private def partFiles(tag: String): Map[String, (Long, Long)] = {
     val base = new Path(spark.conf.get("spark.sql.warehouse.dir"),
-      "graft_pair_index")
+      "graft_pair_index_b16")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prefix = s"pair_index_${tag}_"
+    val prefix = s"pair_index_b16_${tag}_"
     val live = fs.listStatus(base).map(_.getPath)
       .filter(p => p.getName.startsWith(prefix)
         && p.getName.substring(prefix.length).matches("[0-9a-f]+")).toSeq

@@ -198,12 +198,12 @@ class RetractionSpec extends SparkSpec {
         .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
         .toMap
     }
-    val before = Seq("band_index_r", "pair_index_r", "cc_index_r").map(partFiles)
+    val before = Seq("band_index_r", "pair_index_r_b16", "cc_index_r").map(partFiles)
     assert(before.forall(_.nonEmpty), "a published generation has no parquet parts")
 
     // second publish: a re-attach, not a rebuild
     val (b2, _, c2) = DedupQueries.retractPublish(spark, sfDir, del)
-    assert(Seq("band_index_r", "pair_index_r", "cc_index_r").map(partFiles) == before,
+    assert(Seq("band_index_r", "pair_index_r_b16", "cc_index_r").map(partFiles) == before,
       "re-publish touched the published generation's bytes")
 
     // and the re-read plans are bare scans: no join (tombstone),
