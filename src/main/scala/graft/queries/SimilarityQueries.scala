@@ -1127,8 +1127,6 @@ object SimilarityQueries {
         broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
       .getOrElse(idx0)
     val codebook = semCodebookTable(s, dir)
-    val large = forceLarge.getOrElse(
-      raw.select("vec_id").count() > SemDeltaBroadcastMaxVecs)
     val vq = raw
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"),
@@ -1136,6 +1134,13 @@ object SimilarityQueries {
     val queries = assignSemBlocks(vq, codebook)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
       .localCheckpoint() // keys probe + cosine join-back read one assignment
+    // size gate off the stage just materialized — block-manager
+    // metadata, zero extra jobs per serving batch (round-12 verdict
+    // #6); both broadcast sides (qkeys, qvecs) derive from it
+    val large = forceLarge.getOrElse(
+      DedupQueries.stagedBytes(queries)
+        .map(_ > SemDeltaBroadcastMaxBytes)
+        .getOrElse(raw.select("vec_id").count() > SemDeltaBroadcastMaxVecs))
     val stats = codebook.agg(max(col("n_corpus")).as("n_corpus"))
     val qkeys = queries.select(col("q_id"), col("cell"))
       .crossJoin(broadcast(stats))
