@@ -1105,20 +1105,41 @@ object DedupQueries {
   }
 
   /** Connected components over an undirected pair list via min-label
-    * propagation with pointer doubling: each round takes the min over
-    * each vertex's neighbors' labels (one equi-join + groupBy), then
-    * path-halves — label(v) <- label(label(v)) via a self-join — so a
-    * chain of diameter D converges in O(log D) rounds, not O(D)
-    * (GraphSpec proves the round count on a 256-node chain). Both steps
-    * only ever LOWER labels toward the component minimum (labels are
-    * always ids of reachable vertices), so the fixpoint is the exact
-    * component min and the monotone label-sum convergence test applies.
+    * propagation with STAR HOOKING and pointer doubling: each round
+    * takes the min over each vertex's neighbors' labels (one equi-join
+    * + groupBy), hooks each label star's best candidate onto ALL its
+    * members (a groupBy-label + join back — the Shiloach-Vishkin
+    * hooking step, without which a local minimum's fully-formed star
+    * traps the fixpoint in O(diameter) crawling when a lower global
+    * min arrives over a bridge), then path-halves — label(v) <-
+    * label(label(v)) via a self-join — so a chain of diameter D
+    * converges in O(log D) rounds, not O(D) (GraphSpec proves the
+    * round count on a 256-node chain AND on the star-trap bridge
+    * graph). All three steps only ever LOWER labels toward the
+    * component minimum (labels and hooked candidates are always ids of
+    * reachable vertices), so the fixpoint is the exact component min
+    * and the monotone label-sum convergence test applies.
     * The loop runs ONLY over vertices that appear in the pair list —
     * near-dup pairs are a vanishing fraction of a corpus, so each round
     * touches |pairs|-scale rows, never |corpus|-scale (at 100 TB:
     * millions, not billions; label table hash-partitioned on doc_id).
-    * Returns ((doc_id, label) for every pair-graph vertex, rounds). */
-  private[queries] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    * Returns ((doc_id, label) for every pair-graph vertex, rounds).
+    *
+    * SIZE-GATED like every probe in the library: the near-dup pair
+    * graph is pairs-scale, not corpus-scale, and when the staged edge
+    * set sits under [[CcDriverMaxBytes]] (block-manager metadata,
+    * zero extra jobs to decide) the whole labeling is a driver
+    * union-find with path compression — one collect + one local
+    * relation, replacing O(log D) join rounds that each cost a
+    * multi-stage Spark job. Exactness: union always attaches the
+    * larger root under the smaller and every vertex starts as its own
+    * root, so each final root is the component minimum — the identical
+    * labeling contract (GraphSpec proves path-for-path equality). The
+    * distributed fixpoint below remains the at-scale path past the
+    * gate — a billion-pair graph never touches the driver —
+    * and `forceDistributed` pins it for the convergence specs. */
+  private[queries] def connectedComponents(pairs: DataFrame,
+      forceDistributed: Boolean = false): (DataFrame, Int) = {
     // undirected: both directions, materialized once so the loop never
     // re-runs the upstream candidate pipeline
     val edges = pairs.toDF("doc_a", "doc_b")
@@ -1126,6 +1147,39 @@ object DedupQueries {
         .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")
       .localCheckpoint()
+    if (!forceDistributed && stagedBytes(edges).exists(_ <= CcDriverMaxBytes)) {
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      // every vertex appears on the u side of the DOUBLED edges, so
+      // collecting distinct u's enumerates the vertex set
+      val verts = scala.collection.mutable.LinkedHashSet.empty[Long]
+      edges.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().foreach { row =>
+          val u = row.getLong(0); val v = row.getLong(1)
+          verts += u
+          if (!parent.contains(u)) parent(u) = u
+          if (!parent.contains(v)) parent(v) = v
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+      val labels = verts.toSeq.map(v => (v, find(v))).toDF("doc_id", "label")
+      edges.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false): Unit
+        case _ => ()
+      }
+      return (labels, 0)
+    }
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
@@ -1160,13 +1214,29 @@ object DedupQueries {
         .join(labels.select(col("doc_id").as("v2"), col("label").as("vl")),
           col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
-      // lazy checkpoint: the self-join below consumes propagated twice;
-      // without it the labels-vs-nbrMin join and projection run twice
-      // per round
-      val propagated = labels
+      // per-vertex candidate: the neighbor-min step alone
+      val cand = labels
         .join(nbrMin, col("doc_id") === col("u"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("cand"))
+      // STAR HOOKING (Shiloach-Vishkin style): broadcast each label
+      // star's best candidate to ALL its members. Without it the
+      // fixpoint has an O(diameter) trap: once a LOCAL minimum's star
+      // forms (every member already points at it), pointer doubling is
+      // a no-op — label(label(v)) == label(v) — and a lower global min
+      // arriving over a bridge crawls through the star one neighbor
+      // hop per round (caught by GraphSpec's two-chain bridge graph:
+      // the sum decreased by exactly one hop's delta per round). The
+      // star min is a component-mate of every member (candidates never
+      // leave the component), so hooking stays monotone and exact.
+      val rootMin = cand.groupBy(col("label")).agg(min(col("cand")).as("rm"))
+      // lazy checkpoint: the self-join below consumes propagated twice;
+      // without it the hook join and projection run twice per round
+      val propagated = cand
+        .join(rootMin.select(col("label").as("rl"), col("rm")),
+          col("label") === col("rl"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("cand"), coalesce(col("rm"), col("cand"))).as("label"))
         .localCheckpoint(eager = false)
       // pointer doubling: follow the label one more hop through the
       // label table itself (labels are vertex ids, so the lookup is a
@@ -2655,6 +2725,15 @@ object DedupQueries {
   private val DeltaBroadcastMaxBytes =
     sys.env.getOrElse("SPARK_GRAFT_DELTA_BROADCAST_MAX_BYTES",
       (32L << 20).toString).toLong
+
+  /** Below this many staged bytes of (doubled) edges, the
+    * connected-components labeling runs as a driver union-find instead
+    * of the distributed fixpoint — 64 MB is ~2M pairs, far beyond any
+    * per-batch near-dup graph and trivially driver-sized, while a
+    * corpus-scale graph blows past it and keeps the join fixpoint. */
+  private val CcDriverMaxBytes =
+    sys.env.getOrElse("SPARK_GRAFT_CC_DRIVER_MAX_BYTES",
+      (64L << 20).toString).toLong
 
   /** Driver-side storage size of an already-staged (localCheckpoint'd)
     * relation, read from block-manager metadata — ZERO jobs. None when

@@ -12,14 +12,41 @@ class GraphSpec extends SparkSpec {
   test("connected components: pointer doubling is O(log D) on a 256-node chain") {
     val pairs = spark.range(255)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val (labels, rounds) = DedupQueries.connectedComponents(pairs)
+    // forceDistributed pins the join fixpoint: this test proves the
+    // AT-SCALE path's convergence, which the driver fast path would
+    // otherwise absorb
+    val (labels, rounds) =
+      DedupQueries.connectedComponents(pairs, forceDistributed = true)
     val rows = labels.collect()
     assert(rows.length == 256)
     assert(rows.forall(_.getLong(1) == 0L), "every label must be the chain min")
     // plain min-label propagation needs ~255 rounds on this graph;
     // pointer doubling needs ~log2(255) + a no-change confirmation round
-    assert(rounds <= 12,
+    assert(rounds > 0 && rounds <= 12,
       s"expected ~log2(255) rounds with pointer doubling, took $rounds")
+  }
+
+  test("driver union-find fast path labels exactly like the distributed fixpoint") {
+    // the size gate must be invisible in the results: on the same
+    // adversarial graph (chain + disjoint chain + a bridge arriving
+    // out of order + self-contained 2-cliques), the under-gate driver
+    // path and the forced distributed path produce the identical
+    // (doc_id, label) set — and the fast path really did run 0 rounds
+    import spark.implicits._
+    val pairs = spark.range(63)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .unionByName(spark.range(100, 140)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b")))
+      .unionByName(Seq((500L, 64L), (200L, 201L), (64L, 140L))
+        .toDF("doc_a", "doc_b"))
+    val (fast, fastRounds) = DedupQueries.connectedComponents(pairs)
+    val (dist, _) =
+      DedupQueries.connectedComponents(pairs, forceDistributed = true)
+    assert(fastRounds == 0,
+      s"a KB-sized graph did not take the driver fast path ($fastRounds rounds)")
+    val fm = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(fm == dm, "driver union-find diverged from the distributed fixpoint")
   }
 
   test("connected components: disjoint chains get separate canonical minima") {
