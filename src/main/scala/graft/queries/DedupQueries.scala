@@ -711,7 +711,8 @@ object DedupQueries {
     * ZERO text is read anywhere — even the delete set's shingles come
     * OUT of the postings artifact. The delete set is takedown-sized by
     * contract, so its derivatives broadcast; a licensing-sweep-scale
-    * delete is a rewrite (the compaction pattern), not a tombstone.
+    * delete is a rewrite, not a tombstone — the debt-gated major
+    * compaction [[ngramRetractPublishMode]] implements (q157).
     * == q26 over corpus-minus-deleted, verbatim oracle. */
   private[queries] def ngramRetract(post: DataFrame, p0: DataFrame,
       delIds: DataFrame): DataFrame = {
