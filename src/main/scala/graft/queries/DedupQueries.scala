@@ -103,11 +103,14 @@ object DedupQueries {
       val idx = spanIndexTable(s, dir)
       val bench = idx.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("bench_id"), col("h").as("bh"))
+      // multi-file publish (the round-13 pair_index lesson): the
+      // contamination table is per-pair facts — corpus x benchmark
+      // sized at 100x — so the write keeps the aggregation's
+      // distributed partitioning
       idx.join(broadcast(bench),
           col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
-        .coalesce(1)
     }
 
   /** Oracle CTEs `toks13`/`sh13(doc_id, h)` — the SQL twin of

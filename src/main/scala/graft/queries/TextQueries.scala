@@ -43,14 +43,16 @@ object TextQueries {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
 
   /** The per-doc (doc_id, term, tf) facts of the standing corpus —
-    * tokenized once per content fingerprint, never again. */
+    * tokenized once per content fingerprint, never again. Published
+    * MULTI-FILE (the round-13 pair_index lesson): the tf fact table is
+    * corpus-sized, so the write keeps the tf aggregation's distributed
+    * partitioning instead of funneling through one task. */
   private[graft] def tfIndexTable(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.sources.DurableIndex.attachOrBuild(
       s, dir, "tf_index", "documents.parquet", None) {
       termsOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .coalesce(1)
     }
 
   /** The global-weight sidecar: (term, df) — df derived from the tf
