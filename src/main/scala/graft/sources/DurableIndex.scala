@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileStatus, ParentNotDirectoryException, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** The durable fingerprint-keyed index machinery, shared by every
   * standing artifact the engine maintains between sessions (the MinHash
@@ -323,28 +323,46 @@ private[graft] object DurableIndex {
       }
       .groupBy(identity).map { case (b, xs) => b -> xs.size }
 
-  /** Compact a batch_id-partitioned sink WITHOUT folding the batch
-    * partitions: each batch's fragments rewrite to one file, but the
-    * shard GRAIN survives. This is the mandatory form for sinks whose
-    * retraction contract is shard-grained — the q121 HLL register sink
-    * above all (round-12 advice): max-merge is not invertible, so
-    * "drop the deleted ingest batch's shard and re-max" is the ONLY
-    * supported HLL retraction, and a batch_id=-1 fold would forfeit it
-    * the moment it ran. [[compactSink]]'s fold remains correct for
-    * sinks whose merge is invertible (count shards subtract) or whose
-    * rows are per-item facts (edge shards tombstone). Replay safety is
-    * untouched: partitions keep their batch ids, so a replayed batch
-    * still dynamic-overwrites exactly its own partition. Runs only at
-    * a quiesced checkpoint, like every compaction. Returns whether a
-    * rewrite ran. */
+  /** Compact a batch_id-partitioned sink WITHOUT folding the live
+    * batch partitions: each batch's fragments rewrite to one file, but
+    * the shard GRAIN survives. This is the mandatory form for sinks
+    * whose retraction contract is shard-grained — the q121 HLL
+    * register sink above all (round-12 advice): max-merge is not
+    * invertible, so "drop the deleted ingest batch's shard and re-max"
+    * is the ONLY supported HLL retraction, and a batch_id=-1 fold
+    * would forfeit it the moment it ran. [[compactSink]]'s fold
+    * remains correct for sinks whose merge is invertible (count shards
+    * subtract) or whose rows are per-item facts (edge shards
+    * tombstone).
+    *
+    * The grain is HORIZON-BOUNDED: one file per batch forever is its
+    * own scale failure (ten thousand drains, ten thousand files), so
+    * batches older than the newest `maxLiveBatches` fold into ONE
+    * immutable `batch_id = -1` history epoch. The retraction contract
+    * is explicitly horizon-scoped by this: shard-drop works for any
+    * LIVE batch; history folded past the horizon can no longer retract
+    * batch-wise (the same tradeoff as any retention window, stated
+    * rather than silent). Replay safety is untouched — a replayed
+    * batch id is by construction newer than anything folded, so its
+    * dynamic overwrite still hits exactly its own partition; the fold
+    * itself runs only at a quiesced checkpoint, like every compaction.
+    * Returns whether a rewrite ran. */
   private[graft] def compactSinkBatched(s: SparkSession, qualified: String,
-      maxFilesPerBatch: Int = 1): Boolean = {
+      maxFilesPerBatch: Int = 1, maxLiveBatches: Int = 64): Boolean = {
     val counts = batchFileCounts(s, qualified)
-    if (!counts.values.exists(_ > maxFilesPerBatch)) false
+    val stale = counts.keys.filter(_ >= 0).toSeq.sorted
+      .dropRight(maxLiveBatches)
+    if (!counts.values.exists(_ > maxFilesPerBatch) && stale.isEmpty) false
     else {
       val rows = s.table(qualified)
+      val staleSet = stale.toSet
+      val folded =
+        if (stale.isEmpty) rows
+        else rows.withColumn("batch_id",
+          when(col("batch_id").isInCollection(staleSet), lit(-1L))
+            .otherwise(col("batch_id")))
       publishCompacted(s, qualified) { next =>
-        rows.repartition(col("batch_id"))
+        folded.repartition(col("batch_id"))
           .write.format("parquet")
           .partitionBy("batch_id")
           .save(next.toString)

@@ -112,6 +112,48 @@ class DurableArtifactsSpec extends SparkSpec {
       "second compaction changed the row set")
   }
 
+  test("batched compaction horizon: stale batches fold to one history epoch, live grain survives") {
+    // one file per batch forever is its own scale failure, so the
+    // batch-preserving compaction folds batches beyond the newest
+    // maxLiveBatches into ONE immutable batch_id=-1 history epoch —
+    // bounding the file count while keeping shard-drop retraction for
+    // every LIVE batch (the horizon-scoped contract, stated not silent)
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val tbl = JvmScratch.resetTable(spark, "horizon_probe")
+    DedupQueries.createBatchSink(spark, tbl,
+      Seq("k" -> "bigint", "reg" -> "int"))
+    (0 until 6).foreach { b =>
+      spark.range(40)
+        .select(col("id").as("k"), (col("id") % 7 + b).cast("int").as("reg"),
+          lit(b.toLong).as("batch_id"))
+        .repartition(2).write.mode("append").insertInto(tbl)
+    }
+    def merged() = spark.table(tbl).groupBy("k").agg(max(col("reg")).as("reg"))
+      .orderBy("k").collect().toSeq
+    val want = merged()
+
+    assert(graft.sources.DurableIndex.compactSinkBatched(
+      spark, tbl, maxLiveBatches = 3), "horizon compaction did not run")
+    val counts = graft.sources.DurableIndex.batchFileCounts(spark, tbl)
+    assert(counts.keySet == Set(-1L, 3L, 4L, 5L),
+      s"expected history epoch + newest 3 live batches, got ${counts.keySet}")
+    assert(counts.values.forall(_ <= 1), s"fragmented shards remain: $counts")
+    assert(merged() == want, "horizon fold changed the merged registers")
+    assert(!graft.sources.DurableIndex.compactSinkBatched(
+      spark, tbl, maxLiveBatches = 3), "horizon compaction re-ran as a no-op")
+
+    // shard-drop retraction of a LIVE batch still works post-fold:
+    // surviving rows == the fresh sink over every batch except 4
+    val surviving = spark.table(tbl).filter(col("batch_id") =!= 4L)
+      .groupBy("k").agg(max(col("reg")).as("reg"))
+    val fresh = spark.range(40).select(col("id").as("k"))
+      .crossJoin(spark.range(6).filter(col("id") =!= 4L).select(col("id").as("b")))
+      .select(col("k"), (col("k") % 7 + col("b")).cast("int").as("reg"))
+      .groupBy("k").agg(max(col("reg")).as("reg"))
+    assert(surviving.exceptAll(fresh).isEmpty && fresh.exceptAll(surviving).isEmpty,
+      "live-batch shard-drop diverged from the fresh sketch after the horizon fold")
+  }
+
   test("q134 edge shards: compaction folds batch fragments without changing the edge set") {
     // the plain-sink half of the shared DurableIndex compaction
     // contract (round-11 verdict #5): run the drain WITHOUT the
