@@ -165,13 +165,17 @@ class RetractionSpec extends SparkSpec {
   }
 
   test("published retraction generation re-attaches byte-untouched and reads as bare scans") {
-    // the durable half (q154): the post-delete artifacts must be a
-    // WRITE-once generation — a second publish with the same corpus +
-    // delete set touches no bytes, and the re-read plans carry none of
-    // the retraction machinery (no anti-join, no fixpoint)
+    // the durable FOLD mode (q159): past the tombstone-debt gate (here
+    // pinned, so the test stays delete-set-small and cheap) the
+    // post-delete artifacts are a WRITE-once full generation — a second
+    // publish with the same corpus + delete set touches no bytes, and
+    // the re-read plans carry none of the retraction machinery (no
+    // anti-join, no fixpoint)
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
-    val (b1, p1, c1) = DedupQueries.retractPublish(spark, sfDir, del)
+    val (b1, p1, c1, rebuilt1) =
+      DedupQueries.retractPublishMode(spark, sfDir, del, Some(true))
+    assert(rebuilt1, "forced fold did not report rebuilt")
 
     // contents equal the in-flight retraction at every level
     val (bw, pw, cw) = DedupQueries.retractMaintain(
@@ -202,7 +206,8 @@ class RetractionSpec extends SparkSpec {
     assert(before.forall(_.nonEmpty), "a published generation has no parquet parts")
 
     // second publish: a re-attach, not a rebuild
-    val (b2, _, c2) = DedupQueries.retractPublish(spark, sfDir, del)
+    val (b2, _, c2, _) =
+      DedupQueries.retractPublishMode(spark, sfDir, del, Some(true))
     assert(Seq("band_index_r", "pair_index_r_b16", "cc_index_r").map(partFiles) == before,
       "re-publish touched the published generation's bytes")
 
@@ -217,6 +222,110 @@ class RetractionSpec extends SparkSpec {
       assert(nodes.exists(_.isInstanceOf[FileSourceScanExec]),
         s"$what re-read plan has no file scan")
     }
+  }
+
+  test("patch-mode publish: composed reads == full rewrite == fresh build across two deletes, then the debt fold fires") {
+    // round-13 verdict #1: a takedown-sized delete must land an
+    // O(|D| + affected-clusters) PATCH generation, not an O(corpus)
+    // rewrite. Three publishes against the same base artifacts:
+    //   1. the q154 takedown (~11% of indexed docs) — patch mode;
+    //   2. a GROWN cumulative takedown log (~17%) — still patch mode,
+    //      superseding the first patch generation;
+    //   3. a sweep (~44%) — the debt gate fires and the family folds.
+    // At each step every composed artifact equals BOTH the forced full
+    // rewrite and the fresh build over corpus-minus-deleted.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+
+    def check(del: org.apache.spark.sql.DataFrame, corpus: org.apache.spark.sql.DataFrame,
+        what: String): Unit = {
+      val (b, p, c, rebuilt) = DedupQueries.retractPublishMode(spark, sfDir, del)
+      assert(!rebuilt, s"$what tripped the debt gate")
+      // == the forced full rewrite (the fold-mode generations)
+      val (bw, pw, cw, _) = DedupQueries.retractPublishMode(spark, sfDir, del, Some(true))
+      assertSameSet(b, bw, s"$what patch bands vs full rewrite")
+      assertSameSet(p, pw, s"$what patch pairs vs full rewrite")
+      assertSameSet(c, cw, s"$what patch labels vs full rewrite")
+      // == the fresh build over corpus-minus-deleted
+      assertSameSet(b, DedupQueries.bandsOfDocs(corpus), s"$what patch bands vs fresh")
+      val pairsWant = DedupQueries.pairsOfDocs(corpus)
+      assertSameSet(p, pairsWant, s"$what patch pairs vs fresh")
+      val (labelsWant, _) = DedupQueries.connectedComponents(
+        pairsWant.select("doc_a", "doc_b"))
+      assertSameSet(c, labelsWant, s"$what patch labels vs fresh")
+    }
+
+    val del1 = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    check(del1, docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+      "delete 1")
+
+    // the takedown log GROWS (deletes fold): still under the gate, the
+    // next patch generation supersedes the first
+    val del2 = docs.filter(col("doc_id") % 10 === 3 || col("doc_id") % 20 === 5)
+      .select("doc_id")
+    check(del2, docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3
+      && col("doc_id") % 20 =!= 5), "delete 2 (grown log)")
+
+    // the patch sidecar is exactly |D| + |affected labels| + |relabeled
+    // docs| rows — the O(corpus) write is gone
+    val fp = DedupQueries.retractionFp(spark, sfDir,
+      del2.select("doc_id").distinct())
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val patch = spark.read.parquet(
+      s"$warehouse/graft_retract_patch/retract_patch_${tag}_$fp")
+    val nDel = del2.distinct().count()
+    val nAff = patch.filter(col("kind") === "aff").count()
+    val nCc = patch.filter(col("kind") === "cc").count()
+    assert(patch.count() == nDel + nAff + nCc,
+      "patch sidecar carries rows beyond |D| + affected + relabeled")
+    val nBands = DedupQueries.bandIndexTable(spark, sfDir).count()
+    assert(patch.count() < nBands / 2,
+      "patch sidecar is not corpus-sublinear")
+
+    // the sweep trips the gate NATURALLY and folds into full generations
+    val sweep = docs.filter((col("doc_id") % 10).isin(1, 3, 5, 9)).select("doc_id")
+    val (bS, pS, cS, rebuiltS) = DedupQueries.retractPublishMode(spark, sfDir, sweep)
+    assert(rebuiltS, "a ~44% sweep did not trip the band/pair/cc debt gate")
+    val corpusS = docs.filter(!(col("doc_id") % 10).isin(1, 3, 5, 9, 7))
+    assertSameSet(bS, DedupQueries.bandsOfDocs(corpusS), "fold bands vs fresh")
+    val pairsWantS = DedupQueries.pairsOfDocs(corpusS)
+    assertSameSet(pS, pairsWantS, "fold pairs vs fresh")
+    val (labelsWantS, _) = DedupQueries.connectedComponents(
+      pairsWantS.select("doc_a", "doc_b"))
+    assertSameSet(cS, labelsWantS, "fold labels vs fresh")
+  }
+
+  test("patch-composed band read: broadcast anti-join over the bare base scan, zero index-side Exchange") {
+    // the plan half of round-13 verdict #1: the patched read must add
+    // ONLY a broadcast anti-join (of the tiny sidecar's delete ids) to
+    // the base bucketed scan — no Exchange, no rebuild machinery
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val (bands, _, _, rebuilt) = DedupQueries.retractPublishMode(spark, sfDir, del)
+    assert(!rebuilt, "takedown-sized delete tripped the gate")
+    bands.collect()
+    val plan = bands.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def isBandScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("band_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("band_index"))
+      case _ => false
+    }
+    assert(flatten(plan).exists(isBandScan),
+      "the patch-composed band view does not read the persisted band index")
+    val path = pathTo(plan, isBandScan).get
+    val joinIdx = path.lastIndexWhere(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joinIdx >= 0, "no join found above the band-index scan")
+    assert(path(joinIdx).isInstanceOf[BroadcastHashJoinExec],
+      s"patch anti-join is ${path(joinIdx).getClass.getSimpleName}, not broadcast-hash")
+    assert(!path.drop(joinIdx + 1).exists(_.isInstanceOf[Exchange]),
+      "index-side Exchange between the band-index scan and the patch anti-join")
   }
 
   test("past-the-budget n-gram delete is a rebuild: debt gate fires, rebuild == fresh build") {
