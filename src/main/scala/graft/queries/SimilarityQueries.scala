@@ -1067,25 +1067,28 @@ object SimilarityQueries {
 
     // ------------------------------------------------------------------
     // Retraction over the ANN SERVING index — the q143 contract on the
-    // similarity family: deleted vectors (takedown slice vec_id % 10
-    // == 3) tombstone out of the durable block index by ONE anti-join
-    // against the broadcast delete set; the codebook is deliberately
-    // NOT retrained (assignments stay stable — the honest artifact
-    // semantics: the index is "the same index minus the deleted
-    // rows", and the oracle's training CTEs stay verbatim). Serving
-    // then answers every query exactly as if the deleted vectors had
-    // never been indexed: top-K re-fills from the surviving
-    // cell-mates. Cost |D|; the index side stays an Exchange-free
-    // bucketed scan under the tombstone.
+    // similarity family, now DURABLE (round-13 verdict #2): the delete
+    // set (takedown slice vec_id % 10 == 3) is PUBLISHED as a
+    // (corpus fp x delete fp)-keyed sidecar under the warehouse — an
+    // O(|D|) write — and the serving path composes it over the
+    // unchanged bucketed index as one broadcast anti-join; a fresh
+    // session that was never handed the takedown batch discovers the
+    // live sidecar off disk and serves corpus-minus-deleted
+    // (SemIndexSpec proves it). Past the tombstone-debt gate the index
+    // folds into a full sem_blocks_r generation instead. The codebook
+    // is deliberately NOT retrained (assignments stay stable — the
+    // honest artifact semantics: "the same index minus the deleted
+    // rows", and the oracle's training CTEs stay verbatim). Top-K
+    // re-fills from surviving cell-mates.
     QueryDef(
       "q147_ann_retraction",
-      s"retraction over the ANN serving index: deleted vectors tombstoned out of the durable block index (one anti-join against the broadcast delete set, codebook NOT retrained), then top-$RetrievalK served as q124 — == serving over corpus-minus-deleted exactly, ranks re-filled from surviving cell-mates",
+      s"DURABLE retraction over the ANN serving index: the delete set published once as a (corpus fp x delete fp)-keyed sidecar (codebook NOT retrained), composed on the serving path as one broadcast anti-join over the bucketed index — a fresh session serves corpus-minus-deleted without the delete set; debt-gated fold into a full generation past the budget — top-$RetrievalK as q124 over corpus-minus-deleted exactly",
       annServeOracleFor("c.vec_id % 10 != 3")) { (s, dir) =>
       val del = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 3)
         .select("vec_id")
-      semIndexTopKOf(s, dir,
+      semServeRetracted(s, dir,
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7),
-        deleted = Some(del))
+        Some(del))
     })
 
   /** q124/q125's body: top-K retrieval SERVED from the durable block
@@ -1117,15 +1120,25 @@ object SimilarityQueries {
   private[graft] def semIndexTopKOf(s: SparkSession, dir: String,
       raw: DataFrame, forceLarge: Option[Boolean] = None,
       deleted: Option[DataFrame] = None): DataFrame = {
-    // retraction (q147): deleted vectors tombstone out of the block
+    // in-flight retraction: deleted vectors tombstone out of the block
     // index by ONE anti-join against the broadcast takedown-sized set —
     // the codebook (a trained artifact) is deliberately NOT retrained,
     // so assignments stay stable and the serving contract is exactly
-    // "the same index minus the deleted rows"
+    // "the same index minus the deleted rows". The DURABLE form (q147)
+    // resolves the index through [[semRetractedIndex]] instead.
     val idx0 = semBlockIndexTable(s, dir)
     val idx = deleted.map(d => idx0.join(
         broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
       .getOrElse(idx0)
+    semTopKOverIndex(s, dir, idx, raw, forceLarge)
+  }
+
+  /** The serving tail over an already-resolved index relation — shared
+    * by the base path ([[semIndexTopKOf]]) and the durable-retraction
+    * path ([[semServeRetracted]]). */
+  private def semTopKOverIndex(s: SparkSession, dir: String,
+      idx: DataFrame, raw: DataFrame,
+      forceLarge: Option[Boolean]): DataFrame = {
     val codebook = semCodebookTable(s, dir)
     val vq = raw
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1160,6 +1173,109 @@ object SimilarityQueries {
       .filter(col("rank") <= RetrievalK)
       .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
   }
+
+  /** Past this fraction of the standing block-index rows, a published
+    * ANN delete stops being a sidecar and FOLDS into a full index
+    * generation — the similarity twin of
+    * [[DedupQueries.RetractRebuildDebtFraction]]. */
+  private[queries] val SemRebuildDebtFraction =
+    sys.env.getOrElse("SPARK_GRAFT_SEM_REBUILD_DEBT_FRACTION", "0.2").toDouble
+
+  /** The (corpus fp x delete-set fp) version a published ANN delete log
+    * is keyed on — [[DedupQueries.retractionFp]] over the embeddings
+    * source. */
+  private def semRetractionFp(s: SparkSession, dir: String,
+      del: DataFrame): String = {
+    val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "embeddings.parquet")
+    java.lang.Long.toHexString(
+      ((java.lang.Long.parseLong(srcFp, 16) * 31 + java.lang.Long.parseLong(
+        DedupQueries.deleteSetFp(del.select(col("vec_id").as("doc_id"))), 16))
+        & 0xFFFFFFFFFFFFL) | 0x1)
+  }
+
+  /** Resolve the RETRACTED serving index — the durable half q147 was
+    * missing (round-13 verdict #2): the old tombstone lived only
+    * in-flight, so nothing was published, every future serving query
+    * re-paid the anti-join, and a fresh session that was not re-handed
+    * the delete set silently served deleted vectors.
+    *
+    * With a delete batch in hand (`delIds = Some(d)`), the delete set
+    * is PUBLISHED as a DurableIndex sidecar (`sem_del`, keyed corpus
+    * fp x delete fp) carrying (vec_id, corpus_fp, del_fp, folded) —
+    * an O(|D|) write. The mode is decided ONCE at publish by the
+    * tombstone-debt gate (deleted fraction of the block-index rows,
+    * one vec_id-column scan, no broadcast hint) and recorded in the
+    * sidecar's `folded` flag, so every later resolution — including
+    * sessions that never saw the batch — replays the same decision:
+    *
+    *   - under the gate, serving COMPOSES the sidecar over the
+    *     unchanged base index: one broadcast anti-join added to the
+    *     bucketed Exchange-free scan;
+    *   - past [[SemRebuildDebtFraction]], the index MAJOR-COMPACTS
+    *     into a full `sem_blocks_r` generation (bucketed on block_key
+    *     like its base; codebook deliberately NOT retrained — the
+    *     serving contract is "the same index minus the deleted rows"),
+    *     and every later read is a bare bucketed scan again.
+    *
+    * WITHOUT a delete batch (`delIds = None` — a fresh serving
+    * session), the live sidecar is discovered from the warehouse
+    * ([[graft.sources.DurableIndex.attachLatest]]), validated against
+    * the CURRENT corpus fingerprint (a regenerated corpus moots a
+    * stale delete log), and composed or read folded per its recorded
+    * mode. No sidecar -> the base index. */
+  private[graft] def semRetractedIndex(s: SparkSession, dir: String,
+      delIds: Option[DataFrame],
+      forceRebuild: Option[Boolean] = None): DataFrame = {
+    val idx0 = semBlockIndexTable(s, dir)
+    val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "embeddings.parquet")
+    val sidecar: Option[DataFrame] = delIds match {
+      case Some(d) =>
+        val del = d.select("vec_id").distinct().localCheckpoint()
+        val fp = semRetractionFp(s, dir, del)
+        Some(graft.sources.DurableIndex.attachOrBuildFp(
+          s, dir, "sem_del", fp, None) {
+          val folded = forceRebuild.getOrElse {
+            val r = idx0.select("vec_id")
+              .join(del.withColumn("d", lit(1)), Seq("vec_id"), "left")
+              .agg(count(lit(1)).as("tot"),
+                coalesce(sum(col("d")), lit(0L)).as("deleted")).first()
+            r.getLong(1).toDouble > SemRebuildDebtFraction * r.getLong(0).toDouble
+          }
+          del.select(col("vec_id"), lit(srcFp).as("corpus_fp"),
+            lit(fp).as("del_fp"), lit(folded).as("folded")).coalesce(1)
+        })
+      case None =>
+        graft.sources.DurableIndex.attachLatest(s, dir, "sem_del")
+    }
+    // one driver-side row read resolves mode + version; an empty or
+    // stale-corpus sidecar (regenerated embeddings) degrades to the
+    // base index — old deletes are moot under a new corpus identity
+    sidecar
+      .flatMap(sc => sc.select("corpus_fp", "del_fp", "folded")
+        .limit(1).collect().headOption.map(h => (sc, h)))
+      .filter { case (_, h) => h.getString(0) == srcFp } match {
+      case None => idx0
+      case Some((sc, head)) =>
+        if (head.getBoolean(2))
+          graft.sources.DurableIndex.attachOrBuildFp(
+            s, dir, "sem_blocks_r", head.getString(1), Some(("block_key", 16))) {
+            idx0.join(broadcast(sc.select("vec_id")), Seq("vec_id"), "left_anti")
+              .select(idx0.columns.map(col).toIndexedSeq: _*)
+              .repartition(16, col("block_key"))
+          }
+        else
+          idx0.join(broadcast(sc.select("vec_id")), Seq("vec_id"), "left_anti")
+            .select(idx0.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Top-K serving over the retracted index — q147's surface and the
+    * read path a takedown-compliant vector service actually runs. */
+  private[graft] def semServeRetracted(s: SparkSession, dir: String,
+      raw: DataFrame, delIds: Option[DataFrame],
+      forceRebuild: Option[Boolean] = None): DataFrame =
+    semTopKOverIndex(s, dir, semRetractedIndex(s, dir, delIds, forceRebuild),
+      raw, None)
 
   /** q126's body: the serving path LIVE — a stream of retrieval
     * queries drained against the standing durable index, the shape of

@@ -162,6 +162,33 @@ private[graft] object DurableIndex {
     if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
   }
 
+  /** Attach the LIVE generation of a plain (non-bucketed) `family` for
+    * `dir` WITHOUT knowing its version fingerprint — the fresh-session
+    * entry point for standing SIDECARS whose identity a new session
+    * cannot reconstruct (a published delete log: the session that
+    * serves has no takedown batch in hand, round-13 verdict #2).
+    * Returns None when the family has never been published for this
+    * dir. The retirement discipline keeps at most one live version;
+    * if a benign publish race left several, the newest wins (the
+    * loser's rows are a subset by the fold-commute argument that
+    * justifies sidecars in the first place — and the next publish
+    * retires it). */
+  private[graft] def attachLatest(s: SparkSession, dir: String,
+      family: String): Option[DataFrame] = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new Path(s.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    val prefix = s"${family}_${tag}_"
+    val live = fs.listStatus(base)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(prefix) && n.substring(prefix.length).matches("[0-9a-f]+")
+      }
+      .sortBy(_.getModificationTime)
+    live.lastOption.map(st => s.read.parquet(st.getPath.toString))
+  }
+
   // ---- the shared COMPACTION contract (round-11 verdict #5) ------------
   //
   // Every streaming/incremental apply adds a partition fragment to its

@@ -75,6 +75,78 @@ class SemIndexSpec extends SparkSpec {
       s"bucket spec lost on re-attach: ${scan.flatMap(_.relation.bucketSpec)}")
   }
 
+  private def assertSame(got: org.apache.spark.sql.DataFrame,
+      want: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val g = got.select(want.columns.map(col).toIndexedSeq: _*)
+    assert(g.exceptAll(want).isEmpty && want.exceptAll(g).isEmpty,
+      s"$what: served results differ")
+  }
+
+  test("ANN retraction is durable: a fresh session serves corpus-minus-deleted without the delete set") {
+    // round-13 verdict #2: the q147 tombstone must be PUBLISHED, not
+    // in-flight-only — a session that was never handed the takedown
+    // batch has to discover the live delete log off disk, or it
+    // silently serves deleted vectors
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val queries = emb.filter(col("vec_id") % 10 === 7)
+
+    // publish (the q147 body); == the in-flight anti-joined serve
+    val published = SimilarityQueries.semServeRetracted(
+      spark, sfDir, queries, Some(del))
+    val want = SimilarityQueries.semIndexTopKOf(
+      spark, sfDir, queries, deleted = Some(del))
+    assertSame(published, want, "published serve vs in-flight tombstone")
+
+    // a ~11% takedown must ride the sidecar, not fold
+    val sc = graft.sources.DurableIndex.attachLatest(spark, sfDir, "sem_del")
+    assert(sc.isDefined, "no sem_del sidecar published")
+    assert(!sc.get.select("folded").first().getBoolean(0),
+      "takedown-sized ANN delete folded instead of publishing a sidecar")
+
+    // FRESH session: drop every catalog attachment, then serve WITHOUT
+    // the delete set — the sidecar must be discovered from the
+    // warehouse and composed
+    spark.sql("DROP DATABASE IF EXISTS graft_index CASCADE")
+    val fresh = SimilarityQueries.semServeRetracted(spark, sfDir, queries, None)
+    assertSame(fresh, want, "fresh-session serve without the delete set")
+    assert(fresh.join(del.withColumnRenamed("vec_id", "c_id"),
+        Seq("c_id"), "left_semi").isEmpty,
+      "a fresh session served deleted vectors")
+  }
+
+  test("past-the-budget ANN delete folds into a full generation == the anti-joined serve") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    // 3 of the 9 indexed slices (~33% of the block-index rows) trips
+    // the 20% tombstone-debt gate NATURALLY
+    val del = emb.filter((col("vec_id") % 10).isin(1, 3, 5)).select("vec_id")
+    val queries = emb.filter(col("vec_id") % 10 === 7)
+    val folded = SimilarityQueries.semServeRetracted(
+      spark, sfDir, queries, Some(del))
+    val want = SimilarityQueries.semIndexTopKOf(
+      spark, sfDir, queries, deleted = Some(del))
+    assertSame(folded, want, "folded serve vs in-flight tombstone")
+    val sc = graft.sources.DurableIndex.attachLatest(spark, sfDir, "sem_del")
+    assert(sc.exists(_.select("folded").first().getBoolean(0)),
+      "a ~33% sweep did not fold the ANN index")
+
+    // the folded index is a WRITE-once bucketed generation: a fresh
+    // resolution re-attaches it and reads a bare Exchange-free
+    // bucketed scan with no tombstone join
+    spark.sql("DROP DATABASE IF EXISTS graft_index CASCADE")
+    val idx = SimilarityQueries.semRetractedIndex(spark, sfDir, None)
+    idx.collect()
+    val nodes = flatten(idx.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.nodeName.toLowerCase.contains("join")),
+      "folded-generation read still carries a tombstone join")
+    assert(!nodes.exists(_.isInstanceOf[Exchange]),
+      "Exchange in the folded-generation read")
+    val scan = nodes.collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.exists(_.relation.bucketSpec.exists(b =>
+        b.numBuckets == 16 && b.bucketColumnNames == Seq("block_key"))),
+      s"bucket spec lost on the folded generation: ${scan.flatMap(_.relation.bucketSpec)}")
+  }
+
   test("regenerated embeddings force a coupled rebuild of codebook and blocks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_semidx").toString
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
