@@ -553,8 +553,9 @@ object DedupQueries {
     * runs it on the corpus slice and on the delta slice separately —
     * restricting the input restricts the pair set to exactly the pairs
     * within that subset, since bands and shingle counts are per-doc). */
-  private[queries] def minhashPairsOf(sh: DataFrame): DataFrame = {
-    val bands = sigBands(sh)
+  private[queries] def minhashPairsOf(sh: DataFrame,
+      bandsOpt: Option[DataFrame] = None): DataFrame = {
+    val bands = bandsOpt.getOrElse(sigBands(sh))
     val a = bands.as("a"); val b = bands.as("b")
     // band_key embeds the band index, so one equi-column suffices
     val cand = a.join(b,
@@ -2244,21 +2245,93 @@ object DedupQueries {
   private[queries] def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)): Unit)
 
+  /** Stage the n-drop source files of a streaming drain, CACHED per
+    * (family, source content fingerprint): the drop contents are a
+    * pure function of the source table, but every drain invocation —
+    * 12 bench iterations each for the drain families — was re-deriving
+    * them through n Spark write jobs before the stream even started,
+    * the dominant share of the q107/q134 fixed cost (round-13 verdict
+    * #7). The first invocation per corpus writes the slices into a
+    * local scratch cache (atomic-rename publish, same discipline as
+    * DurableIndex); every later one driver-side-copies n small files.
+    * The per-invocation mtimes stay EXPLICIT and strictly increasing —
+    * FileStreamSource orders by (mtime, path), and the
+    * order-dependent drains (q107/q134) need it deterministic.
+    * Cache placement follows [[streamScratch]] (bench/test scratch
+    * only — a production drain reads a real feed, not staged drops);
+    * stale-fingerprint siblings are purged on build. */
+  private[queries] def stageDropsCached(s: SparkSession, dir: String,
+      family: String, srcFile: String, srcDir: String, n: Int)
+      (slice: Int => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val fp = graft.sources.DurableIndex.fingerprint(s, dir, srcFile)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val shm = Paths.get("/dev/shm")
+    val cacheBase = (if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(System.getProperty("java.io.tmpdir")))
+      .resolve("graft_drop_cache")
+    val root = cacheBase.resolve(s"${family}_${tag}_$fp")
+    if (!Files.isDirectory(root)) {
+      Files.createDirectories(cacheBase)
+      // purge stale fingerprints of this (family, dir) — a regenerated
+      // corpus must not leak old drop sets into the cache dir forever
+      Files.list(cacheBase).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"${family}_${tag}_"))
+        .foreach(p => rmQuietly(p.toString))
+      val tmp = cacheBase.resolve(
+        s"${family}_${tag}_$fp.build${ProcessHandle.current().pid()}")
+      rmQuietly(tmp.toString)
+      Files.createDirectories(tmp)
+      (0 until n).foreach { i =>
+        val t2 = Files.createTempDirectory(s"graft_${family}_drop$i")
+        try {
+          slice(i).coalesce(1).write.mode("overwrite").parquet(t2.toString)
+          val part = Files.list(t2).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.copy(part, tmp.resolve(s"drop_$i.parquet"))
+        } finally rmQuietly(t2.toString)
+      }
+      try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent builder won the publish: read its copy
+        case _: java.nio.file.FileAlreadyExistsException => rmQuietly(tmp.toString)
+        case _: java.nio.file.DirectoryNotEmptyException => rmQuietly(tmp.toString)
+      }
+    }
+    (0 until n).foreach { i =>
+      val dst = Paths.get(srcDir, s"drop_$i.parquet")
+      Files.copy(root.resolve(s"drop_$i.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+  }
+
   /** Pre-create an EMPTY batch_id-partitioned parquet sink so every
     * micro-batch — and any at-least-once REPLAY of it — lands as a
     * dynamic overwrite of exactly its own partition. foreachBatch's
     * delivery contract is at-least-once: a plain append would
     * double-write a batch replayed after a pre-commit crash; keying
     * the write by the (replay-stable) batchId makes it idempotent. */
+  /** Pre-create the EMPTY stream-grown band index: band schema,
+    * batch_id partitioning (replay idempotency), 16-bucket band_key
+    * layout — pure DDL, replacing the limit(0) bucketed write that
+    * cost a job + commit per q107/q134 invocation. */
+  private[queries] def createBandIndexSink(s: SparkSession, table: String): Unit =
+    s.sql(s"""CREATE TABLE $table
+             |(doc_id BIGINT, band_idx INT, band_key STRING, batch_id BIGINT)
+             |USING parquet PARTITIONED BY (batch_id)
+             |CLUSTERED BY (band_key) SORTED BY (band_key) INTO 16 BUCKETS
+             |""".stripMargin): Unit
+
   private[queries] def createBatchSink(s: SparkSession, table: String,
       dataCols: Seq[(String, String)]): Unit = {
-    val schema = org.apache.spark.sql.types.StructType(
-      (dataCols :+ ("batch_id" -> "bigint")).map { case (n, t) =>
-        org.apache.spark.sql.types.StructField(n,
-          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
-      })
-    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.format("parquet").partitionBy("batch_id").saveAsTable(table)
+    // pure DDL — the old empty-DataFrame saveAsTable paid a write job
+    // plus commit protocol per drain invocation for zero rows
+    val cols = (dataCols :+ ("batch_id" -> "bigint"))
+      .map { case (n, t) => s"$n $t" }.mkString(", ")
+    s.sql(s"CREATE TABLE $table ($cols) USING parquet PARTITIONED BY (batch_id)")
+      : Unit
   }
 
   /** q105's body: the incremental contract LIVE. The arriving batch
@@ -2480,29 +2553,15 @@ object DedupQueries {
     try {
       if (!resume) {
         val delta = docs.filter(col("doc_id") % 10 === 7)
-        (0 until 3).foreach { i =>
-          val tmp = java.nio.file.Paths.get(streamScratch(s"graft_q134_drop$i"))
-          try {
-            delta.filter(pmod(col("doc_id"), lit(3)) === i)
-              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            val part = java.nio.file.Files.list(tmp).iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet")).get
-            val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
-            java.nio.file.Files.copy(part, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-          } finally rmQuietly(tmp.toString)
-        }
+        stageDropsCached(s, dir, "q134", "documents.parquet", srcDir, 3)(
+          i => delta.filter(pmod(col("doc_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_cc_bands")
         JvmScratch.resetTable(s, "stream_cc_edges")
-        sigBands(shingle(docs.limit(0))).withColumn("batch_id", lit(-1L))
-          .write.format("parquet").partitionBy("batch_id")
-          .bucketBy(16, "band_key").sortBy("band_key")
-          .saveAsTable(idxTable)
+        createBandIndexSink(s, idxTable)
         createBatchSink(s, outTable,
           Seq("doc_a" -> "bigint", "doc_b" -> "bigint"))
       }
-      val schema = s.read.parquet(srcDir).schema
+      val schema = docs.schema
       withStreamConfs(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -2512,18 +2571,28 @@ object DedupQueries {
             val ss = batch.sparkSession
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
+            // the batch's bands feed THREE consumers (cross probe,
+            // within-batch self-join, index append): staged once
+            val batchBands = sigBands(batchSh).localCheckpoint()
             val soFar = ss.table(idxTable)
               .filter(col("batch_id") =!= batchId)
               .select("doc_id", "band_idx", "band_key")
             val cross = matchesAgainstIndex(ss, dir, batchSh,
-                bandIndexTable(ss, dir).unionByName(soFar))
+                bandIndexTable(ss, dir).unionByName(soFar),
+                deltaBandsOpt = Some(batchBands))
               .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
                 greatest(col("delta_id"), col("corpus_id")).as("doc_b"))
-            val within = minhashPairsOf(batchSh).select("doc_a", "doc_b")
+            val within = minhashPairsOf(batchSh, Some(batchBands))
+              .select("doc_a", "doc_b")
             within.unionByName(cross)
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(outTable)
-            sigBands(batchSh).withColumn("batch_id", lit(batchId))
+            // shuffle the batch's bands into the bucket hash so the
+            // partition lands 16 files (one per bucket), not one per
+            // (task x bucket) — the batch is drop-sized, the shuffle
+            // trivial, and the commit fans out 4x fewer files
+            batchBands.repartition(16, col("band_key"))
+              .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(idxTable)
             chaos(batchId)
           }
@@ -2579,31 +2648,17 @@ object DedupQueries {
         // the whole corpus as 3 drops with EXPLICIT strictly-increasing
         // mtimes: FileStreamSource orders by (mtime, path), and q107's
         // semantics — unlike q105's — depend on the processing order
-        (0 until 3).foreach { i =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_q107_drop$i")
-          try {
-            docs.filter(pmod(col("doc_id"), lit(3)) === i)
-              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            val part = java.nio.file.Files.list(tmp).iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet")).get
-            val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
-            java.nio.file.Files.copy(part, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-          } finally rmQuietly(tmp.toString)
-        }
+        stageDropsCached(s, dir, "q107", "documents.parquet", srcDir, 3)(
+          i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_band_index")
         JvmScratch.resetTable(s, "stream_bootstrap_out")
         // initially EMPTY index: band schema + batch_id partitioning
         // (replay idempotency) + the 16-bucket band_key layout
-        sigBands(shingle(docs.limit(0))).withColumn("batch_id", lit(-1L))
-          .write.format("parquet").partitionBy("batch_id")
-          .bucketBy(16, "band_key").sortBy("band_key")
-          .saveAsTable(idxTable)
+        createBandIndexSink(s, idxTable)
         createBatchSink(s, outTable, Seq(
           "doc_id" -> "bigint", "dup_of" -> "bigint", "jaccard" -> "double"))
       }
-      val schema = s.read.parquet(srcDir).schema
+      val schema = docs.schema
       withStreamConfs(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -2613,19 +2668,26 @@ object DedupQueries {
             val ss = batch.sparkSession
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
+            // the batch's bands feed BOTH the probe and the index
+            // append: staged once per batch, not re-signed per consumer
+            val batchBands = sigBands(batchSh).localCheckpoint()
             // match FIRST, against the index so far MINUS this batch's
             // own partition (empty on first delivery; populated — and
             // self-matching if probed — on a replay)...
             val soFar = ss.table(idxTable).filter(col("batch_id") =!= batchId)
-            matchesAgainstIndex(ss, dir, batchSh, soFar)
+            matchesAgainstIndex(ss, dir, batchSh, soFar,
+                deltaBandsOpt = Some(batchBands))
               .select(col("delta_id").as("doc_id"),
                 col("corpus_id").as("dup_of"), col("jaccard"))
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(outTable)
             // ...THEN index this batch: a dynamic overwrite of its own
             // batch_id partition, bucketized per the catalog spec —
-            // replay rewrites the partition, never double-inserts
-            sigBands(batchSh).withColumn("batch_id", lit(batchId))
+            // replay rewrites the partition, never double-inserts; the
+            // repartition into the bucket hash lands 16 files (one per
+            // bucket), not one per (task x bucket)
+            batchBands.repartition(16, col("band_key"))
+              .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(idxTable)
             chaos(batchId)
           }
@@ -2936,10 +2998,15 @@ object DedupQueries {
     * the plan audit. */
   private def matchesAgainstIndex(s: SparkSession, dir: String,
       deltaSh: DataFrame, corpusBands: DataFrame,
-      forceLarge: Option[Boolean] = None): DataFrame = {
+      forceLarge: Option[Boolean] = None,
+      deltaBandsOpt: Option[DataFrame] = None): DataFrame = {
     val large = forceLarge.getOrElse(deltaIsLarge(deltaSh))
     val docs = Tables.documents(s, dir)
-    val deltaBands = sigBands(deltaSh)
+    // deltaBandsOpt: a caller that also writes/self-joins the delta's
+    // bands (the q107/q134 drains) stages them ONCE per batch and
+    // passes them in, instead of re-running the 12-min-agg signature
+    // pipeline per consumer
+    val deltaBands = deltaBandsOpt.getOrElse(sigBands(deltaSh))
       .select(col("doc_id").as("dd"), col("band_key"))
     val cand = (if (large)
         corpusBands.hint("merge").join(deltaBands, Seq("band_key"))
