@@ -388,6 +388,26 @@ object SketchQueries {
         lit(t1).as("standing_total")))
   }
 
+  /** [[hhRetract]] over the DURABLE store (q149's artifact): the
+    * store's standing corpus is KNOWN — `hh_store` is built over
+    * doc_id % 10 != 7 of `dir`'s documents, keyed by content
+    * fingerprint — so the past-the-budget rebuild branch constructs
+    * corpus-minus-deleted ITSELF (one anti-join against the broadcast
+    * delete ids) instead of requiring the caller to re-supply the
+    * survivors (round-13 verdict #6: the loud `require` was honest but
+    * lazy — a store that knows its corpus can rebuild alone). The
+    * caller-supplied-survivors form of [[hhRetract]] remains for
+    * synthetic stores whose corpus the library cannot name. */
+  private[queries] def hhRetractDurable(s: org.apache.spark.sql.SparkSession,
+      dir: String, deletedDocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val standing = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+    val survivors = standing.join(
+      broadcast(deletedDocs.select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+    hhRetract(s, deletedDocs, hhStoreTable(s, dir), Some(survivors))
+  }
+
   /** q135's core, parameterized over the inputs so the spec can drive
     * synthetic surge scenarios. Exactness argument, all on exact
     * integers: a stored gram's full count is store + delta (exact); a
@@ -1083,8 +1103,12 @@ object SketchQueries {
       "retraction over the heavy-hitter store: deleted docs' trigrams recounted once (delta-sized) and SUBTRACTED from the stored counts (aggregate artifact — no tombstone possible), watermark basis carried for the completeness bound, then an ordinary incremental delta apply chained on the retracted store — == batch heavy hitters over corpus-minus-deleted exactly",
       hhOracleFor("doc_id % 10 != 3")) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val retracted = hhRetract(s, docs.filter(col("doc_id") % 10 === 3),
-        hhStoreTable(s, dir))
+      // the durable-store path: were this takedown past the half-mass
+      // budget, the rebuild branch would derive corpus-minus-deleted
+      // itself (fingerprint-known standing corpus — no caller-supplied
+      // survivors)
+      val retracted = hhRetractDurable(s, dir,
+        docs.filter(col("doc_id") % 10 === 3))
       hhMaintain(s,
         docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
         docs.filter(col("doc_id") % 10 === 7), retracted)

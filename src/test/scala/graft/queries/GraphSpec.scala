@@ -26,6 +26,39 @@ class GraphSpec extends SparkSpec {
       s"expected ~log2(255) rounds with pointer doubling, took $rounds")
   }
 
+  test("distributed fixpoint at scale: 165k-vertex star-trap graph converges in O(log D) rounds") {
+    // round-13 verdict #3: the distributed star-hooking path — the
+    // 100-TB path — was only ever exercised on toy graphs; every gated
+    // run took the driver union-find. This graph is big enough that
+    // the claim is non-vacuous AND adversarial for both pathologies
+    // the algorithm guards against:
+    //   - a 65k-edge CHAIN (diameter 65536): plain min-propagation
+    //     needs 65k rounds; pointer doubling needs ~log2;
+    //   - a 100k-member STAR whose center (200000) is its local min,
+    //     bridged to the chain by ONE out-of-order edge: once the star
+    //     is fully formed, doubling alone is a no-op and the chain's
+    //     lower min (0) would crawl in one hop per round without
+    //     Shiloach-Vishkin hooking.
+    // 165,538 vertices, ~165k edges, one component, global min 0.
+    val chain = spark.range(65536)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val star = spark.range(200001, 300000)
+      .select(lit(200000L).as("doc_a"), col("id").as("doc_b"))
+    import spark.implicits._
+    val bridge = Seq((70L, 299999L)).toDF("doc_a", "doc_b")
+    val pairs = chain.unionByName(star).unionByName(bridge)
+    val (labels, rounds) =
+      DedupQueries.connectedComponents(pairs, forceDistributed = true)
+    // chain 0..65536 (65537) + star center and leaves (100000); the
+    // bridge touches existing vertices only
+    val n = labels.count()
+    assert(n == 65537L + 100000L, s"vertex count off: $n")
+    assert(labels.filter(col("label") =!= 0L).isEmpty,
+      "every vertex must label to the global min 0 across the bridge")
+    assert(rounds > 0 && rounds <= 24,
+      s"expected ~log2(65536)+hooking rounds, took $rounds")
+  }
+
   test("driver union-find fast path labels exactly like the distributed fixpoint") {
     // the size gate must be invisible in the results: on the same
     // adversarial graph (chain + disjoint chain + a bridge arriving

@@ -193,6 +193,31 @@ class TechniqueSpec extends SparkSpec {
         "over corpus-minus-deleted")
   }
 
+  test("durable-store hh retraction derives its own survivors past the budget") {
+    // round-13 verdict #6: hh_store's corpus is fingerprint-known
+    // (doc_id % 10 != 7 of dir's documents), so the past-budget branch
+    // must rebuild WITHOUT a caller-supplied survivors relation. A 75%
+    // takedown of the standing docs is safely past half-mass; the
+    // result must equal the fresh store over corpus-minus-deleted.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val del = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 4 =!= 0)
+    val rebuilt = SketchQueries.hhRetractDurable(spark, sfDir, del)
+    val want = SketchQueries.hhStoreOf(
+      docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 4 === 0))
+    assert(rebuilt.exceptAll(want).isEmpty && want.exceptAll(rebuilt).isEmpty,
+      "durable-store past-budget retraction diverged from the fresh store")
+
+    // under the budget the durable path still subtracts (same result
+    // as the caller-supplied form — one delta-sized recount, no
+    // standing-corpus pass)
+    val small = docs.filter(col("doc_id") % 10 === 3)
+    val sub = SketchQueries.hhRetractDurable(spark, sfDir, small)
+    val subWant = SketchQueries.hhRetract(spark, small,
+      SketchQueries.hhStoreTable(spark, sfDir))
+    assert(sub.exceptAll(subWant).isEmpty && subWant.exceptAll(sub).isEmpty,
+      "durable-store under-budget retraction diverged from the subtract path")
+  }
+
   test("HLL retraction is shard-grained: re-max of surviving register shards == fresh sketch") {
     // the honest negative result inside the sketch family: CMS and
     // histograms retract by exact subtraction (q152/q153 — add-merge
