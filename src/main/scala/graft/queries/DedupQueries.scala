@@ -232,8 +232,19 @@ object DedupQueries {
   private[graft] def pairIndexTable(s: SparkSession, dir: String): DataFrame =
     graft.sources.DurableIndex.attachOrBuild(
       s, dir, "pair_index_b16", "documents.parquet", Some(("doc_a", 16))) {
-      minhashPairsOf(shingleDf(s, dir).filter(col("doc_id") % 10 =!= 7)
-        .localCheckpoint()).repartition(16, col("doc_a"))
+      // the one-time build READS durable artifacts, never text, and
+      // stages nothing corpus-sized (round-13 verdict #5 — builds must
+      // obey the same discipline as maintenance ticks): the postings
+      // artifact IS the standing shingle set ((doc_id, sg) distinct,
+      // same ShingleN, same %10!=7 slice) and the band index IS its
+      // signature set, so candidate generation self-joins the bucketed
+      // band scan and the verify/count consumers stream the bucketed
+      // postings scan — zero tokenization, zero corpus-sized
+      // localCheckpoint (OperatorPropertiesSpec audits the build)
+      minhashPairsOf(
+        ngramPostingsTable(s, dir).select("doc_id", "sg"),
+        Some(bandIndexTable(s, dir)))
+        .repartition(16, col("doc_a"))
     }
 
   /** The persisted COMPONENT LABELS of the standing corpus — the q131
@@ -696,8 +707,13 @@ object DedupQueries {
   private[graft] def ngramPairsTable(s: SparkSession, dir: String): DataFrame =
     graft.sources.DurableIndex.attachOrBuild(
       s, dir, "ngram_pairs", "documents.parquet", None) {
+      // each of the three consumers (counts, both join sides) STREAMS
+      // the bucketed postings scan — cheap columnar reads of a durable
+      // artifact — instead of pinning the corpus-sized filtered
+      // posting set in executor storage for the build's duration
+      // (round-13 verdict #5)
       ngramScoredPairs(ngramPostingsTable(s, dir)
-        .filter(col("df") <= DfCut).select("doc_id", "sg").localCheckpoint())
+        .filter(col("df") <= DfCut).select("doc_id", "sg"))
     }
 
   /** q142's core, parameterized over the three standing artifacts and
@@ -1186,10 +1202,8 @@ object DedupQueries {
     try {
       if (!resume) {
         val delta = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
-        (0 until 3).foreach { i =>
-          delta.filter(pmod(col("doc_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        stageDropsCached(s, dir, "q129", "documents.parquet", srcDir, 3)(
+          i => delta.filter(pmod(col("doc_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_simhash_dedup")
         createBatchSink(s, table, Seq(
           "delta_id" -> "bigint", "corpus_id" -> "bigint", "hamming" -> "bigint"))
@@ -2382,10 +2396,8 @@ object DedupQueries {
     try {
       if (!resume) {
         val dels = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
-        (0 until 3).foreach { i =>
-          dels.filter(pmod(col("doc_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        stageDropsCached(s, dir, "q151", "documents.parquet", srcDir, 3)(
+          i => dels.filter(pmod(col("doc_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_delete_log")
         createBatchSink(s, logTable, Seq("doc_id" -> "bigint"))
       }
@@ -2432,10 +2444,8 @@ object DedupQueries {
       if (!resume) {
         // the arriving batch staged as 3 file drops (split by doc_id)
         val delta = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
-        (0 until 3).foreach { i =>
-          delta.filter(pmod(col("doc_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        stageDropsCached(s, dir, "q105", "documents.parquet", srcDir, 3)(
+          i => delta.filter(pmod(col("doc_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_inc_dedup")
         createBatchSink(s, table, Seq(
           "delta_id" -> "bigint", "corpus_id" -> "bigint", "jaccard" -> "double"))
@@ -2487,10 +2497,8 @@ object DedupQueries {
     try {
       if (!resume) {
         val delta = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
-        (0 until 3).foreach { i =>
-          delta.filter(pmod(col("vec_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        stageDropsCached(s, dir, "q113", "embeddings.parquet", srcDir, 3)(
+          i => delta.filter(pmod(col("vec_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_sem_dedup")
         createBatchSink(s, table, Seq(
           "vec_id" -> "bigint", "keeper_id" -> "bigint", "cosine" -> "double"))
@@ -2731,19 +2739,8 @@ object DedupQueries {
       if (!resume) {
         // the corpus as 3 drops with EXPLICIT strictly-increasing
         // mtimes (the FileStreamSource processing order, q107's shape)
-        (0 until 3).foreach { i =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_q114_drop$i")
-          try {
-            emb.filter(pmod(col("vec_id"), lit(3)) === i)
-              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            val part = java.nio.file.Files.list(tmp).iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet")).get
-            val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
-            java.nio.file.Files.copy(part, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-          } finally rmQuietly(tmp.toString)
-        }
+        stageDropsCached(s, dir, "q114", "embeddings.parquet", srcDir, 3)(
+          i => emb.filter(pmod(col("vec_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_block_index")
         JvmScratch.resetTable(s, "stream_sem_boot_out")
         JvmScratch.resetTable(s, "stream_sem_codebook")
@@ -2840,11 +2837,9 @@ object DedupQueries {
       if (!resume) {
         // the whole corpus as 3 drops (batch independence makes the
         // processing order irrelevant here — the probe side is static)
-        (0 until 3).foreach { i =>
-          docs.filter(pmod(col("doc_id"), lit(3)) === i)
-            .select("doc_id", "text")
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        stageDropsCached(s, dir, "q116", "documents.parquet", srcDir, 3)(
+          i => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+            .select("doc_id", "text"))
         JvmScratch.resetTable(s, "stream_bench_hashes")
         JvmScratch.resetTable(s, "stream_decon_out")
         // the standing artifact: benchmark span hashes, staged once

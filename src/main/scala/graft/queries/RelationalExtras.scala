@@ -160,10 +160,8 @@ object RelationalExtras {
           .withColumn("c_acctbal",
             when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0)
               .otherwise(col("c_acctbal")))
-        (0 until 3).foreach { i =>
-          snap2.filter(pmod(col("c_custkey"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        DedupQueries.stageDropsCached(s, dir, "q139", "customer.parquet", srcDir, 3)(
+          i => snap2.filter(pmod(col("c_custkey"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_scd2_out")
         createBatchSink(s, outTable, Seq(
           "c_custkey" -> "bigint", "c_acctbal" -> "double",

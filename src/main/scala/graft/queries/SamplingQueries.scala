@@ -365,19 +365,8 @@ object SamplingQueries {
         // stream processes them in doc_id order
         val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
         val bounds = Seq(0L, maxId / 3 + 1, 2 * maxId / 3 + 1, maxId + 1)
-        (0 until 3).foreach { i =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft_q123_drop$i")
-          try {
-            docs.filter(col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1))
-              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            val part = java.nio.file.Files.list(tmp).iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet")).get
-            val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
-            java.nio.file.Files.copy(part, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-          } finally rmQuietly(tmp.toString)
-        }
+        DedupQueries.stageDropsCached(s, dir, "q123", "documents.parquet", srcDir, 3)(
+          i => docs.filter(col("doc_id") >= bounds(i) && col("doc_id") < bounds(i + 1)))
         JvmScratch.resetTable(s, "stream_pack_out")
         JvmScratch.resetTable(s, "stream_pack_totals")
         createBatchSink(s, outTable, Seq(

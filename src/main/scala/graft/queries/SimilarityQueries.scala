@@ -1300,10 +1300,8 @@ object SimilarityQueries {
     val outTable = JvmScratch.tableName("stream_ann_out")
     try {
       if (!resume) {
-        (0 until 3).foreach { i =>
-          queries.filter(pmod(col("vec_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        DedupQueries.stageDropsCached(s, dir, "q126", "embeddings.parquet", srcDir, 3)(
+          i => queries.filter(pmod(col("vec_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_ann_out")
         createBatchSink(s, outTable, Seq("q_id" -> "bigint",
           "rank" -> "bigint", "c_id" -> "bigint", "cosine" -> "double"))

@@ -113,10 +113,8 @@ object SketchQueries {
     val outTable = JvmScratch.tableName("stream_hll_regs")
     try {
       if (!resume) {
-        (0 until 3).foreach { i =>
-          ev.filter(pmod(col("event_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        DedupQueries.stageDropsCached(s, dir, "q121", "events.parquet", srcDir, 3)(
+          i => ev.filter(pmod(col("event_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_hll_regs")
         createBatchSink(s, outTable, Seq(
           "event_type" -> "string", "bucket" -> "bigint", "reg" -> "int"))
@@ -517,10 +515,8 @@ object SketchQueries {
       if (!resume) {
         val delta = docs.filter(col("doc_id") % 10 === 7)
           .select("doc_id", "text")
-        (0 until 3).foreach { i =>
-          delta.filter(pmod(col("doc_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        DedupQueries.stageDropsCached(s, dir, "q144", "documents.parquet", srcDir, 3)(
+          i => delta.filter(pmod(col("doc_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_hh_counts")
         createBatchSink(s, outTable, Seq(
           "gram" -> "string", "dcnt" -> "bigint"))
@@ -628,10 +624,8 @@ object SketchQueries {
     val outTable = JvmScratch.tableName("stream_hist_bins")
     try {
       if (!resume) {
-        (0 until 3).foreach { i =>
-          o.filter(pmod(col("o_orderkey"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        DedupQueries.stageDropsCached(s, dir, "q141", "orders.parquet", srcDir, 3)(
+          i => o.filter(pmod(col("o_orderkey"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_hist_bins")
         createBatchSink(s, outTable, Seq("bin" -> "bigint", "c" -> "bigint"))
       }
@@ -705,10 +699,8 @@ object SketchQueries {
     val outTable = JvmScratch.tableName("stream_cms_grid")
     try {
       if (!resume) {
-        (0 until 3).foreach { i =>
-          ev.filter(pmod(col("event_id"), lit(3)) === i)
-            .coalesce(1).write.mode("append").parquet(srcDir)
-        }
+        DedupQueries.stageDropsCached(s, dir, "q133", "events.parquet", srcDir, 3)(
+          i => ev.filter(pmod(col("event_id"), lit(3)) === i))
         JvmScratch.resetTable(s, "stream_cms_grid")
         createBatchSink(s, outTable, Seq(
           "d" -> "bigint", "cell" -> "bigint", "c" -> "bigint"))

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The skew contract (round-13 verdict #4): the uniform sf replicas
+  * never trip the engine's size gates, so ScaleGen's skew mode plants
+  * the Zipfian reality — a boilerplate near-dup mega-cluster, a hot
+  * shingle crossing the df cut, a delta past broadcast range — and
+  * this spec proves the gates FLIP on that data with nothing forced,
+  * while results stay exact. */
+class SkewSpec extends SparkSpec {
+
+  test("mega-component pair graph defers the CC driver gate and labels exactly") {
+    // the pair table a 2800-member boilerplate clique produces:
+    // C(2800,2) ≈ 3.9M pairs, whose doubled staged edge list blows
+    // past the 64 MB driver gate — connectedComponents must take the
+    // distributed fixpoint (rounds > 0) WITHOUT forceDistributed, and
+    // still label every member with the clique minimum
+    val n = 2800
+    val ids = spark.range(n).select((col("id") * 10 + 7).as("a"))
+    val pairs = ids
+      .join(ids.select(col("a").as("b")), col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val (labels, rounds) = DedupQueries.connectedComponents(pairs)
+    assert(rounds > 0,
+      "a ~3.9M-pair mega-component stayed on the driver union-find path")
+    assert(labels.count() == n)
+    assert(labels.filter(col("label") =!= 7L).isEmpty,
+      "mega-component labeling diverged from the clique minimum")
+  }
+
+  test("skew corpus: mega-cluster is one component, hot shingle crosses the cut, delta outgrows broadcast") {
+    // a generated skew dir off the smallest base: full-size HOT block
+    // (the broadcast gate is a fixed 65536-doc / 32 MB contract — the
+    // flip must be natural, so the data must actually be that big),
+    // spec-size mega block (the clique pipeline is quadratic by
+    // design; the gate-flip half is proven above on its pair shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    graft.tools.ScaleGen.generate(spark, sfDir, dir, 1, skew = true,
+      megaDocs = 120, hotDocs = 65537, crossingDocs = 10)
+    val docs = graft.sources.Tables.documents(spark, dir)
+
+    // 1. the boilerplate block forms EXACTLY one near-dup component
+    //    through the real LSH pipeline, labeled by its min id
+    val mega = docs.filter(col("text").startsWith("bp0 ")).localCheckpoint()
+    val megaCount = mega.count()
+    assert(megaCount == 120L, s"mega block count $megaCount")
+    val megaMin = mega.agg(min("doc_id")).first().getLong(0)
+    val pairs = DedupQueries.pairsOfDocs(mega)
+    val (labels, _) = DedupQueries.connectedComponents(
+      pairs.select("doc_a", "doc_b"))
+    assert(labels.count() == megaCount, "mega-cluster is not one full clique")
+    val distinctLabels = labels.select("label").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(distinctLabels == Seq(megaMin),
+      s"mega-cluster split into components $distinctLabels")
+
+    // 2. the hot shingle sits at df <= cut on the standing side and is
+    //    pushed across by the arriving block — the crossing machinery
+    //    runs on data, not only on forced spec scenarios
+    val hotSg = "hotshingle0 hotshingle1 hotshingle2"
+    val standingDf = DedupQueries
+      .ngramPostingsOf(docs.filter(col("doc_id") % 10 =!= 7))
+      .filter(col("sg") === hotSg)
+      .select("df").distinct().collect()
+    assert(standingDf.length == 1, "hot shingle missing from the standing side")
+    val sdf = standingDf(0).getLong(0)
+    assert(sdf == 10L && sdf <= DedupQueries.DfCut,
+      s"standing hot-shingle df $sdf is not under the cut")
+    val deltaDf = DedupQueries
+      .ngramPostingsOf(docs.filter(col("doc_id") % 10 === 7))
+      .filter(col("sg") === hotSg)
+      .select("df").distinct().collect()(0).getLong(0)
+    assert(sdf + deltaDf > DedupQueries.DfCut,
+      s"arriving block does not push the hot shingle across ($sdf + $deltaDf)")
+
+    // 3. the skewed delta's STAGED shingle set outgrows the broadcast
+    //    gate — the n-gram/band large route fires with no forceLarge
+    val deltaSh = DedupQueries
+      .ngramPostingsOf(docs.filter(col("doc_id") % 10 === 7))
+      .select("doc_id", "sg").localCheckpoint()
+    assert(DedupQueries.deltaIsLarge(deltaSh),
+      "the skewed delta stayed under the broadcast gate")
+    DedupQueries.rmQuietly(dir)
+  }
+}
