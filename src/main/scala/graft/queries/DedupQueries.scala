@@ -420,32 +420,44 @@ object DedupQueries {
     *     q151 argument), so the cumulative takedown log is always
     *     patched against the base — successive patch generations
     *     supersede each other under the standard retirement;
-    *   - PAST the gate (a sweep-scale delete, or cumulative patch debt
-    *     crossing [[RetractRebuildDebtFraction]] of the standing
-    *     band-index rows — one doc_id-column scan of the artifact per
-    *     publish, no text, no broadcast hint: sweep scale is exactly
-    *     where AQE must choose), the family MAJOR-COMPACTS: the
+    *   - PAST the gate (a sweep-scale delete crossing
+    *     [[RetractRebuildDebtFraction]] of the standing band-index
+    *     rows, or an ABSOLUTE delete-id cap — ~4M ids, the point where
+    *     the patch-composed read's broadcast stops being cheap however
+    *     small the fraction), the family MAJOR-COMPACTS: the
     *     post-delete artifacts publish as full (corpus fp x delete fp)
     *     generations (`band_index_r` bucketed like its base,
     *     `pair_index_r_b16`, `cc_index_r`) and every later read is a
     *     bare scan again — the publish IS the patch-log truncation.
     *
-    * Either mode's outputs == [[retractMaintain]] == the from-scratch
-    * build over corpus-minus-deleted (RetractionSpec proves both modes
-    * across successive deletes and the fold firing). Returns (bands,
-    * pairs, labels, rebuilt?). */
+    * The gate scan runs ONCE per (corpus fp x delete fp): a published
+    * generation IS the mode record, so re-runs resolve by existence
+    * (zero jobs). `forceRebuild` is the explicit operator override
+    * ("fold now") and bypasses the record. Either mode's outputs ==
+    * [[retractMaintain]] == the from-scratch build over
+    * corpus-minus-deleted (RetractionSpec proves both modes across
+    * successive deletes and the fold firing). Returns (bands, pairs,
+    * labels, rebuilt?). */
   private[graft] def retractPublishMode(s: SparkSession, dir: String,
       delIds: DataFrame, forceRebuild: Option[Boolean] = None)
       : (DataFrame, DataFrame, DataFrame, Boolean) = {
     val del = delIds.select("doc_id").distinct().localCheckpoint()
     val fp = retractionFp(s, dir, del)
     val bands0 = bandIndexTable(s, dir)
+    // Mode resolution (cheapest first): an explicit override; else the
+    // RECORDED mode — a published generation under this (corpus fp x
+    // delete fp) IS the record, so re-runs never re-pay the gate scan
+    // (cc_index_r is the LAST artifact a fold builds, so its existence
+    // implies the whole fold; a crash mid-fold self-heals because the
+    // attachOrBuild calls below rebuild whatever is missing); else the
+    // debt gate decides once: deleted fraction of the band-index rows
+    // OR an absolute id cap past which the patch-composed read's
+    // broadcast stops being cheap regardless of fraction.
     val rebuild = forceRebuild.getOrElse {
-      val r = bands0.select("doc_id")
-        .join(del.withColumn("d", lit(1)), Seq("doc_id"), "left")
-        .agg(count(lit(1)).as("tot"),
-          coalesce(sum(col("d")), lit(0L)).as("deleted")).first()
-      r.getLong(1).toDouble > RetractRebuildDebtFraction * r.getLong(0).toDouble
+      if (graft.sources.DurableIndex.liveExists(s, dir, "cc_index_r", fp)) true
+      else if (graft.sources.DurableIndex.liveExists(s, dir, "retract_patch", fp)) false
+      else graft.sources.DurableIndex.exceedsDebt(
+        bands0, del, "doc_id", RetractRebuildDebtFraction)
     }
     if (rebuild) {
       lazy val retracted = retractMaintain(bands0,
@@ -925,16 +937,18 @@ object DedupQueries {
       : (DataFrame, Boolean) = {
     val del = delIds.select("doc_id").distinct().localCheckpoint()
     val post = ngramPostingsTable(s, dir)
-    val rebuild = forceRebuild.getOrElse {
-      // one columnar scan of the postings' doc_id, no broadcast hint:
-      // a sweep-scale delete set is exactly where AQE must choose
-      val r = post.select("doc_id")
-        .join(del.withColumn("d", lit(1)), Seq("doc_id"), "left")
-        .agg(count(lit(1)).as("tot"),
-          coalesce(sum(col("d")), lit(0L)).as("deleted")).first()
-      r.getLong(1).toDouble > NgramRebuildDebtFraction * r.getLong(0).toDouble
-    }
     val fp = retractionFp(s, dir, del)
+    // explicit override, else the recorded mode (ngram_post_r is only
+    // ever written by the rebuild branch, so its existence IS the fold
+    // record; ngram_pairs_r alone means a published tombstone-mode
+    // generation), else one shared debt-gate scan: deleted fraction of
+    // the postings rows, or the absolute delete-id cap
+    val rebuild = forceRebuild.getOrElse {
+      if (graft.sources.DurableIndex.liveExists(s, dir, "ngram_post_r", fp)) true
+      else if (graft.sources.DurableIndex.liveExists(s, dir, "ngram_pairs_r", fp)) false
+      else graft.sources.DurableIndex.exceedsDebt(
+        post, del, "doc_id", NgramRebuildDebtFraction)
+    }
     val pairs =
       if (rebuild) {
         // major compaction: net postings re-df'd in ONE window shuffle
@@ -2276,7 +2290,10 @@ object DedupQueries {
     * stale-fingerprint siblings are purged on build. */
   private[queries] def stageDropsCached(s: SparkSession, dir: String,
       family: String, srcFile: String, srcDir: String, n: Int)
-      (slice: Int => DataFrame): Unit = {
+      (slice: Int => DataFrame): Unit = synchronized {
+    // synchronized: two same-JVM threads would otherwise share the
+    // pid-keyed build tmp dir; cross-JVM racers are handled by the
+    // atomic-move publish below
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val fp = graft.sources.DurableIndex.fingerprint(s, dir, srcFile)
@@ -2286,12 +2303,25 @@ object DedupQueries {
       else Paths.get(System.getProperty("java.io.tmpdir")))
       .resolve("graft_drop_cache")
     val root = cacheBase.resolve(s"${family}_${tag}_$fp")
+    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = Files.list(p)
+      try st.iterator().asScala.toList finally st.close()
+    }
     if (!Files.isDirectory(root)) {
       Files.createDirectories(cacheBase)
-      // purge stale fingerprints of this (family, dir) — a regenerated
-      // corpus must not leak old drop sets into the cache dir forever
-      Files.list(cacheBase).iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"${family}_${tag}_"))
+      // purge stale FINGERPRINTS of this (family, dir) — a regenerated
+      // corpus must not leak old drop sets into the cache forever. The
+      // filter is the DurableIndex shape: the suffix must be exactly a
+      // hex fingerprint, which excludes concurrent builders' '.build'
+      // tmp dirs; the current fp is excluded explicitly (a racer may
+      // publish it between the isDirectory check above and this purge)
+      listDir(cacheBase)
+        .filter { p =>
+          val nm = p.getFileName.toString
+          nm != root.getFileName.toString &&
+            nm.startsWith(s"${family}_${tag}_") &&
+            nm.substring(s"${family}_${tag}_".length).matches("[0-9a-f]+")
+        }
         .foreach(p => rmQuietly(p.toString))
       val tmp = cacheBase.resolve(
         s"${family}_${tag}_$fp.build${ProcessHandle.current().pid()}")
@@ -2301,7 +2331,7 @@ object DedupQueries {
         val t2 = Files.createTempDirectory(s"graft_${family}_drop$i")
         try {
           slice(i).coalesce(1).write.mode("overwrite").parquet(t2.toString)
-          val part = Files.list(t2).iterator().asScala
+          val part = listDir(t2)
             .find(_.getFileName.toString.endsWith(".parquet")).get
           Files.copy(part, tmp.resolve(s"drop_$i.parquet"))
         } finally rmQuietly(t2.toString)

@@ -1203,10 +1203,13 @@ object SimilarityQueries {
     * is PUBLISHED as a DurableIndex sidecar (`sem_del`, keyed corpus
     * fp x delete fp) carrying (vec_id, corpus_fp, del_fp, folded) —
     * an O(|D|) write. The mode is decided ONCE at publish by the
-    * tombstone-debt gate (deleted fraction of the block-index rows,
-    * one vec_id-column scan, no broadcast hint) and recorded in the
-    * sidecar's `folded` flag, so every later resolution — including
-    * sessions that never saw the batch — replays the same decision:
+    * tombstone-debt gate (deleted fraction of the block-index rows +
+    * an absolute ~4M-id cap, one vec_id-column scan, no broadcast
+    * hint) and recorded in the sidecar's `folded` flag — folded
+    * sidecars are META-ONLY (one marker row; the fold generation is
+    * the content, published BEFORE its marker) — so every later
+    * resolution, including sessions that never saw the batch, replays
+    * the same decision with zero gate scans:
     *
     *   - under the gate, serving COMPOSES the sidecar over the
     *     unchanged base index: one broadcast anti-join added to the
@@ -1228,44 +1231,71 @@ object SimilarityQueries {
       forceRebuild: Option[Boolean] = None): DataFrame = {
     val idx0 = semBlockIndexTable(s, dir)
     val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "embeddings.parquet")
-    val sidecar: Option[DataFrame] = delIds match {
+    def composed(vecIds: DataFrame): DataFrame =
+      idx0.join(broadcast(vecIds), Seq("vec_id"), "left_anti")
+        .select(idx0.columns.map(col).toIndexedSeq: _*)
+    delIds match {
       case Some(d) =>
         val del = d.select("vec_id").distinct().localCheckpoint()
         val fp = semRetractionFp(s, dir, del)
-        Some(graft.sources.DurableIndex.attachOrBuildFp(
-          s, dir, "sem_del", fp, None) {
-          val folded = forceRebuild.getOrElse {
-            val r = idx0.select("vec_id")
-              .join(del.withColumn("d", lit(1)), Seq("vec_id"), "left")
-              .agg(count(lit(1)).as("tot"),
-                coalesce(sum(col("d")), lit(0L)).as("deleted")).first()
-            r.getLong(1).toDouble > SemRebuildDebtFraction * r.getLong(0).toDouble
+        // explicit override, else the recorded mode (generation
+        // existence — zero jobs), else ONE shared debt-gate scan:
+        // deleted fraction of the index rows or the absolute id cap
+        val folded = forceRebuild.getOrElse {
+          if (graft.sources.DurableIndex.liveExists(s, dir, "sem_blocks_r", fp)) true
+          else if (graft.sources.DurableIndex.liveExists(s, dir, "sem_del", fp)) false
+          else graft.sources.DurableIndex.exceedsDebt(
+            idx0, del.select(col("vec_id")), "vec_id", SemRebuildDebtFraction)
+        }
+        if (folded) {
+          // the GENERATION publishes before the sidecar marker (a
+          // crash between the two leaves the retraction invisible —
+          // never a marker pointing at a missing fold); the folded
+          // sidecar is META-ONLY: a sweep-scale delete set has no
+          // business being written coalesce(1), and nothing ever
+          // composes it — the fold generation is the content
+          val gen = graft.sources.DurableIndex.attachOrBuildFp(
+            s, dir, "sem_blocks_r", fp, Some(("block_key", 16))) {
+            composed(del).repartition(16, col("block_key"))
           }
-          del.select(col("vec_id"), lit(srcFp).as("corpus_fp"),
-            lit(fp).as("del_fp"), lit(folded).as("folded")).coalesce(1)
-        })
+          graft.sources.DurableIndex.attachOrBuildFp(s, dir, "sem_del", fp, None) {
+            del.limit(0).select(col("vec_id"))
+              .unionByName(s.range(1).select(lit(-1L).as("vec_id")))
+              .select(col("vec_id"), lit(srcFp).as("corpus_fp"),
+                lit(fp).as("del_fp"), lit(true).as("folded")).coalesce(1)
+          }
+          gen
+        } else {
+          val sc = graft.sources.DurableIndex.attachOrBuildFp(
+            s, dir, "sem_del", fp, None) {
+            del.select(col("vec_id"), lit(srcFp).as("corpus_fp"),
+              lit(fp).as("del_fp"), lit(false).as("folded")).coalesce(1)
+          }
+          composed(sc.select("vec_id"))
+        }
       case None =>
+        // fresh-session path: discover the live delete log from the
+        // warehouse; an absent, empty, or stale-corpus sidecar
+        // (regenerated embeddings) degrades to the base index — old
+        // deletes are moot under a new corpus identity
         graft.sources.DurableIndex.attachLatest(s, dir, "sem_del")
-    }
-    // one driver-side row read resolves mode + version; an empty or
-    // stale-corpus sidecar (regenerated embeddings) degrades to the
-    // base index — old deletes are moot under a new corpus identity
-    sidecar
-      .flatMap(sc => sc.select("corpus_fp", "del_fp", "folded")
-        .limit(1).collect().headOption.map(h => (sc, h)))
-      .filter { case (_, h) => h.getString(0) == srcFp } match {
-      case None => idx0
-      case Some((sc, head)) =>
-        if (head.getBoolean(2))
-          graft.sources.DurableIndex.attachOrBuildFp(
-            s, dir, "sem_blocks_r", head.getString(1), Some(("block_key", 16))) {
-            idx0.join(broadcast(sc.select("vec_id")), Seq("vec_id"), "left_anti")
-              .select(idx0.columns.map(col).toIndexedSeq: _*)
-              .repartition(16, col("block_key"))
-          }
-        else
-          idx0.join(broadcast(sc.select("vec_id")), Seq("vec_id"), "left_anti")
-            .select(idx0.columns.map(col).toIndexedSeq: _*)
+          .flatMap(sc => sc.select("corpus_fp", "del_fp", "folded")
+            .limit(1).collect().headOption.map(h => (sc, h)))
+          .filter { case (_, h) => h.getString(0) == srcFp } match {
+          case None => idx0
+          case Some((sc, head)) =>
+            if (head.getBoolean(2))
+              graft.sources.DurableIndex.attachOrBuildFp(
+                s, dir, "sem_blocks_r", head.getString(1), Some(("block_key", 16))) {
+                // unreachable by construction: the generation publishes
+                // BEFORE its marker — a marker without its fold is a
+                // corrupted warehouse, and rebuilding from the
+                // meta-only sidecar would silently serve deleted rows
+                sys.error(s"sem_del marker ${head.getString(1)} has no " +
+                  "sem_blocks_r generation — warehouse corrupted")
+              }
+            else composed(sc.select("vec_id"))
+        }
     }
   }
 

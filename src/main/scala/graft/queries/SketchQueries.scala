@@ -400,8 +400,11 @@ object SketchQueries {
       dir: String, deletedDocs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val standing = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+    // no broadcast hint: the survivors relation is only ever evaluated
+    // on the PAST-half-mass branch, where the delete set is by
+    // definition sweep-scale — exactly where AQE must choose
     val survivors = standing.join(
-      broadcast(deletedDocs.select("doc_id").distinct()),
+      deletedDocs.select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
     hhRetract(s, deletedDocs, hhStoreTable(s, dir), Some(survivors))
   }

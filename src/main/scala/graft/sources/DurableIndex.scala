@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileStatus, ParentNotDirectoryException, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
 
 /** The durable fingerprint-keyed index machinery, shared by every
   * standing artifact the engine maintains between sessions (the MinHash
@@ -160,6 +160,40 @@ private[graft] object DurableIndex {
       }
     }
     if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
+  }
+
+  /** Whether a live generation of `family` with version `fp` exists on
+    * disk for `dir` — the zero-job mode-resolution probe the retraction
+    * publishers use: once a (corpus fp x delete fp) has folded or
+    * patched, every later call discovers the recorded mode from the
+    * artifact's existence instead of re-running the debt-gate scan. */
+  private[graft] def liveExists(s: SparkSession, dir: String, family: String,
+      fp: String): Boolean = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new Path(s.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(base, s"${family}_${tag}_$fp"))
+  }
+
+  /** The TOMBSTONE-DEBT gate shared by every retraction family (the
+    * band/pair/cc stack, the n-gram family, the ANN index): a delete
+    * folds into a full generation when it exceeds `fraction` of the
+    * standing index rows — one key-column scan of the artifact, NO
+    * broadcast hint (sweep scale is exactly where AQE must choose) —
+    * OR `maxIds` distinct ids outright: the debt fraction alone is
+    * relative, and a 19% takedown of a billion-document corpus would
+    * otherwise pass the gate and saddle every later patch-composed
+    * read with a multi-GB broadcast. The default cap (~4M ids ≈ 32 MB
+    * of longs) matches the library's delta-broadcast byte gate. `del`
+    * must be the distinct, staged delete-id relation keyed `key`. */
+  private[graft] def exceedsDebt(idx: DataFrame, del: DataFrame, key: String,
+      fraction: Double, maxIds: Long = 4L << 20): Boolean = {
+    if (del.count() > maxIds) return true
+    val r = idx.select(key)
+      .join(del.withColumn("d", lit(1)), Seq(key), "left")
+      .agg(count(lit(1)).as("tot"),
+        coalesce(sum(col("d")), lit(0L)).as("deleted")).first()
+    r.getLong(1).toDouble > fraction * r.getLong(0).toDouble
   }
 
   /** Attach the LIVE generation of a plain (non-bucketed) `family` for

@@ -228,12 +228,15 @@ class RetractionSpec extends SparkSpec {
     // round-13 verdict #1: a takedown-sized delete must land an
     // O(|D| + affected-clusters) PATCH generation, not an O(corpus)
     // rewrite. Three publishes against the same base artifacts:
-    //   1. the q154 takedown (~11% of indexed docs) — patch mode;
-    //   2. a GROWN cumulative takedown log (~17%) — still patch mode,
+    //   1. a takedown (~6% of indexed docs) — patch mode;
+    //   2. a GROWN cumulative takedown log (~11%) — still patch mode,
     //      superseding the first patch generation;
     //   3. a sweep (~44%) — the debt gate fires and the family folds.
     // At each step every composed artifact equals BOTH the forced full
-    // rewrite and the fresh build over corpus-minus-deleted.
+    // rewrite and the fresh build over corpus-minus-deleted. The
+    // delete sets are %20-based: the published mode is RECORDED per
+    // (corpus fp x delete fp), so reusing the forced-fold test's
+    // %10==3 set here would resolve to its recorded fold.
     val docs = graft.sources.Tables.documents(spark, sfDir)
 
     def check(del: org.apache.spark.sql.DataFrame, corpus: org.apache.spark.sql.DataFrame,
@@ -254,15 +257,15 @@ class RetractionSpec extends SparkSpec {
       assertSameSet(c, labelsWant, s"$what patch labels vs fresh")
     }
 
-    val del1 = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
-    check(del1, docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+    val del1 = docs.filter(col("doc_id") % 20 === 3).select("doc_id")
+    check(del1, docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 20 =!= 3),
       "delete 1")
 
     // the takedown log GROWS (deletes fold): still under the gate, the
     // next patch generation supersedes the first
-    val del2 = docs.filter(col("doc_id") % 10 === 3 || col("doc_id") % 20 === 5)
+    val del2 = docs.filter(col("doc_id") % 20 === 3 || col("doc_id") % 20 === 5)
       .select("doc_id")
-    check(del2, docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3
+    check(del2, docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 20 =!= 3
       && col("doc_id") % 20 =!= 5), "delete 2 (grown log)")
 
     // the patch sidecar is exactly |D| + |affected labels| + |relabeled
@@ -298,9 +301,11 @@ class RetractionSpec extends SparkSpec {
   test("patch-composed band read: broadcast anti-join over the bare base scan, zero index-side Exchange") {
     // the plan half of round-13 verdict #1: the patched read must add
     // ONLY a broadcast anti-join (of the tiny sidecar's delete ids) to
-    // the base bucketed scan — no Exchange, no rebuild machinery
+    // the base bucketed scan — no Exchange, no rebuild machinery.
+    // %20-based delete set: the %10==3 fp carries the forced-fold
+    // test's recorded fold mode.
     val docs = graft.sources.Tables.documents(spark, sfDir)
-    val del = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    val del = docs.filter(col("doc_id") % 20 === 3).select("doc_id")
     val (bands, _, _, rebuilt) = DedupQueries.retractPublishMode(spark, sfDir, del)
     assert(!rebuilt, "takedown-sized delete tripped the gate")
     bands.collect()
