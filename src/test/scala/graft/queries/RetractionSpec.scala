@@ -333,6 +333,40 @@ class RetractionSpec extends SparkSpec {
       "index-side Exchange between the band-index scan and the patch anti-join")
   }
 
+  test("patch-composed pair read: two broadcast anti-joins over the bare bucketed scan") {
+    // the pairs half of the same claim: the composed pair view adds
+    // exactly the doc_a and doc_b tombstone anti-joins — both
+    // broadcast-hash — to the bucketed pair-index scan, with no
+    // Exchange anywhere on the index side
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val del = docs.filter(col("doc_id") % 20 === 3).select("doc_id")
+    val (_, pairs, _, rebuilt) = DedupQueries.retractPublishMode(spark, sfDir, del)
+    assert(!rebuilt, "takedown-sized delete tripped the gate")
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def isPairScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("pair_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("pair_index"))
+      case _ => false
+    }
+    val path = pathTo(plan, isPairScan)
+      .getOrElse(fail("composed pair view does not read the persisted pair index"))
+    val joins = path.filter(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]
+        || p.isInstanceOf[BroadcastNestedLoopJoinExec]
+        || p.isInstanceOf[CartesianProductExec])
+    assert(joins.size == 2 && joins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected exactly two broadcast-hash anti-joins above the pair scan, " +
+        s"got ${joins.map(_.getClass.getSimpleName)}")
+    val firstJoin = path.indexWhere(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(!path.drop(firstJoin + 1).exists(_.isInstanceOf[Exchange]),
+      "index-side Exchange between the pair-index scan and the patch anti-joins")
+  }
+
   test("past-the-budget n-gram delete is a rebuild: debt gate fires, rebuild == fresh build") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
 

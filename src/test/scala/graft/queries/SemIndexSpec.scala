@@ -115,6 +115,38 @@ class SemIndexSpec extends SparkSpec {
       "a fresh session served deleted vectors")
   }
 
+  test("composed retracted index: one broadcast anti-join over the bare bucketed scan") {
+    // the plan half of the durable-ANN claim: the sidecar-composed
+    // index adds exactly ONE broadcast-hash anti-join (of the tiny
+    // delete log) to the bucketed Exchange-free sem_blocks scan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val del = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    val idx = SimilarityQueries.semRetractedIndex(spark, sfDir, Some(del))
+    idx.collect()
+    val plan = idx.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = flatten(plan)
+    val joins = nodes.filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.size == 1 && joins.head.isInstanceOf[BroadcastHashJoinExec],
+      s"expected exactly one broadcast-hash anti-join, got ${joins.map(_.nodeName)}")
+    val scan = nodes.collectFirst {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("sem_blocks")) => f
+    }
+    assert(scan.isDefined, "composed index does not read the persisted sem_blocks")
+    // no SHUFFLE anywhere (the broadcast build side is an
+    // exchange-by-classname but moves only the tiny delete log)
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      "shuffle Exchange in the composed retracted-index read")
+    assert(scan.exists(_.relation.bucketSpec.exists(b =>
+        b.numBuckets == 16 && b.bucketColumnNames == Seq("block_key"))),
+      "bucket spec lost under the tombstone compose")
+  }
+
   test("past-the-budget ANN delete folds into a full generation == the anti-joined serve") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     // 3 of the 9 indexed slices (~33% of the block-index rows) trips
