@@ -91,12 +91,23 @@ object ScaleGen {
     *      the arriving hot block pushes it across — the df-cut
     *      crossing machinery runs on data, not just on forced specs.
     *
-    * Embeddings are left uniform (vec_id ∩ skew ids = ∅: skew docs
-    * simply have no vectors, and every embedding consumer's inner
-    * join drops them identically in Spark and the oracle). */
+    * And two EMBEDDING blocks (ids offset a further 10M above the doc
+    * skew ids, so the shared doc/vec key space stays disjoint):
+    *
+    *   4. HOT CELL (`hotVecs`, ids ≡ 1 mod 10): identical copies of
+    *      one standing vector — they all assign to ONE (cell, sub)
+    *      block, the overloaded-IVF-list shape boilerplate embeddings
+    *      produce, which the serving probe must survive;
+    *   5. SERVING SURGE (`skewVecs`, ids ≡ 7 mod 10): a query batch
+    *      past the 32 MB staged-broadcast gate (rotated copies of a
+    *      template — the gate is size-based, content is irrelevant),
+    *      so the q124 serving route drops its broadcasts with NO
+    *      forceLarge (SkewSpec audits the plan and proves route
+    *      equality).
+    */
   def generate(spark: SparkSession, src: String, out: String, copies: Int,
       skew: Boolean = false, megaDocs: Int = 3000, hotDocs: Int = 65537,
-      crossingDocs: Int = 40): Unit = {
+      crossingDocs: Int = 40, skewVecs: Int = 70000, hotVecs: Int = 1000): Unit = {
     require(copies >= 1 && copies <= 500,
       s"copies=$copies outside [1,500] — remapText injectivity holds to 500")
 
@@ -163,15 +174,51 @@ object ScaleGen {
     // no longer parallel — without this, 10 verbatim copies per vector
     // inflate the cosine-near-dup set ~100x per bucket and the sf1 run
     // measures duplicate-blowup, not scale.
-    replicate("embeddings", Map("vec_id" -> docCap), (df, i) =>
-      if (i == 0) df
+    val embScaled = (0 until copies).map { i =>
+      val shifted = t("embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(docCap * i))
+      if (i == 0) shifted
       else {
         val d = size(col("embedding"))
         val off = lit(i * 7) % d // mod the dim so any copy count is valid
-        df.withColumn("embedding",
+        shifted.withColumn("embedding",
           concat(slice(col("embedding"), off + 1, d - off),
             slice(col("embedding"), lit(1), off)))
+      }
+    }.reduce(_ unionByName _)
+    write("embeddings",
+      if (!skew) embScaled
+      else embScaled.unionByName(
+        skewVecBlocks(spark, embScaled,
+          docCap * copies + 10L * 1000 * 1000, skewVecs, hotVecs)))
+  }
+
+  /** The two embedding skew blocks (see [[generate]]'s Scaladoc):
+    * identical copies of one template vector for the hot cell, rotated
+    * copies for the serving surge. `vecSkewBase` sits 10M above the
+    * doc skew ids so the shared key space stays disjoint. */
+  private[tools] def skewVecBlocks(spark: SparkSession, emb: DataFrame,
+      vecSkewBase: Long, skewVecs: Int, hotVecs: Int): DataFrame = {
+    val template = emb.orderBy("vec_id").limit(1).localCheckpoint()
+    val cols = emb.columns
+    def block(n: Int, idOf: Column => Column,
+        embOf: Column => Column): DataFrame =
+      template.crossJoin(spark.range(n).select(col("id").as("_i")))
+        .withColumn("vec_id", idOf(col("_i")))
+        .withColumn("embedding", embOf(col("_i")))
+        .select(cols.map(col).toIndexedSeq: _*)
+    val hot = block(hotVecs,
+      i => lit(vecSkewBase) + i * 10 + 1,
+      _ => col("embedding"))
+    val surge = block(skewVecs,
+      i => lit(vecSkewBase) + (lit(hotVecs.toLong) + i) * 10 + 7,
+      i => {
+        val d = size(col("embedding"))
+        val off = pmod(i, d - 1).cast("int")
+        concat(slice(col("embedding"), off + 1, d - off),
+          slice(col("embedding"), lit(1), off))
       })
+    hot.unionByName(surge)
   }
 
   /** The three skew blocks (see [[generate]]'s Scaladoc). Non-key

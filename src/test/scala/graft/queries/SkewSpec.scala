@@ -85,4 +85,48 @@ class SkewSpec extends SparkSpec {
       "the skewed delta stayed under the broadcast gate")
     DedupQueries.rmQuietly(dir)
   }
+
+  test("skew embeddings: hot cell forms, the serving surge drops its broadcasts naturally, routes agree") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    // small doc blocks (they are proven above); full-size embedding
+    // blocks — the 32 MB staged-broadcast gate is a fixed contract, so
+    // the serving surge must actually be that big
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_emb").toString
+    graft.tools.ScaleGen.generate(spark, sfDir, dir, 1, skew = true,
+      megaDocs = 60, hotDocs = 300, crossingDocs = 10,
+      skewVecs = 70000, hotVecs = 1000)
+
+    // 1. the identical boilerplate vectors all land in ONE block — the
+    //    overloaded-IVF-list shape the serving probe must survive
+    val idx = SimilarityQueries.semBlockIndexTable(spark, dir)
+    val hotBlocks = idx.filter(col("vec_id") % 10 === 1
+        && col("vec_id") >= 10L * 1000 * 1000)
+      .select("block_key").distinct().count()
+    assert(hotBlocks == 1L, s"hot vectors scattered across $hotBlocks blocks")
+
+    // 2. the ungated serving route drops its broadcasts: the candidate
+    //    join against the bucketed index runs as the merge-hinted
+    //    sort-merge join — the large route's plan signature — with
+    //    nothing forced
+    val served = SimilarityQueries.semIndexTopK(spark, dir)
+    served.collect()
+    assert(flatten(served.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a 70k-vector serving batch still took the broadcast route")
+
+    // 3. both routes produce the identical top-K on the skewed data —
+    //    including inside the hot cell
+    val small = SimilarityQueries.semIndexTopK(spark, dir,
+      forceLarge = Some(false))
+    assert(served.exceptAll(small).isEmpty && small.exceptAll(served).isEmpty,
+      "serving routes disagree on the skewed corpus")
+    DedupQueries.rmQuietly(dir)
+  }
 }
