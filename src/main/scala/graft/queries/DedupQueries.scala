@@ -554,12 +554,15 @@ object DedupQueries {
       deltaDocs: DataFrame, corpusBands: DataFrame): DataFrame =
     crossPairsAgainstSh(s, dir, shingle(deltaDocs).localCheckpoint(), corpusBands)
 
-  /** [[crossPairsAgainst]] over ALREADY-STAGED delta shingles, so a
-    * caller that also needs the shingles for its within-delta pairs
-    * (q158's appends) tokenizes the delta exactly once. */
+  /** [[crossPairsAgainst]] over ALREADY-STAGED delta shingles (and
+    * optionally already-staged delta bands), so a caller that also
+    * needs them for its within-delta pairs and band growth (q158's
+    * appends) tokenizes and signs the delta exactly once. */
   private[queries] def crossPairsAgainstSh(s: SparkSession, dir: String,
-      deltaSh: DataFrame, corpusBands: DataFrame): DataFrame =
-    matchesAgainstIndex(s, dir, deltaSh, corpusBands)
+      deltaSh: DataFrame, corpusBands: DataFrame,
+      deltaBandsOpt: Option[DataFrame] = None): DataFrame =
+    matchesAgainstIndex(s, dir, deltaSh, corpusBands,
+        deltaBandsOpt = deltaBandsOpt)
       .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
         greatest(col("delta_id"), col("corpus_id")).as("doc_b"),
         col("jaccard"))
@@ -2191,11 +2194,17 @@ object DedupQueries {
         .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
       def append(delta: DataFrame): Unit = {
         val deltaSh = shingle(delta).localCheckpoint()
-        val fresh = minhashPairsOf(deltaSh)
-          .unionByName(crossPairsAgainstSh(s, dir, deltaSh, bands))
+        // the delta's bands feed THREE consumers (within-delta
+        // self-join, cross probe, band growth): signed once. Lazy
+        // checkpoint — the first consumer materializes it, the others
+        // reuse the blocks without an extra blocking job
+        val deltaBands = sigBands(deltaSh).localCheckpoint(eager = false)
+        val fresh = minhashPairsOf(deltaSh, Some(deltaBands))
+          .unionByName(crossPairsAgainstSh(s, dir, deltaSh, bands,
+            Some(deltaBands)))
           .localCheckpoint()
         pairs = pairs.unionByName(fresh).localCheckpoint()
-        bands = bands.unionByName(sigBands(deltaSh)).localCheckpoint()
+        bands = bands.unionByName(deltaBands).localCheckpoint()
         labels = connectedComponents(
           star(labels).unionByName(fresh.select("doc_a", "doc_b")))._1
           .localCheckpoint()
