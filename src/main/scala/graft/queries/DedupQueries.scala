@@ -3003,15 +3003,15 @@ object DedupQueries {
     * per-batch cost scales with the delta and the matched buckets,
     * never with corpus^2 or a corpus re-minhash (PlanAuditSpec asserts
     * zero corpus-side Exchange on q93's plan). Exact-Jaccard
-    * verification touches only candidate pairs, and even the shingle
-    * pass it needs is candidate-pruned: a semi-join restricts corpus
-    * tokenization to the matched docs, so NO stage re-reads corpus
-    * text at corpus granularity (at 100 TB, with documents bucketed on
-    * doc_id, the semi-join also prunes the scan). */
+    * verification touches only candidate pairs, and the candidates'
+    * shingles come OUT OF THE POSTINGS ARTIFACT (the standing shingle
+    * set, verbatim — the q142/q150 zero-text rule applied to the
+    * MinHash probes): the probe reads two durable artifacts and the
+    * delta, never corpus text. */
   private def incrementalMatches(s: SparkSession, dir: String,
       deltaDocs: DataFrame, forceLarge: Option[Boolean] = None): DataFrame =
     matchesAgainstIndex(s, dir, shingle(deltaDocs).localCheckpoint(),
-      bandIndexTable(s, dir), forceLarge)
+      bandIndexTable(s, dir), forceLarge, candShFromPostings = true)
 
   /** The index-probe half of [[incrementalMatches]], parameterized over
     * the index relation so q107 can probe (and then grow) its own
@@ -3033,9 +3033,9 @@ object DedupQueries {
   private def matchesAgainstIndex(s: SparkSession, dir: String,
       deltaSh: DataFrame, corpusBands: DataFrame,
       forceLarge: Option[Boolean] = None,
-      deltaBandsOpt: Option[DataFrame] = None): DataFrame = {
+      deltaBandsOpt: Option[DataFrame] = None,
+      candShFromPostings: Boolean = false): DataFrame = {
     val large = forceLarge.getOrElse(deltaIsLarge(deltaSh))
-    val docs = Tables.documents(s, dir)
     // deltaBandsOpt: a caller that also writes/self-joins the delta's
     // bands (the q107/q134 drains) stages them ONCE per batch and
     // passes them in, instead of re-running the 12-min-agg signature
@@ -3049,8 +3049,21 @@ object DedupQueries {
       .select(col("dd"), col("doc_id").as("cd"))
       .distinct()
     val candIds = cand.select(col("cd").as("doc_id")).distinct()
-    val candSh = shingle(docs.join(
-        if (large) candIds else broadcast(candIds), Seq("doc_id"), "left_semi"))
+    // candShFromPostings: when the probed index is the durable STANDING
+    // band index, its documents' shingles are exactly the postings
+    // artifact's (doc_id, sg) rows — the verify pass then reads a
+    // 2-column columnar artifact scan instead of semi-join-pruned TEXT
+    // plus a re-tokenize (the q142/q150 zero-text rule). Stream-grown
+    // indexes (q107/q134) keep the text path: their candidates include
+    // docs outside the artifact's standing slice.
+    def prunedIds(df: DataFrame): DataFrame = df.join(
+      if (large) candIds else broadcast(candIds), Seq("doc_id"), "left_semi")
+    val candSh =
+      (if (candShFromPostings)
+        prunedIds(ngramPostingsTable(s, dir).select("doc_id", "sg"))
+      else
+        // the semi-join prunes TEXT before the tokenize, not after
+        shingle(prunedIds(Tables.documents(s, dir))))
       .localCheckpoint()
     val cnt = deltaSh.unionByName(candSh)
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
