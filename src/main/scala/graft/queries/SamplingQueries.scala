@@ -116,22 +116,27 @@ object SamplingQueries {
        |     - greatest(cumx, window_id * $CtxWindow) AS BIGINT) AS tok_in_window
        |FROM e""".stripMargin
 
+  /** q55's oracle — and q160's VERBATIM (the streaming fold is
+    * result-identical by the bottom-k merge identity). */
+  private val sampleOracle: String =
+    s"""WITH h AS (SELECT doc_id, lang,
+       |    ${sqlMd5Hash48(s"'$Salt:' || doc_id::VARCHAR")} AS hk
+       |  FROM documents),
+       |uni AS (SELECT doc_id, lang FROM h
+       |        ORDER BY hk, doc_id LIMIT $UniformK),
+       |strat AS (SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang,
+       |      row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+       |    FROM h) WHERE rn <= $PerStratumK)
+       |SELECT 'uniform' AS sample_kind, doc_id, lang FROM uni
+       |UNION ALL
+       |SELECT 'stratified' AS sample_kind, doc_id, lang FROM strat""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q55_deterministic_sample",
       s"hash-ranked sampling: uniform top-$UniformK over the whole corpus (TakeOrderedAndProject, no global sort) UNION per-language stratified top-$PerStratumK (one shuffle on lang); salted md5 rank makes both reproducible",
-      s"""WITH h AS (SELECT doc_id, lang,
-         |    ${sqlMd5Hash48(s"'$Salt:' || doc_id::VARCHAR")} AS hk
-         |  FROM documents),
-         |uni AS (SELECT doc_id, lang FROM h
-         |        ORDER BY hk, doc_id LIMIT $UniformK),
-         |strat AS (SELECT doc_id, lang FROM (
-         |    SELECT doc_id, lang,
-         |      row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
-         |    FROM h) WHERE rn <= $PerStratumK)
-         |SELECT 'uniform' AS sample_kind, doc_id, lang FROM uni
-         |UNION ALL
-         |SELECT 'stratified' AS sample_kind, doc_id, lang FROM strat""".stripMargin) { (s, dir) =>
+      sampleOracle) { (s, dir) =>
       val h = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         md5Hash48(concat(lit(s"$Salt:"), col("doc_id").cast("string"))).as("hk"))
       // top-k by hash rank: compiles to TakeOrderedAndProject — each
@@ -338,7 +343,97 @@ object SamplingQueries {
       "streaming context packing: 3 ordered doc_id-range drops, per-batch prefix sum offset by committed-tokens-so-far (sink minus own partition -> replay-idempotent); final table == batch q118 verbatim",
       contextPackingOracle) { (s, dir) =>
       streamContextPacking(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic sampling LIVE — the sampling family's streaming
+    // cell, closing its {batch, streaming} symmetry: a hash-ranked
+    // bottom-k IS a distributed reservoir, because bottom-k merges —
+    // bottomK(A ∪ B) == bottomK(bottomK(A) ∪ bottomK(B)), per stratum
+    // too — so each micro-batch keeps only its LOCAL bottom-k
+    // (bounded state: k + strata x k rows per batch, whatever the
+    // batch size) and one post-drain fold re-ranks the shard union.
+    // Shards carry their hash ranks, so the fold never re-hashes, and
+    // each shard is a pure function of its batch — the batch_id
+    // dynamic overwrite makes replays idempotent (StreamReplaySpec
+    // chaos-kill). Drop order is irrelevant (merge commutes). At
+    // 100 TB this is how a held-out eval set tracks an append-only
+    // corpus: constant-size state per ingest batch, no corpus re-rank,
+    // and the same sample every engine and every run. == batch q55
+    // under the verbatim oracle.
+    QueryDef(
+      "q160_stream_sample",
+      s"STREAMING deterministic sampling: each micro-batch lands its LOCAL hash-rank bottom-$UniformK uniform + per-lang bottom-$PerStratumK stratified shard (bounded state — the distributed-reservoir merge identity bottomK(A∪B) == bottomK(bottomK(A)∪bottomK(B))), one post-drain fold re-ranks the shard union — == batch q55 verbatim",
+      sampleOracle) { (s, dir) =>
+      streamSample(s, dir)
     })
+
+  /** q160's body; test hooks (chaos/scratch/resume) as in
+    * [[DedupQueries.streamIncrementalDedup]]. */
+  private[queries] def streamSample(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      chaos: Long => Unit = _ => (),
+      scratch: Option[(String, String)] = None,
+      resume: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
+    val docs = Tables.documents(s, dir).select("doc_id", "lang")
+    val (srcDir, ckpt) = scratch.getOrElse(
+      (DedupQueries.streamScratch("graft_q160_src"),
+        DedupQueries.streamScratch("graft_q160_ckpt")))
+    val outTable = JvmScratch.tableName("stream_sample_shards")
+    def rank(h: DataFrame): DataFrame = {
+      val uni = h.orderBy(col("hk"), col("doc_id")).limit(UniformK)
+        .select(lit("uniform").as("sample_kind"),
+          col("doc_id"), col("lang"), col("hk"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+      val strat = h.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= PerStratumK)
+        .select(lit("stratified").as("sample_kind"),
+          col("doc_id"), col("lang"), col("hk"))
+      uni.unionByName(strat)
+    }
+    try {
+      if (!resume) {
+        DedupQueries.stageDropsCached(s, dir, "q160", "documents.parquet", srcDir, 3)(
+          i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+        JvmScratch.resetTable(s, "stream_sample_shards")
+        createBatchSink(s, outTable, Seq("sample_kind" -> "string",
+          "doc_id" -> "bigint", "lang" -> "string", "hk" -> "bigint"))
+      }
+      val schema = docs.schema
+      withStreamConfs(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // the batch's LOCAL sample shard — a pure function of the
+            // batch, so the dynamic overwrite is replay-idempotent
+            val h = batch.select(col("doc_id"), col("lang"),
+              md5Hash48(concat(lit(s"$Salt:"), col("doc_id").cast("string")))
+                .as("hk"))
+            rank(h).withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").insertInto(outTable)
+            chaos(batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.catalog.refreshTable(outTable)
+      // the fold: re-rank the combined shard pool (bounded — at most
+      // 3 x (K + strata x k) rows) through the SAME rank tail; shards
+      // carry their hash ranks, so no re-hash and no corpus touch.
+      // Exactness over the POOL (not per-kind): every true global
+      // winner is a winner within its own batch, so truth ⊆ pool ⊆
+      // corpus — ranking the pool reproduces the corpus rank exactly,
+      // for the uniform K and for every stratum
+      rank(s.table(outTable).select("doc_id", "lang", "hk").distinct())
+        .select("sample_kind", "doc_id", "lang")
+    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
+  }
 
   /** q123's body; test hooks (chaos/scratch/resume) as in
     * [[DedupQueries.streamIncrementalDedup]]. */

@@ -263,6 +263,33 @@ class StreamReplaySpec extends SparkSpec {
     } finally rm(scratch)
   }
 
+  test("q160: a replayed sample shard rewrites identical rows, the fold is unchanged") {
+    // the sample shard is a pure function of its batch, so the
+    // batch_id dynamic overwrite must absorb a replay — a
+    // double-applied shard would be invisible here anyway (the fold
+    // dedups and re-ranks), which makes this the belt to that braces:
+    // the partition overwrite is still asserted because the SHARD
+    // table is the durable artifact a downstream consumer may read
+    val clean = SamplingQueries.streamSample(spark, sfDir)
+      .orderBy("sample_kind", "doc_id").collect().toSeq
+    assert(clean.nonEmpty, "clean q160 run produced no sample — test is vacuous")
+
+    val scratch = (tmp("graft_rp160_src"), tmp("graft_rp160_ckpt"))
+    try {
+      val chaos = new CrashOnce
+      intercept[StreamingQueryException] {
+        SamplingQueries.streamSample(spark, sfDir, chaos.hook, Some(scratch))
+      }
+      assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      val replayed = SamplingQueries
+        .streamSample(spark, sfDir, scratch = Some(scratch), resume = true)
+        .orderBy("sample_kind", "doc_id").collect().toSeq
+      assert(replayed == clean,
+        s"replayed drain diverged from the clean run: ${replayed.size} rows vs ${clean.size}")
+    } finally rm(scratch)
+  }
+
   test("q126: a replayed serving micro-batch re-answers its queries identically") {
     val clean = SimilarityQueries.streamAnnServe(spark, sfDir)
       .orderBy("q_id", "rank").collect().toSeq
