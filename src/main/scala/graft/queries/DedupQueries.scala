@@ -490,6 +490,13 @@ object DedupQueries {
             col("doc_id").as("a"), col("label").as("b")))
           .coalesce(1)
       }.localCheckpoint()
+      // a forced fold that crashed after publishing band/pair but short
+      // of cc_index_r (the mode record) leaves corpus-scale orphan
+      // generations under this fp that patch-mode reads never attach:
+      // patch resolution proves they're dead partials — park them under
+      // the standard grace window (round-15 advice)
+      graft.sources.DurableIndex.retireIfLive(s, dir, "band_index_r", fp)
+      graft.sources.DurableIndex.retireIfLive(s, dir, "pair_index_r_b16", fp)
       val delR = patch.filter(col("kind") === "del").select(col("a").as("doc_id"))
       val affR = patch.filter(col("kind") === "aff").select(col("a").as("label"))
       val ccR = patch.filter(col("kind") === "cc")
@@ -2296,7 +2303,21 @@ object DedupQueries {
     * order-dependent drains (q107/q134) need it deterministic.
     * Cache placement follows [[streamScratch]] (bench/test scratch
     * only — a production drain reads a real feed, not staged drops);
-    * stale-fingerprint siblings are purged on build. */
+    * stale-fingerprint siblings are purged on build.
+    *
+    * The cache key is (family, dir tag, corpus fp, SLICE-PLAN fp):
+    * the last component hashes the canonicalized analyzed plans of
+    * all n slices, so any change to a family's drop slicing —
+    * predicate, bounds, columns, drop count — mints a new key instead
+    * of silently serving the old slicing's cached drops (round-15
+    * advice). Plan canonicalization normalizes expression ids, so the
+    * hash is stable across sessions; a spurious mismatch merely costs
+    * one rebuild. Growth is bounded two ways: same-(family, tag)
+    * siblings purge on build (corpus regenerated), and a global
+    * age sweep drops ANY entry idle past [[DropCacheIdleMs]] —
+    * read hits bump the entry's mtime, so only truly idle tags decay.
+    * The post-sweep read race (a concurrent purge deleting the entry
+    * mid-copy) is tolerated: the reader rebuilds once and re-copies. */
   private[queries] def stageDropsCached(s: SparkSession, dir: String,
       family: String, srcFile: String, srcDir: String, n: Int)
       (slice: Int => DataFrame): Unit = synchronized {
@@ -2306,24 +2327,33 @@ object DedupQueries {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val fp = graft.sources.DurableIndex.fingerprint(s, dir, srcFile)
+    val sliceFp = {
+      val planText = (0 until n)
+        .map(i => slice(i).queryExecution.analyzed.canonicalized.toString)
+        .mkString("\n")
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(planText.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val shm = Paths.get("/dev/shm")
     val cacheBase = (if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
       else Paths.get(System.getProperty("java.io.tmpdir")))
       .resolve("graft_drop_cache")
-    val root = cacheBase.resolve(s"${family}_${tag}_$fp")
+    val root = cacheBase.resolve(s"${family}_${tag}_$fp$sliceFp")
     def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val st = Files.list(p)
       try st.iterator().asScala.toList finally st.close()
     }
-    if (!Files.isDirectory(root)) {
+    def build(): Unit = {
       Files.createDirectories(cacheBase)
       // purge stale FINGERPRINTS of this (family, dir) — a regenerated
-      // corpus must not leak old drop sets into the cache forever. The
-      // filter is the DurableIndex shape: the suffix must be exactly a
-      // hex fingerprint, which excludes concurrent builders' '.build'
-      // tmp dirs; the current fp is excluded explicitly (a racer may
-      // publish it between the isDirectory check above and this purge)
+      // corpus (or a re-sliced family) must not leak old drop sets into
+      // the cache forever. The filter is the DurableIndex shape: the
+      // suffix must be exactly a hex fingerprint, which excludes
+      // concurrent builders' '.build' tmp dirs; the current key is
+      // excluded explicitly (a racer may publish it between the
+      // isDirectory check above and this purge)
       listDir(cacheBase)
         .filter { p =>
           val nm = p.getFileName.toString
@@ -2332,8 +2362,19 @@ object DedupQueries {
             nm.substring(s"${family}_${tag}_".length).matches("[0-9a-f]+")
         }
         .foreach(p => rmQuietly(p.toString))
+      // global sweep: entries of OTHER (family, tag) pairs — dead
+      // working dirs above all — decay once idle past the grace window
+      // (read hits bump mtime below, so live tags never qualify)
+      val cutoff = System.currentTimeMillis() - DropCacheIdleMs
+      listDir(cacheBase)
+        .filter { p =>
+          p != root && !p.getFileName.toString.contains(".build") &&
+            (try Files.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })
+        }
+        .foreach(p => rmQuietly(p.toString))
       val tmp = cacheBase.resolve(
-        s"${family}_${tag}_$fp.build${ProcessHandle.current().pid()}")
+        s"${family}_${tag}_$fp$sliceFp.build${ProcessHandle.current().pid()}")
       rmQuietly(tmp.toString)
       Files.createDirectories(tmp)
       (0 until n).foreach { i =>
@@ -2351,14 +2392,38 @@ object DedupQueries {
         case _: java.nio.file.DirectoryNotEmptyException => rmQuietly(tmp.toString)
       }
     }
-    (0 until n).foreach { i =>
-      val dst = Paths.get(srcDir, s"drop_$i.parquet")
-      Files.copy(root.resolve(s"drop_$i.parquet"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    def readOut(): Unit = {
+      (0 until n).foreach { i =>
+        val dst = Paths.get(srcDir, s"drop_$i.parquet")
+        Files.copy(root.resolve(s"drop_$i.parquet"), dst,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+      // a read IS liveness: bump the entry so the global sweep only
+      // ever collects idle tags
+      try Files.setLastModifiedTime(root,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+    }
+    if (!Files.isDirectory(root)) build()
+    try readOut()
+    catch {
+      // a concurrent sweep purged the entry between publish and copy:
+      // clear whatever half-deleted shell remains (the atomic republish
+      // cannot land on a surviving dir), rebuild once, re-read — a
+      // second consecutive race is a loud failure, not silent corruption
+      case _: java.nio.file.NoSuchFileException =>
+        rmQuietly(root.toString); build(); readOut()
     }
   }
+
+  /** Idle grace before the global drop-cache sweep collects an entry —
+    * long enough that every drain family of an active working dir reads
+    * (and mtime-bumps) its entry well inside the window. */
+  private val DropCacheIdleMs: Long =
+    sys.env.get("SPARK_GRAFT_DROP_CACHE_IDLE_MS").map(_.toLong)
+      .getOrElse(6L * 3600 * 1000)
 
   /** Pre-create an EMPTY batch_id-partitioned parquet sink so every
     * micro-batch — and any at-least-once REPLAY of it — lands as a

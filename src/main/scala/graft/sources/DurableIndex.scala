@@ -175,6 +175,33 @@ private[graft] object DurableIndex {
     fs.exists(new Path(base, s"${family}_${tag}_$fp"))
   }
 
+  /** Park a specific live (family, fp) generation as `.retired` (its
+    * catalog entry dropped when present) — the opportunistic cleanup
+    * for orphan PARTIALS a crashed fold left behind: a fold publishes
+    * its artifacts in a fixed order with the mode-record table LAST,
+    * so a later run that resolves to patch mode under the same fp has
+    * proven any same-fp sibling is a dead partial (round-15 advice).
+    * Parking (not deleting) keeps the one-build grace window: a
+    * concurrent reader mid-scan finishes, the NEXT build purges. A
+    * pathological race with a concurrent fold mid-publish merely costs
+    * that fold a rebuild of the parked artifact (attachOrBuild restores
+    * whatever is missing) — never a wrong result. No-op when nothing
+    * is live. */
+  private[graft] def retireIfLive(s: SparkSession, dir: String, family: String,
+      fp: String): Unit = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tableName = s"${family}_${tag}_$fp"
+    val base = new Path(s.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = new Path(base, tableName)
+    if (fs.exists(live)) {
+      s.sql(s"DROP TABLE IF EXISTS $IndexDb.$tableName")
+      val parked = new Path(base, s"$tableName.retired")
+      if (fs.exists(parked)) fs.delete(parked, true)
+      fs.rename(live, parked): Unit
+    }
+  }
+
   /** The TOMBSTONE-DEBT gate shared by every retraction family (the
     * band/pair/cc stack, the n-gram family, the ANN index): a delete
     * folds into a full generation when it exceeds `fraction` of the

@@ -92,7 +92,10 @@ object ScaleGen {
     *      crossing machinery runs on data, not just on forced specs.
     *
     * And two EMBEDDING blocks (ids offset a further 10M above the doc
-    * skew ids, so the shared doc/vec key space stays disjoint):
+    * skew ids, so the skew blocks collide with nothing; each skew
+    * vec_id gets a mirror STUB document row — see [[skewVecStubDocs]] —
+    * so the table-level invariant "embeddings share the documents key
+    * space" survives skew and doc/vec joins keep every skew vector):
     *
     *   4. HOT CELL (`hotVecs`, ids ≡ 1 mod 10): identical copies of
     *      one standing vector — they all assign to ONE (cell, sub)
@@ -164,9 +167,11 @@ object ScaleGen {
     }.reduce(_ unionByName _)
     write("documents",
       if (!skew) docsScaled
-      else docsScaled.unionByName(
-        skewBlocks(spark, docsScaled, docCap * copies,
-          megaDocs, hotDocs, crossingDocs)))
+      else docsScaled
+        .unionByName(skewBlocks(spark, docsScaled, docCap * copies,
+          megaDocs, hotDocs, crossingDocs))
+        .unionByName(skewVecStubDocs(spark, docsScaled,
+          docCap * copies + 10L * 1000 * 1000, skewVecs, hotVecs)))
     // embeddings share the documents key space (q29 joins vec_id = doc_id).
     // Per-replica dimension ROTATION: permuting coordinates preserves
     // norms and every intra-replica pairwise cosine exactly (planted
@@ -219,6 +224,31 @@ object ScaleGen {
           slice(col("embedding"), lit(1), off))
       })
     hot.unionByName(surge)
+  }
+
+  /** Stub document rows mirroring the skew EMBEDDING ids: the shared
+    * key-space invariant (every vec_id is a doc_id — the q29-style
+    * doc/vec join) must survive the skew blocks, or any such join
+    * silently drops the skew vectors (round-15 advice). Texts are
+    * unique per doc with zero cross-doc token overlap, so the stubs
+    * plant no near-dup pairs, carry no hot shingle, and leave every
+    * dedup / df-cut / mega-cluster assertion untouched; they only
+    * grow the mod-10 slices the drop predicates already absorb. Id
+    * formulas are EXACTLY [[skewVecBlocks]]'s. */
+  private[tools] def skewVecStubDocs(spark: SparkSession, docs: DataFrame,
+      vecSkewBase: Long, skewVecs: Int, hotVecs: Int): DataFrame = {
+    val template = docs.orderBy("doc_id").limit(1).localCheckpoint()
+    val cols = docs.columns
+    def block(n: Int, idOf: Column => Column, tagPrefix: String): DataFrame =
+      template.crossJoin(spark.range(n).select(col("id").as("_i")))
+        .withColumn("doc_id", idOf(col("_i")))
+        .withColumn("text",
+          concat_ws(" ", (0 until 8).map(j =>
+            concat(lit(s"$tagPrefix${j}x"), col("_i"))): _*))
+        .select(cols.map(col).toIndexedSeq: _*)
+    block(hotVecs, i => lit(vecSkewBase) + i * 10 + 1, "vh")
+      .unionByName(block(skewVecs,
+        i => lit(vecSkewBase) + (lit(hotVecs.toLong) + i) * 10 + 7, "vs"))
   }
 
   /** The three skew blocks (see [[generate]]'s Scaladoc). Non-key

@@ -471,4 +471,56 @@ class RetractionSpec extends SparkSpec {
     assert(!path.drop(joinIdx + 1).exists(_.isInstanceOf[Exchange]),
       "index-side Exchange between the band-index scan and the tombstone anti-join")
   }
+
+  test("a crashed fold's orphan partials are parked by the next patch-mode publish") {
+    // a forced fold publishes band_index_r, then pair_index_r_b16, then
+    // cc_index_r (the mode record) — a crash between the second and
+    // third leaves corpus-scale partials under that fp which a later
+    // unforced run (resolving to patch mode) never attaches. Round-15
+    // advice: patch resolution PROVES those siblings are dead — park
+    // them under the standard one-build grace window.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // a delete-set fp no other test publishes under (recorded modes are
+    // per (corpus fp x delete fp) and the warehouse is suite-shared)
+    val del = docs.filter(col("doc_id") % 40 === 23)
+      .select("doc_id").distinct().localCheckpoint()
+    val fp = DedupQueries.retractionFp(spark, sfDir, del)
+
+    // plant the crash state: band + pair generations live, NO cc record
+    val retracted = DedupQueries.retractMaintain(
+      DedupQueries.bandIndexTable(spark, sfDir),
+      DedupQueries.pairIndexTable(spark, sfDir),
+      DedupQueries.ccIndexTable(spark, sfDir), del)
+    graft.sources.DurableIndex.attachOrBuildFp(
+      spark, sfDir, "band_index_r", fp, Some(("band_key", 16)))(retracted._1)
+    graft.sources.DurableIndex.attachOrBuildFp(
+      spark, sfDir, "pair_index_r_b16", fp, Some(("doc_a", 16)))(
+      retracted._2.repartition(16, col("doc_a")))
+    assert(graft.sources.DurableIndex.liveExists(spark, sfDir, "band_index_r", fp)
+      && graft.sources.DurableIndex.liveExists(spark, sfDir, "pair_index_r_b16", fp)
+      && !graft.sources.DurableIndex.liveExists(spark, sfDir, "cc_index_r", fp),
+      "crash-state plant failed")
+
+    // the next unforced publish resolves to patch mode (a ~2.5% delete
+    // is far under the gate) and parks the dead partials
+    val (b, _, c, rebuilt) = DedupQueries.retractPublishMode(spark, sfDir, del)
+    assert(!rebuilt, "a takedown-sized delete tripped the debt gate")
+    assert(!graft.sources.DurableIndex.liveExists(spark, sfDir, "band_index_r", fp)
+      && !graft.sources.DurableIndex.liveExists(spark, sfDir, "pair_index_r_b16", fp),
+      "orphan fold partials still live after a patch-mode publish")
+    // parked (grace window), not deleted out from under a reader
+    // warehouse.dir is a file: URI — strip the scheme for NIO paths
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      s"$warehouse/graft_band_index_r/band_index_r_${tag}_$fp.retired")),
+      "orphan band partial was deleted instead of parked")
+
+    // and the patch-composed read is still exact
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 40 =!= 23)
+    assertSameSet(b, DedupQueries.bandsOfDocs(corpus), "post-park bands vs fresh")
+    val (labelsWant, _) = DedupQueries.connectedComponents(
+      DedupQueries.pairsOfDocs(corpus).select("doc_a", "doc_b"))
+    assertSameSet(c, labelsWant, "post-park labels vs fresh")
+  }
 }
