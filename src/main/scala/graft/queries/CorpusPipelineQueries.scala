@@ -60,10 +60,16 @@ object CorpusPipelineQueries {
            |  FROM disp)""".stripMargin
       }) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val neardup = DedupQueries.minhashPairs(s, dir)
+      // the production run READS the standing artifacts (round-15
+      // verdict #4): pairs from the durable pair/band/postings stack
+      // (only the arriving %10==7 slice is tokenized — the q130
+      // identity, proven == the from-scratch pipeline), span hashes
+      // from the durable span index (zero 13-gram shingling). The
+      // oracle is unchanged: the artifacts hold exactly these facts.
+      val neardup = DedupQueries.corpusPairsIndexed(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("nd", lit(1))
-      val sh13 = DedupQueries.spanHashes13(s, dir)
+      val sh13 = DedupQueries.spanIndexTable(s, dir)
       val benchsh = sh13.filter(col("doc_id") % 5 === 0)
         .select(col("h")).distinct()
       val contaminated = sh13.filter(col("doc_id") % 5 =!= 0)
@@ -75,8 +81,7 @@ object CorpusPipelineQueries {
       // quality carries every doc_id exactly once, so it IS the driving
       // table — no separate documents scan re-joined on doc_id
       val quality = docs.select(col("doc_id"),
-        when(size(toks) >= 10
-          && size(filter(toks, t => array_contains(stopArr, t))) > 0, 1)
+        when(size(toks) >= 10 && arrays_overlap(toks, stopArr), 1)
           .otherwise(0).as("q"))
       val b = SamplingQueries.splitBucket(col("doc_id"))
       quality

@@ -581,6 +581,35 @@ object DedupQueries {
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(shingleDf(s, dir).localCheckpoint())
 
+  /** Full-corpus near-dup pairs composed from the STANDING artifacts —
+    * the q100 production path (round-15 verdict #4): the durable pair
+    * table carries every pair within the indexed %10!=7 corpus as a
+    * bare bucketed scan, and the arriving %10==7 slice contributes the
+    * two delta legs of the q130 identity — cross pairs probed against
+    * the durable band index with candidates' shingles read from the
+    * postings artifact (zero standing text), plus within-delta pairs.
+    * The only tokenization is the arriving slice itself: exactly the
+    * marginal cost a disposition run pays for data not yet indexed.
+    * LSH signatures are per-doc, so slicing commutes with candidate
+    * generation and the union == [[minhashPairs]] (the from-scratch
+    * full-corpus pipeline) EXACTLY — OperatorPropertiesSpec proves the
+    * identity. */
+  private[queries] def corpusPairsIndexed(s: SparkSession, dir: String): DataFrame = {
+    val arriving = Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
+    val deltaSh = shingle(arriving).localCheckpoint()
+    // the delta is signed ONCE for both legs (the q158 rule); both
+    // stagings are EAGER — isolate-benched against the lazy form,
+    // which recomputes the shingle stage inside the single fused job
+    val deltaBands = sigBands(deltaSh).localCheckpoint()
+    val cross = matchesAgainstIndex(s, dir, deltaSh, bandIndexTable(s, dir),
+        deltaBandsOpt = Some(deltaBands), candShFromPostings = true)
+      .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("delta_id"), col("corpus_id")).as("doc_b"))
+    pairIndexTable(s, dir).select("doc_a", "doc_b")
+      .unionByName(cross)
+      .unionByName(minhashPairsOf(deltaSh, Some(deltaBands)).select("doc_a", "doc_b"))
+  }
+
   /** [[minhashPairs]] parameterized over the staged shingle set, so the
     * same candidate/verify pipeline runs on any document subset (q130
     * runs it on the corpus slice and on the delta slice separately —
