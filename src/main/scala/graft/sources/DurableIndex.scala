@@ -108,23 +108,7 @@ private[graft] object DurableIndex {
           case None =>
             build.write.format("parquet").save(tmp.toString)
         }
-        // Publish via a primitive that FAILS when the destination
-        // exists (see object Scaladoc); the catch IS the lost-race
-        // branch.
-        val lostRace =
-          try {
-            FileContext.getFileContext(loc.toUri, s.sparkContext.hadoopConfiguration)
-              .rename(tmp, loc)
-            false
-          } catch {
-            case _: FileAlreadyExistsException => true
-            case _: ParentNotDirectoryException => true
-            case e: java.io.IOException =>
-              // a racing winner can land between our exists-check and
-              // the rename on FS flavors that report it generically
-              if (fs.exists(loc) && fs.exists(tmp)) true else throw e
-          }
-        if (lostRace) fs.delete(tmp, true)
+        if (!publishAtomic(s, tmp, loc)) fs.delete(tmp, true)
         // belt-and-braces: if any historical publish DID nest a build
         // dir under the live table (pre-fix artifact, or a non-POSIX
         // FS), excise it — a '*.build*' child duplicates every row
@@ -161,6 +145,35 @@ private[graft] object DurableIndex {
     }
     if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
   }
+
+  /** The atomic publish primitive every durable build goes through:
+    * rename the fully-written `tmp` build dir onto the live `loc` via
+    * `FileContext.rename(Rename.NONE)` — a rename that THROWS when the
+    * destination exists, so of N concurrent publishers exactly ONE
+    * wins and every loser learns it lost (a plain `FileSystem.rename`
+    * would nest the loser's build dir inside the winner's live table
+    * and silently double every row). Returns whether THIS publisher
+    * won; a loser must discard its copy and read the winner's.
+    * Atomicity is the rename's: a reader never observes a partial
+    * generation at `loc` — either the path is absent or it holds the
+    * complete build some publisher finished before renaming.
+    * ConcurrentPublishSpec races this primitive directly (the
+    * `attachOrBuildFp` caller is JVM-serialized by `synchronized`, so
+    * the cross-session race is only reachable here). */
+  private[graft] def publishAtomic(s: SparkSession, tmp: Path, loc: Path): Boolean =
+    try {
+      FileContext.getFileContext(loc.toUri, s.sparkContext.hadoopConfiguration)
+        .rename(tmp, loc)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+      case _: ParentNotDirectoryException => false
+      case e: java.io.IOException =>
+        // a racing winner can land between the caller's exists-check
+        // and the rename on FS flavors that report it generically
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc) && fs.exists(tmp)) false else throw e
+    }
 
   /** Whether a live generation of `family` with version `fp` exists on
     * disk for `dir` — the zero-job mode-resolution probe the retraction
@@ -239,15 +252,32 @@ private[graft] object DurableIndex {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = new Path(s.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return None
     val prefix = s"${family}_${tag}_"
-    val live = fs.listStatus(base)
-      .filter { st =>
-        val n = st.getPath.getName
-        n.startsWith(prefix) && n.substring(prefix.length).matches("[0-9a-f]+")
+    // bounded retry: between the listing and the schema-resolving read,
+    // a concurrent publisher's staleness sweep can park the listed
+    // generation as `.retired` — re-list and the successor (the very
+    // publish that parked it) is live. ConcurrentPublishSpec races this.
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      if (!fs.exists(base)) return None
+      val live = fs.listStatus(base)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(prefix) && n.substring(prefix.length).matches("[0-9a-f]+")
+        }
+        .sortBy(_.getModificationTime)
+      live.lastOption match {
+        case None => return None
+        case Some(st) =>
+          try return Some(s.read.parquet(st.getPath.toString))
+          catch {
+            case _: org.apache.spark.sql.AnalysisException
+              if attempt < 3 && !fs.exists(st.getPath) => // parked under us
+          }
       }
-      .sortBy(_.getModificationTime)
-    live.lastOption.map(st => s.read.parquet(st.getPath.toString))
+    }
+    None // unreachable: the loop either returns or retries
   }
 
   // ---- the shared COMPACTION contract (round-11 verdict #5) ------------

@@ -59,6 +59,111 @@ class DurableArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("generation GC economics: five append+retract+fold cycles keep the warehouse bounded") {
+    // round-15 verdict #2: every patch, fold, and corpus regeneration
+    // publishes a NEW generation and parks the superseded one — nothing
+    // proved the warehouse PLATEAUS. Drive one family stack (band/pair/
+    // cc + retraction) through five maintenance cycles — each cycle an
+    // APPEND (corpus regeneration: every corpus-keyed artifact
+    // re-publishes) plus a cumulative RETRACT publish, with FOLDS forced
+    // on cycles 2 and 4 — and assert after every cycle, per family:
+    // exactly one live generation, at most one parked `.retired`
+    // generation (the one-build grace window), and total family bytes
+    // bounded by a small multiple of the live generation's bytes. Then
+    // exercise the purge/park guard: retiring a live generation is
+    // recoverable (the next attach rebuilds), and a parked generation
+    // is purged by the NEXT build, not accreted.
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_gc_corpus").toString
+    val fsw = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // the families the cycle touches: corpus-keyed artifacts rebuilt per
+    // append, retraction generations published per retract/fold
+    val families = Seq("band_index", "ngram_postings_b16", "pair_index_b16",
+      "cc_index", "retract_patch", "band_index_r", "pair_index_r_b16",
+      "cc_index_r")
+
+    def familyState(family: String): (Seq[String], Seq[String], Long, Long) = {
+      val base = new Path(spark.conf.get("spark.sql.warehouse.dir"), s"graft_$family")
+      if (!fsw.exists(base)) return (Nil, Nil, 0L, 0L)
+      val prefix = s"${family}_${tag}_"
+      def bytes(p: Path): Long = fsw.getContentSummary(p).getLength
+      val mine = fsw.listStatus(base).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).toSeq
+      val live = mine.filter(_.getName.substring(prefix.length).matches("[0-9a-f]+"))
+      val retired = mine.filter(_.getName.endsWith(".retired"))
+      (live.map(_.getName), retired.map(_.getName),
+        live.map(bytes).sum, mine.map(bytes).sum)
+    }
+
+    val docs0 = graft.sources.Tables.documents(spark, sfDir).localCheckpoint()
+    def writeCorpus(cycle: Int): Unit =
+      // append = `cycle` fresh high-id documents on top of the base
+      // corpus; the content fingerprint changes, so every corpus-keyed
+      // family re-publishes (generational churn, which GC must bound)
+      docs0.unionByName(
+          docs0.orderBy("doc_id").limit(cycle)
+            .withColumn("doc_id", col("doc_id") + 1000000L + cycle))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    for (cycle <- 1 to 5) {
+      writeCorpus(cycle)
+      // cumulative takedown log: cycles re-patch the union against the
+      // regenerated base (retract∘retract == retract(∪))
+      val del = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 50 === lit(cycle.toLong)).select("doc_id")
+      val fold = cycle == 2 || cycle == 4
+      val (bands, _, _, rebuilt) = DedupQueries.retractPublishMode(
+        spark, dir, del, forceRebuild = if (fold) Some(true) else None)
+      assert(rebuilt == fold, s"cycle $cycle resolved the wrong publish mode")
+      // cheap exactness proof per cycle: the served bands == the base
+      // band index minus the deleted docs' rows
+      val base = DedupQueries.bandIndexTable(spark, dir)
+      val want = base.join(del, Seq("doc_id"), "left_anti")
+      assert(bands.select(want.columns.map(col).toIndexedSeq: _*)
+          .exceptAll(want).isEmpty
+          && want.exceptAll(bands.select(want.columns.map(col).toIndexedSeq: _*)).isEmpty,
+        s"cycle $cycle: served bands != base minus deleted")
+
+      families.foreach { f =>
+        val (live, retired, liveBytes, totalBytes) = familyState(f)
+        assert(live.size <= 1, s"cycle $cycle: $f has ${live.size} live generations: $live")
+        assert(retired.size <= 1,
+          s"cycle $cycle: $f accreted ${retired.size} retired generations: $retired")
+        if (liveBytes > 0)
+          assert(totalBytes <= 3 * liveBytes,
+            s"cycle $cycle: $f warehouse ${totalBytes}B exceeds 3x live ${liveBytes}B")
+      }
+      // the corpus-keyed families must be live every cycle
+      Seq("band_index", "pair_index_b16", "cc_index").foreach { f =>
+        assert(familyState(f)._1.size == 1, s"cycle $cycle: $f not live")
+      }
+    }
+
+    // park/purge guard: retiring the live band index parks it (grace),
+    // and the next attach rebuilds a fresh live generation while the
+    // build that follows purges the parked one — bytes stay bounded,
+    // recovery is automatic, nothing errors
+    val fp = graft.sources.DurableIndex.fingerprint(spark, dir, "documents.parquet")
+    graft.sources.DurableIndex.retireIfLive(spark, dir, "band_index", fp)
+    val (liveAfterPark, retiredAfterPark, _, _) = familyState("band_index")
+    // the park sits NEXT TO the `.retired` the last cycle's build left
+    // (its grace window has not elapsed yet) — bounded at two, both
+    // purged by the rebuild below
+    assert(liveAfterPark.isEmpty && retiredAfterPark.nonEmpty
+        && retiredAfterPark.size <= 2,
+      s"retireIfLive did not park the live generation: $retiredAfterPark")
+    val n = DedupQueries.bandIndexTable(spark, dir).count()
+    assert(n > 0, "rebuild after parking served an empty index")
+    val (liveRebuilt, retiredRebuilt, liveB, totalB) = familyState("band_index")
+    assert(liveRebuilt.size == 1, "attach did not rebuild the parked family")
+    assert(retiredRebuilt.isEmpty,
+      s"the rebuild did not purge the parked generation: $retiredRebuilt")
+    assert(totalB <= 3 * liveB, "post-recovery warehouse bytes unbounded")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+  }
+
   test("compaction publishes write-aside: pointer flip, reader consistency, grace purge") {
     // round-12 verdict #4: compaction must never rewrite the files a
     // concurrent scan holds. The rewrite lands in a fresh generation
