@@ -113,6 +113,108 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared"))
     }
 
+  /** The persisted FULL-BENCHMARK contamination table — the durable
+    * publish of q137's growth cell (until round 16 the appended slice
+    * was recomputed per read, never landed): the standing half
+    * ([[contamIndexTable]]) plus the grown slice (bench_id % 10 == 5)
+    * probed out of the span index. Built artifact-fed — zero text
+    * anywhere — and keyed on the corpus fingerprint like its inputs.
+    * This is the base relation benchmark RETIREMENT (q161) maintains. */
+  private[graft] def contamFullTable(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DurableIndex.attachOrBuild(
+      s, dir, "contam_full", "documents.parquet", None) {
+      val idx = spanIndexTable(s, dir)
+      val newBench = idx.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").as("bench_id"), col("h").as("bh"))
+      val fresh = idx.join(broadcast(newBench),
+          col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      contamIndexTable(s, dir).unionByName(fresh)
+    }
+
+  /** Benchmark RETIREMENT over the decontamination stack — the
+    * lifecycle cell q146 does not close (round-15 verdict #5): q146
+    * composes tombstones in-flight each run; a production rotation (an
+    * eval set dropped from the suite) must PUBLISH the retirement once
+    * so every later session serves the surviving benchmark without the
+    * retirement batch in hand. The q147/q154 economics verbatim, on the
+    * contam family:
+    *
+    *   - UNDER the shared debt gate, the publish is a `contam_del`
+    *     sidecar keyed (corpus fp x retire-set fp) holding the retired
+    *     bench ids; readers compose ONE broadcast anti-join on bench_id
+    *     over the unchanged [[contamFullTable]] — contamination rows
+    *     are per-pair facts, so removal IS the maintenance (no
+    *     re-probing, no re-tokenization, cost O(|B|));
+    *   - PAST the gate, the family folds into a full `contam_r`
+    *     generation (published BEFORE its marker — the q147
+    *     crash-ordering) and later reads are a bare scan;
+    *   - a FRESH session (`retired = None`) discovers the live sidecar
+    *     via attachLatest, validates it against the CURRENT corpus
+    *     fingerprint (a regenerated corpus moots a stale retirement),
+    *     and serves accordingly — no sidecar or stale -> the base.
+    *
+    * Docs un-flag for free: a doc whose only contamination was vs a
+    * retired benchmark simply has no surviving rows. */
+  private[graft] def contamRetracted(s: SparkSession, dir: String,
+      retired: Option[DataFrame],
+      forceRebuild: Option[Boolean] = None): DataFrame = {
+    val full = contamFullTable(s, dir)
+    val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "documents.parquet")
+    def composed(benchIds: DataFrame): DataFrame =
+      full.join(broadcast(benchIds), Seq("bench_id"), "left_anti")
+        .select(full.columns.map(col).toIndexedSeq: _*)
+    retired match {
+      case Some(r) =>
+        val del = r.select("bench_id").distinct().localCheckpoint()
+        val fp = retractionFp(s, dir, del.select(col("bench_id").as("doc_id")))
+        val folded = forceRebuild.getOrElse {
+          if (graft.sources.DurableIndex.liveExists(s, dir, "contam_r", fp)) true
+          else if (graft.sources.DurableIndex.liveExists(s, dir, "contam_del", fp)) false
+          else graft.sources.DurableIndex.exceedsDebt(
+            full, del, "bench_id", RetractRebuildDebtFraction)
+        }
+        if (folded) {
+          // generation before marker (crash-ordered, the q147 shape);
+          // the folded sidecar is META-ONLY — nothing composes it
+          val gen = graft.sources.DurableIndex.attachOrBuildFp(
+            s, dir, "contam_r", fp, None)(composed(del))
+          graft.sources.DurableIndex.attachOrBuildFp(s, dir, "contam_del", fp, None) {
+            del.limit(0).select(col("bench_id"))
+              .unionByName(s.range(1).select(lit(-1L).as("bench_id")))
+              .select(col("bench_id"), lit(srcFp).as("corpus_fp"),
+                lit(fp).as("del_fp"), lit(true).as("folded")).coalesce(1)
+          }
+          gen
+        } else {
+          val sc = graft.sources.DurableIndex.attachOrBuildFp(
+            s, dir, "contam_del", fp, None) {
+            del.select(col("bench_id"), lit(srcFp).as("corpus_fp"),
+              lit(fp).as("del_fp"), lit(false).as("folded")).coalesce(1)
+          }
+          composed(sc.select("bench_id"))
+        }
+      case None =>
+        // fresh-session path: discover the live retirement; absent,
+        // empty, or stale-corpus -> the base full-benchmark table
+        graft.sources.DurableIndex.attachLatest(s, dir, "contam_del")
+          .flatMap(sc => sc.select("corpus_fp", "del_fp", "folded")
+            .limit(1).collect().headOption.map(h => (sc, h)))
+          .filter { case (_, h) => h.getString(0) == srcFp } match {
+          case None => full
+          case Some((sc, head)) =>
+            if (head.getBoolean(2))
+              graft.sources.DurableIndex.attachOrBuildFp(
+                s, dir, "contam_r", head.getString(1), None) {
+                sys.error(s"contam_del marker ${head.getString(1)} has no " +
+                  "contam_r generation — warehouse corrupted")
+              }
+            else composed(sc.select("bench_id"))
+        }
+    }
+  }
+
   /** Oracle CTEs `toks13`/`sh13(doc_id, h)` — the SQL twin of
     * [[spanHashes13]], restricted to `docWhere` (empty = all docs) so
     * the retraction oracle (q146) can state the pipeline over
@@ -2277,6 +2379,32 @@ object DedupQueries {
       labelCorpus(
         docs.filter(!(col("doc_id") % 10).isin(1, 3, 5, 9, 7)),
         labels1)
+    },
+
+    // ------------------------------------------------------------------
+    // BENCHMARK RETIREMENT — the decontamination lifecycle cell q146
+    // leaves open (round-15 verdict #5): the contam family has build
+    // (q86), growth (q137), streaming (q116), and doc-takedown (q146)
+    // cells, but an eval set rotated OUT of the suite must drop its
+    // contamination rows durably — published once, served by every
+    // later session without the retirement batch in hand — and its
+    // docs un-flag for free (a doc contaminated only vs the retired
+    // benchmark has no surviving rows). The retired slice here is a
+    // tenth of the benchmark (bench_id % 50 == 0); the shared debt
+    // gate decides the publish — under it, a contam_del patch sidecar
+    // readers compose via one broadcast anti-join over the durable
+    // full-benchmark table; past it (a sparse corpus can concentrate
+    // contamination in few bench docs), a contam_r fold read as a bare
+    // scan. Either mode == q86's oracle restricted to the surviving
+    // benchmark, verbatim (RetractionSpec pins both).
+    QueryDef(
+      "q161_bench_retirement",
+      s"benchmark retirement over the decontamination artifacts: a rotated-out eval slice (bench_id % 50 == 0) published ONCE as a (corpus fp x retire-set fp) contam_del patch sidecar or, past the shared ${(RetractRebuildDebtFraction * 100).toInt}% debt gate, a contam_r fold; readers compose one broadcast anti-join over the durable full-benchmark contamination table (per-pair facts: no re-probing, no re-tokenization) — == decontamination vs the surviving benchmark exactly",
+      decontaminateOracleFor("", "doc_id % 50 != 0")) { (s, dir) =>
+      val retired = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"))
+      contamRetracted(s, dir, Some(retired))
     })
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------

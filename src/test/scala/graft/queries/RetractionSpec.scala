@@ -523,4 +523,85 @@ class RetractionSpec extends SparkSpec {
       DedupQueries.pairsOfDocs(corpus).select("doc_a", "doc_b"))
     assertSameSet(c, labelsWant, "post-park labels vs fresh")
   }
+
+  test("benchmark retirement: patch mode, fresh-session discovery, then the fold supersedes") {
+    // the q161 contract (round-15 verdict #5): an eval set rotated out
+    // of the suite publishes ONCE under the shared debt gate, every
+    // later session serves the surviving benchmark without the
+    // retirement batch in hand, and both modes equal the from-scratch
+    // decontamination vs the surviving benchmark.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+
+    // from-scratch expectation, parameterized over the surviving bench
+    def freshVs(benchPred: org.apache.spark.sql.Column): DataFrame = {
+      val sh13 = DedupQueries.spanHashes13(spark, sfDir)
+      val bench = sh13.filter(col("doc_id") % 5 === 0 && benchPred)
+        .select(col("doc_id").as("bench_id"), col("h").as("bh"))
+      sh13.join(broadcast(bench),
+          col("h") === col("bh") && col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+    }
+
+    // the patch-mode slice must be DATA-DRIVEN: at sf0.001 the contam
+    // table is sparse enough that a fixed 1-in-10 benchmark slice can
+    // own >20% of its rows and legitimately fold — retire the single
+    // bench doc owning the FEWEST contamination rows instead, with the
+    // under-the-gate precondition asserted, not assumed
+    val full = DedupQueries.contamFullTable(spark, sfDir).localCheckpoint()
+    val totalRows = full.count()
+    val smallId = full.groupBy("bench_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("bench_id")).select("bench_id", "n").first()
+    assert(smallId.getLong(1) > 0
+        && smallId.getLong(1).toDouble <= 0.2 * totalRows.toDouble,
+      s"no under-the-gate bench slice exists (min ${smallId.getLong(1)} of $totalRows rows)")
+    val retiredSmall = spark.range(1)
+      .select(lit(smallId.getLong(0)).as("bench_id"))
+    val smallPred = col("doc_id") =!= smallId.getLong(0)
+
+    // 1. takedown-sized retirement resolves to PATCH under the natural
+    // gate: contam_del sidecar live, no contam_r fold, result == fresh
+    val r1 = DedupQueries.contamRetracted(spark, sfDir, Some(retiredSmall))
+    val fpSmall = DedupQueries.retractionFp(spark, sfDir,
+      retiredSmall.select(col("bench_id").as("doc_id")))
+    assert(graft.sources.DurableIndex.liveExists(spark, sfDir, "contam_del", fpSmall),
+      "patch-mode retirement published no contam_del sidecar")
+    assert(!graft.sources.DurableIndex.liveExists(spark, sfDir, "contam_r", fpSmall),
+      "a takedown-sized retirement folded")
+    assertSameSet(r1, freshVs(smallPred), "patch-mode retirement")
+
+    // 2. a FRESH session (no retirement batch in hand) discovers the
+    // sidecar and serves the identical surviving relation
+    val r2 = DedupQueries.contamRetracted(spark, sfDir, None)
+    assertSameSet(r2, freshVs(smallPred), "fresh-session discovery")
+
+    // 3. the composed read's plan: ONE broadcast anti-join over the
+    // contam_full scan, zero corpus re-probing (no documents scan)
+    val plan = flatten(r2.queryExecution.executedPlan)
+    assert(plan.count {
+      case j: BroadcastHashJoinExec => j.joinType.sql == "LEFT ANTI"
+      case _ => false
+    } == 1, "composed retirement read is not exactly one broadcast anti-join")
+    assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "composed retirement read fell back to a sort-merge join")
+    val scanned = plan.collect { case sc: FileSourceScanExec =>
+      sc.relation.location.rootPaths.map(_.toString) }.flatten
+    assert(!scanned.exists(_.contains("documents.parquet")),
+      s"retirement read re-probed the corpus: $scanned")
+
+    // 4. a sweep-scale rotation (the whole standing half, ~50% of the
+    // benchmark) trips the gate and FOLDS; its publish supersedes the
+    // small sidecar, so a fresh session now serves the fold generation
+    val retiredBig = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_id"))
+    val r3 = DedupQueries.contamRetracted(spark, sfDir, Some(retiredBig))
+    val fpBig = DedupQueries.retractionFp(spark, sfDir,
+      retiredBig.select(col("bench_id").as("doc_id")))
+    assert(graft.sources.DurableIndex.liveExists(spark, sfDir, "contam_r", fpBig),
+      "sweep-scale retirement did not fold")
+    assertSameSet(r3, freshVs(col("doc_id") % 10 =!= 0), "fold-mode retirement")
+    val r4 = DedupQueries.contamRetracted(spark, sfDir, None)
+    assertSameSet(r4, freshVs(col("doc_id") % 10 =!= 0),
+      "fresh session did not resolve to the superseding fold")
+  }
 }
