@@ -25,9 +25,13 @@ object Verify {
       .foreach { case (name, fn) =>
       // NonFatal only (same rationale as Bench): a fatal JVM error must
       // abort the dump, not silently produce results from a broken JVM
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case scala.util.control.NonFatal(e) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
