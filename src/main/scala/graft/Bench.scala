@@ -49,6 +49,10 @@ object Bench {
       .withExtensions(new graft.functions.expr.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scale shuffle width with the data via AQE's initial width —
+      // see the Verify builder's comment (round-16 sf10-skew OOM)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

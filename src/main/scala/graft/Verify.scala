@@ -14,6 +14,18 @@ object Verify {
       .withExtensions(new graft.functions.expr.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle WIDTH must scale with the data, not the core count
+      // (round-16 sf10-skew finding): at 1.19M docs the q26 pair
+      // aggregation put multi-GB post-shuffle partitions in each of 32
+      // tasks and heap-OOMed before spill could save it. AQE solves
+      // exactly this when given a wide INITIAL width — start at 512 and
+      // let coalescePartitions shrink small shuffles back toward core
+      // count (parallelismFirst default), so small-SF plans keep their
+      // task counts while corpus-scale shuffles get memory-bounded
+      // partitions. Streaming drains disable AQE and keep the explicit
+      // withStreamConfs sizing.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
