@@ -24,14 +24,28 @@ trait DedupStreaming { self: DedupQueries.type =>
     * replayed micro-batch rewrites exactly its own partition. The
     * stream's cloned session inherits both at start. */
   private[queries] def withStreamConfs[T](s: SparkSession)(body: => T): T = {
+    // AQE's initial width must be pinned alongside shuffle.partitions:
+    // foreachBatch bodies are BATCH plans (AQE on — only the streaming
+    // source plan disables it), so the session's wide scale-out default
+    // (Verify/Bench set initialPartitionNum=512, the round-16 sf10-skew
+    // OOM fix) would override this drop-sizing and put 512-way shuffles
+    // + AQE stats overhead in every micro-batch — measured 3.4x on
+    // q123's drain. Drop-sized batches want drop-sized widths.
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val oldInit = s.conf.getOption(initKey)
     val oldMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    s.conf.set(initKey, streamParts)
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try body
     finally {
       s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      oldInit match {
+        case Some(v) => s.conf.set(initKey, v)
+        case None => s.conf.unset(initKey)
+      }
       s.conf.set("spark.sql.sources.partitionOverwriteMode", oldMode)
     }
   }

@@ -71,9 +71,18 @@ class ConcurrentPublishSpec extends SparkSpec {
           if (counts.contains(n)) readerSawRows.incrementAndGet()
           else readerIllegal.incrementAndGet()
         } catch {
+          // absent path is the legal pre-publish state whatever shape it
+          // surfaces as: AnalysisException at analysis, or a raw
+          // FileNotFoundException from schema inference racing the
+          // publish — the reader must keep probing, not die on the
+          // first miss
           case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PATH_NOT_FOUND")
               || e.getMessage.toLowerCase.contains("path does not exist") => ()
+          case e: Throwable
+            if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+              .exists(c => c.isInstanceOf[java.io.FileNotFoundException]
+                || String.valueOf(c.getMessage).contains("does not exist")) => ()
         }
       }
     }})
@@ -88,10 +97,10 @@ class ConcurrentPublishSpec extends SparkSpec {
       }})
     }
     start.countDown()
-    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    futures.foreach(_.get(600, TimeUnit.SECONDS))
     stopReader.set(true)
     pool.shutdown()
-    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS))
 
     assert(wins.get() == 1, s"expected exactly one winning publisher, got ${wins.get()}")
     assert(readerIllegal.get() == 0,
@@ -160,7 +169,7 @@ class ConcurrentPublishSpec extends SparkSpec {
     // one more observation after the publish, then stop
     Thread.sleep(50)
     stop.set(true)
-    reader.get(120, TimeUnit.SECONDS)
+    reader.get(600, TimeUnit.SECONDS)
     pool.shutdown()
 
     val want = Set(1L, 2L, 3L, 4L)
