@@ -161,7 +161,7 @@ trait DedupSimhash { self: DedupQueries.type =>
           "delta_id" -> "bigint", "corpus_id" -> "bigint", "hamming" -> "bigint"))
       }
       val schema = s.read.parquet(srcDir).schema
-      withStreamConfs(s) {
+      withStreamConfs(s, DedupQueries.textStreamWidth(s, dir)) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode(OutputMode.Append())

@@ -17,13 +17,34 @@ trait DedupStreaming { self: DedupQueries.type =>
 
   // ---- streaming drains (q105/q107/q113/q114) --------------------------
 
+  /** Data-adaptive micro-batch shuffle width for the TEXT drains: a
+    * drop-sized batch of documents explodes ~100-300x through the
+    * shingle stage, so the per-batch width must track the corpus, not
+    * stay at the sf0.1-tuned floor. bytes/4 MiB clamped to [4, 32]
+    * resolves to the unchanged 4 at sf0.1/sf1 (bench-neutral) and to
+    * 14 at sf10 — measured on q107's bootstrap drain at sf10: 232s at
+    * width 4 -> 162s at 16 (-30%), warm drop cache both runs. Vector /
+    * event / sketch drains keep the flat default: their batches don't
+    * amplify (q126 measured NO gain from widening). Env override wins
+    * everywhere. */
+  private[queries] def textStreamWidth(s: SparkSession, dir: String): Option[String] =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").orElse {
+      val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      Some(math.max(4L, math.min(32L, bytes / (4L << 20))).toString)
+    }
+
   /** Stream-drain session confs, saved/restored around a drain:
     * micro-batches are drop-sized, so full-width shuffles are pure
-    * per-batch task overhead (the StreamingOps sizing rule), and the
-    * batch_id-partitioned sinks need DYNAMIC partition overwrite so a
-    * replayed micro-batch rewrites exactly its own partition. The
-    * stream's cloned session inherits both at start. */
-  private[queries] def withStreamConfs[T](s: SparkSession)(body: => T): T = {
+    * per-batch task overhead (the StreamingOps sizing rule — `width`
+    * lets the text drains widen with the corpus, see
+    * [[textStreamWidth]]), and the batch_id-partitioned sinks need
+    * DYNAMIC partition overwrite so a replayed micro-batch rewrites
+    * exactly its own partition. The stream's cloned session inherits
+    * both at start. */
+  private[queries] def withStreamConfs[T](s: SparkSession,
+      width: Option[String] = None)(body: => T): T = {
     // AQE's initial width must be pinned alongside shuffle.partitions:
     // foreachBatch bodies are BATCH plans (AQE on — only the streaming
     // source plan disables it), so the session's wide scale-out default
@@ -35,7 +56,8 @@ trait DedupStreaming { self: DedupQueries.type =>
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     val oldInit = s.conf.getOption(initKey)
     val oldMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    val streamParts = width.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     s.conf.set("spark.sql.shuffle.partitions", streamParts)
     s.conf.set(initKey, streamParts)
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -334,7 +356,7 @@ trait DedupStreaming { self: DedupQueries.type =>
           "delta_id" -> "bigint", "corpus_id" -> "bigint", "jaccard" -> "double"))
       }
       val schema = s.read.parquet(srcDir).schema
-      withStreamConfs(s) {
+      withStreamConfs(s, textStreamWidth(s, dir)) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode(OutputMode.Append())
@@ -453,7 +475,7 @@ trait DedupStreaming { self: DedupQueries.type =>
           Seq("doc_a" -> "bigint", "doc_b" -> "bigint"))
       }
       val schema = docs.schema
-      withStreamConfs(s) {
+      withStreamConfs(s, textStreamWidth(s, dir)) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode(OutputMode.Append())
@@ -550,7 +572,7 @@ trait DedupStreaming { self: DedupQueries.type =>
           "doc_id" -> "bigint", "dup_of" -> "bigint", "jaccard" -> "double"))
       }
       val schema = docs.schema
-      withStreamConfs(s) {
+      withStreamConfs(s, textStreamWidth(s, dir)) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode(OutputMode.Append())
@@ -734,7 +756,7 @@ trait DedupStreaming { self: DedupQueries.type =>
           "doc_id" -> "bigint", "bench_id" -> "bigint", "n_shared" -> "bigint"))
       }
       val schema = s.read.parquet(srcDir).schema
-      withStreamConfs(s) {
+      withStreamConfs(s, textStreamWidth(s, dir)) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode(OutputMode.Append())

@@ -469,7 +469,7 @@ object SamplingQueries {
         createBatchSink(s, totalsTable, Seq("n_tokens" -> "bigint"))
       }
       val schema = s.read.parquet(srcDir).schema
-      withStreamConfs(s) {
+      withStreamConfs(s, DedupQueries.textStreamWidth(s, dir)) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode(OutputMode.Append())
