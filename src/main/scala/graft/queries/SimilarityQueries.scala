@@ -1155,19 +1155,38 @@ object SimilarityQueries {
         .map(_ > SemDeltaBroadcastMaxBytes)
         .getOrElse(raw.select("vec_id").count() > SemDeltaBroadcastMaxVecs))
     val stats = codebook.agg(max(col("n_corpus")).as("n_corpus"))
-    val qkeys = queries.select(col("q_id"), col("cell"))
+    def keysOf(extra: Column*) = queries
       .crossJoin(broadcast(stats))
       .withColumn("pc", semSubBitsCol(col("n_corpus")))
-      .select(col("q_id"), col("cell"),
-        explode(sequence(lit(0), expr("shiftleft(1, pc) - 1"))).as("sub"))
-      .select(col("q_id"), (col("cell") * lit(256) + col("sub")).as("block_key"))
-    val cand = (if (large) idx.hint("merge").join(qkeys, Seq("block_key"))
-                else idx.join(broadcast(qkeys), Seq("block_key")))
-      .select(col("q_id"), col("vec_id").as("c_id"), col("v"))
-    val qvecs = queries.select(col("q_id"), col("qv"))
-    val scored = (if (large) cand.join(qvecs, Seq("q_id"))
-                  else cand.join(broadcast(qvecs), Seq("q_id")))
-      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("v")).as("cosine"))
+      .select(col("q_id") +: col("cell") +:
+        explode(sequence(lit(0), expr("shiftleft(1, pc) - 1"))).as("sub") +:
+        extra: _*)
+      .select(col("q_id") +: (col("cell") * lit(256) + col("sub")).as("block_key") +:
+        extra: _*)
+    val scored = if (large) {
+      // bulk route (round-16 sf10 finding): the two-join shape shuffled
+      // every (query, candidate) pair WITH its candidate vector payload
+      // through the q_id Exchange before the cosine — at sf10 a 20k-query
+      // batch moved ~550 bytes/candidate and the rank's top-K could prune
+      // nothing map-side (q125: 1306s). Carrying qv on the exploded KEY
+      // side instead (queries x 2^pc subs — the small side by
+      // construction) computes the cosine INSIDE the bucketed merge join,
+      // so the q_id Exchange moves only (q_id, c_id, cosine) rows and the
+      // optimizer's partial WindowGroupLimit can prune before the shuffle.
+      // The index side is untouched: bare bucketed scan, zero Exchange
+      // (PlanAuditSpec audits both routes).
+      idx.hint("merge").join(keysOf(col("qv")), Seq("block_key"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          cosine(col("qv"), col("v")).as("cosine"))
+    } else {
+      // serving route: both tiny sides broadcast; the payload never
+      // shuffles at all, so the two-join shape stays optimal here
+      val qvecs = queries.select(col("q_id"), col("qv"))
+      idx.join(broadcast(keysOf()), Seq("block_key"))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("v"))
+        .join(broadcast(qvecs), Seq("q_id"))
+        .select(col("q_id"), col("c_id"), cosine(col("qv"), col("v")).as("cosine"))
+    }
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= RetrievalK)
