@@ -42,49 +42,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.expr.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // scale shuffle width with the data via AQE's initial width —
-      // see the Verify builder's comment (round-16 sf10-skew OOM)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session confs + rationale live in ONE place (round-16 advice):
+    // GraftSession — Bench/Verify/ScaleGen/ScaleGate all build there,
+    // and withStreamConfs pins GraftSession.InitialPartitionsKey.
+    val spark = GraftSession.build()
     // The driver parses the LAST ~2000 chars of stdout+stderr for the
-    // bench line; `WindowExec: No Partition Defined` warnings (emitted by
-    // the three bounded-small global windows: 25-row nation_sk, tiny
-    // promo dim, fixed-bin histogram cumsum) could otherwise crowd that
-    // tail window. Scope the silence to the window package only.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
-    // Same tail-budget risk, different logger (round 8): every read of a
-    // locally-checkpointed staging RDD logs a `MapPartitionsRDD ... was
-    // locally checkpointed` WARN — wall-to-wall in the r08 tail. The
-    // checkpoint semantics are intentional (single-JVM staging); silence
-    // only the EMITTING loggers (Spark's Logging trait names the logger
-    // after the concrete RDD class, so the advisory comes from
-    // MapPartitionsRDD instances), not the whole rdd package — block-
-    // manager capacity/recomputation WARNs from other RDD classes must
-    // stay visible (round-9 advice).
-    Seq("org.apache.spark.rdd.MapPartitionsRDD",
-        "org.apache.spark.rdd.LocalRDDCheckpointData",
-        // round 9's tail was dominated by the per-stream-start AQE
-        // advisories ("Disabling AQE since AQE is not supported in
-        // stateful workloads" / "spark.sql.adaptive.enabled is not
-        // supported in streaming") from the q34/q36/q101/q105/q107
-        // drains — intentional behavior, same budget-risk class
-        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
-        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream")
-      .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
-        _, org.apache.logging.log4j.Level.ERROR))
+    // bench line; chatty-but-intentional WARNs (global bounded-small
+    // windows, locally-checkpointed staging RDDs, per-stream AQE
+    // advisories) would crowd that tail window — silence the emitting
+    // loggers only (history: rounds 8/9, see GraftSession).
+    GraftSession.quietNoisyLoggers()
 
     // optional comma-separated filter for local iteration on a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

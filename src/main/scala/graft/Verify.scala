@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -8,29 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict to the named queries (local debugging)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.expr.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Shuffle WIDTH must scale with the data, not the core count
-      // (round-16 sf10-skew finding): at 1.19M docs the q26 pair
-      // aggregation put multi-GB post-shuffle partitions in each of 32
-      // tasks and heap-OOMed before spill could save it. AQE solves
-      // exactly this when given a wide INITIAL width — start at 512 and
-      // let coalescePartitions shrink small shuffles back toward core
-      // count (parallelismFirst default), so small-SF plans keep their
-      // task counts while corpus-scale shuffles get memory-bounded
-      // partitions. Streaming drains disable AQE and keep the explicit
-      // withStreamConfs sizing.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session confs + rationale live in ONE place (round-16 advice):
+    // GraftSession — incl. the data-scaled AQE initial width that
+    // replaced the duplicated 512/env-override blocks here and in Bench.
+    val spark = GraftSession.build()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

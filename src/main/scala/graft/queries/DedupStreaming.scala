@@ -48,11 +48,12 @@ trait DedupStreaming { self: DedupQueries.type =>
     // AQE's initial width must be pinned alongside shuffle.partitions:
     // foreachBatch bodies are BATCH plans (AQE on — only the streaming
     // source plan disables it), so the session's wide scale-out default
-    // (Verify/Bench set initialPartitionNum=512, the round-16 sf10-skew
+    // (GraftSession sets initialPartitionNum=512, the round-16 sf10-skew
     // OOM fix) would override this drop-sizing and put 512-way shuffles
     // + AQE stats overhead in every micro-batch — measured 3.4x on
-    // q123's drain. Drop-sized batches want drop-sized widths.
-    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    // q123's drain. Drop-sized batches want drop-sized widths. The key
+    // is GraftSession's constant so the three sites can't drift.
+    val initKey = graft.GraftSession.InitialPartitionsKey
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     val oldInit = s.conf.getOption(initKey)
     val oldMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")

@@ -1096,12 +1096,23 @@ object SimilarityQueries {
     * from the dedup probes (which want high-precision near-dup pairs;
     * retrieval wants the best K whatever their score). The query batch
     * is assigned a cell through the re-read codebook, then probes the
-    * cell as the union of its 2^pc sub-block KEYS — an explode of
-    * (q_id, block_key) pairs, vector payload NOT duplicated per sub —
-    * so the candidate join runs on the index's own bucketed block_key
-    * with zero index-side Exchange. Candidates then join back to the
-    * query vectors for the cosine, and a per-query window takes the
-    * top K (cosine desc, vec_id tiebreak — fully deterministic).
+    * cell as the union of its 2^pc sub-block KEYS — an explode to
+    * (q_id, block_key) pairs — so the candidate join runs on the
+    * index's own bucketed block_key with zero index-side Exchange.
+    * A per-query window then takes the top K (cosine desc, vec_id
+    * tiebreak — fully deterministic). WHERE the cosine is computed
+    * differs per route (the round-16 sf10 finding):
+    *
+    *   - SERVING route (bounded batch): key and vector sides both
+    *     broadcast; candidates join back to the broadcast query
+    *     vectors for the cosine — no payload ever shuffles, so the
+    *     two-join shape stays optimal;
+    *   - BULK route (past the gate): the query vector `qv` IS
+    *     duplicated onto the exploded key side (queries x 2^pc subs —
+    *     still the small side by construction) and the cosine is
+    *     computed INSIDE the bucketed merge join, so the q_id
+    *     Exchange moves only (q_id, c_id, cosine) rows instead of
+    *     every candidate's ~550-byte vector (q125 sf10: 1306s → 67.5s).
     *
     * SIZE-GATED like every probe in the family: a bounded serving
     * batch broadcasts its key and vector sides; past

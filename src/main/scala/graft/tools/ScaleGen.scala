@@ -52,15 +52,8 @@ object ScaleGen {
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val skew = args.lift(3).exists(a => a == "skew" || a == "--skew")
-    val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared entry-point session (round-16 advice: one builder site)
+    val spark = graft.GraftSession.build()
     generate(spark, src, out, copies, skew)
     spark.stop()
   }

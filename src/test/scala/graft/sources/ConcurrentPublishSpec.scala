@@ -58,6 +58,7 @@ class ConcurrentPublishSpec extends SparkSpec {
     val pool = Executors.newFixedThreadPool(nPub + 1)
     val readerIllegal = new AtomicInteger(0)
     val readerSawRows = new AtomicInteger(0)
+    val readerMisses = new AtomicInteger(0) // swallowed FNF-shaped probes
     val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     // the attach-and-count reader loop (claim 2): every successful read
@@ -78,11 +79,18 @@ class ConcurrentPublishSpec extends SparkSpec {
           // first miss
           case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PATH_NOT_FOUND")
-              || e.getMessage.toLowerCase.contains("path does not exist") => ()
+              || e.getMessage.toLowerCase.contains("path does not exist") =>
+            readerMisses.incrementAndGet(): Unit
           case e: Throwable
             if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
               .exists(c => c.isInstanceOf[java.io.FileNotFoundException]
-                || String.valueOf(c.getMessage).contains("does not exist")) => ()
+                || String.valueOf(c.getMessage).contains("does not exist")) =>
+            // counted, not ignored: a reader whose every probe lands
+            // here (e.g. a mid-scan torn read misclassified as the
+            // pre-publish state) can no longer pass vacuously — the
+            // readerSawRows > 0 assertion below requires at least one
+            // COMPLETED legal read (round-16 advice)
+            readerMisses.incrementAndGet(): Unit
         }
       }
     }})
@@ -98,6 +106,13 @@ class ConcurrentPublishSpec extends SparkSpec {
     }
     start.countDown()
     futures.foreach(_.get(600, TimeUnit.SECONDS))
+    // the race is over and the winner is live: keep the reader running
+    // until it completes at least one LEGAL read of the published
+    // generation, so the reader leg cannot pass by swallowing every
+    // probe as an FNF-shaped miss (round-16 advice)
+    val readDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (readerSawRows.get() == 0 && readerIllegal.get() == 0
+        && System.nanoTime() < readDeadline) Thread.sleep(10)
     stopReader.set(true)
     pool.shutdown()
     assert(pool.awaitTermination(600, TimeUnit.SECONDS))
@@ -105,6 +120,8 @@ class ConcurrentPublishSpec extends SparkSpec {
     assert(wins.get() == 1, s"expected exactly one winning publisher, got ${wins.get()}")
     assert(readerIllegal.get() == 0,
       s"reader observed ${readerIllegal.get()} torn generations (row counts outside the legal set)")
+    assert(readerSawRows.get() > 0,
+      s"reader never completed one legal read (${readerMisses.get()} probes swallowed as pre-publish misses) — the reader leg was vacuous")
     // destination holds exactly the winner's complete build
     assert(spark.read.parquet(loc.toString).count() == counts(winnerIdx.get()),
       "live path does not hold the winner's build")
