@@ -103,9 +103,12 @@ object ScaleGen {
     */
   def generate(spark: SparkSession, src: String, out: String, copies: Int,
       skew: Boolean = false, megaDocs: Int = 3000, hotDocs: Int = 65537,
-      crossingDocs: Int = 40, skewVecs: Int = 70000, hotVecs: Int = 1000): Unit = {
+      crossingDocs: Int = 40, skewVecs: Int = 70000, hotVecs: Int = 1000,
+      hhStandingPerCopy: Int = 40, hhArrivingPerCopy: Int = 8): Unit = {
     require(copies >= 1 && copies <= 500,
       s"copies=$copies outside [1,500] — remapText injectivity holds to 500")
+    require((hotVecs.toLong + skewVecs) * 10 < 10L * 1000 * 1000,
+      "embedding skew blocks would collide with the hh block id space")
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit = {
@@ -158,9 +161,16 @@ object ScaleGen {
         .withColumn("doc_id", col("doc_id") + lit(docCap * i))
       if (i == 0) shifted else shifted.withColumn("text", remapText("text", i))
     }.reduce(_ unionByName _)
+    // the hh block applies in BOTH modes — uniformity is about the
+    // replicas, not about the corpus lacking common vocabulary
+    val docsWithHh =
+      if (hhStandingPerCopy + hhArrivingPerCopy == 0) docsScaled
+      else docsScaled.unionByName(hhCommonDocs(spark, docsScaled,
+        docCap * copies + 20L * 1000 * 1000,
+        hhStandingPerCopy * copies, hhArrivingPerCopy * copies))
     write("documents",
-      if (!skew) docsScaled
-      else docsScaled
+      if (!skew) docsWithHh
+      else docsWithHh
         .unionByName(skewBlocks(spark, docsScaled, docCap * copies,
           megaDocs, hotDocs, crossingDocs))
         .unionByName(skewVecStubDocs(spark, docsScaled,
@@ -242,6 +252,48 @@ object ScaleGen {
     block(hotVecs, i => lit(vecSkewBase) + i * 10 + 1, "vh")
       .unionByName(block(skewVecs,
         i => lit(vecSkewBase) + (lit(hotVecs.toLong) + i) * 10 + 7, "vs"))
+  }
+
+  /** The COMMON-VOCABULARY heavy-hitter block (round-16 verdict #5):
+    * replication keeps every per-gram count flat while the corpus and
+    * the trigram total grow with `copies` (remapText deliberately
+    * decorrelates replica text), so relative frequencies FALL ~1/copies
+    * and the heavy-hitter families (q117/q135/q144 at support
+    * 1/20000) went VACUOUS at sf10-uniform — 0 rows, none of the hh
+    * logic exercised. Real corpora have scale-invariant common
+    * vocabulary (stopwords, boilerplate phrases); this block plants it:
+    * `perCopy * copies` stub docs each opening with one fixed trigram
+    * (`uhh0 uhh1 uhh2` — vowel-free tokens, so remapText never collides
+    * base text into it) followed by 12 per-doc-unique filler tokens.
+    *
+    * The planted gram's count (48/copy at defaults) and the corpus
+    * total both scale linearly with `copies`, so its relative frequency
+    * is SCALE-INVARIANT (~3.7x the 1/20000 support at the sf0.1 base's
+    * 13.04 occurrences-per-copy threshold) — a heavy hitter at every
+    * sf, making the hh family non-vacuous at any uniform scale.
+    *
+    * Dedup-neutral by the skew hot-block precedent: 3 shared + 12
+    * unique tokens keep pairwise shingle Jaccard ~0.03, far under the
+    * 0.8 LSH threshold — no planted near-dup pairs, no CC components,
+    * and the filler 13-grams are unique so decontamination is
+    * untouched. Ids live 20M above the replica space (above the skew
+    * and vec-stub blocks): standing docs ≡ 5 (mod 10) feed the q135
+    * hh-store build, arriving docs ≡ 7 land in the delta slice so the
+    * incremental/streaming legs see hitter occurrences arrive. */
+  private[tools] def hhCommonDocs(spark: SparkSession, docs: DataFrame,
+      hhBase: Long, standing: Int, arriving: Int): DataFrame = {
+    val template = docs.orderBy("doc_id").limit(1).localCheckpoint()
+    val cols = docs.columns
+    def block(n: Int, idOf: Column => Column): DataFrame =
+      template.crossJoin(spark.range(n).select(col("id").as("_i")))
+        .withColumn("doc_id", idOf(col("_i")))
+        .withColumn("text",
+          concat_ws(" ", lit("uhh0") +: lit("uhh1") +: lit("uhh2") +:
+            (0 until 12).map(j => concat(lit(s"uf${j}x"), col("_i"))): _*))
+        .select(cols.map(col).toIndexedSeq: _*)
+    block(standing, i => lit(hhBase) + i * 10 + 5)
+      .unionByName(block(arriving,
+        i => lit(hhBase) + (lit(standing.toLong) + i) * 10 + 7))
   }
 
   /** The three skew blocks (see [[generate]]'s Scaladoc). Non-key

@@ -129,4 +129,30 @@ class SkewSpec extends SparkSpec {
       "serving routes disagree on the skewed corpus")
     DedupQueries.rmQuietly(dir)
   }
+
+  test("uniform corpus: planted common vocabulary keeps the hh family non-vacuous at scale") {
+    // round-16 verdict #5: replication kept per-gram counts flat while
+    // the trigram total grew with copies, so q117 returned 0 rows at
+    // sf10-uniform and the heavy-hitter logic ran on nothing. The
+    // hhCommonDocs block plants scale-invariant common vocabulary; at
+    // ANY copy count the planted gram must clear support 1/20000 with
+    // its exact analytic count: (40 standing + 8 arriving) per copy.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_uni").toString
+    val copies = 2
+    graft.tools.ScaleGen.generate(spark, "/root/testdata/sf0.001", dir, copies)
+    val hh = graft.SparkEntry.queries("q117_heavy_hitters")(spark, dir)
+      .localCheckpoint()
+    assert(hh.count() > 0, "hh family vacuous on a uniform scaled corpus")
+    val planted = hh.filter(col("gram") === "uhh0 uhh1 uhh2")
+      .select("n_occurrences").collect()
+    assert(planted.map(_.getLong(0)).toSeq == Seq(48L * copies),
+      s"planted common gram missing or miscounted: ${planted.mkString(",")}")
+    // the q135 standing/arriving split sees the block on both sides:
+    // the store (standing %10!=7) and the delta (%10==7) each carry it
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").startsWith("uhh0 "))
+    assert(docs.filter(col("doc_id") % 10 =!= 7).count() == 40L * copies)
+    assert(docs.filter(col("doc_id") % 10 === 7).count() == 8L * copies)
+    DedupQueries.rmQuietly(dir)
+  }
 }
