@@ -41,9 +41,9 @@ object GraftSession {
     * extensions, core-count base shuffle width + data-scaled AQE
     * initial width, UTC, nanos-as-long (the events.parquet encodings
     * drift — see Tables.normalizeEventTs), no UI. */
-  def build(): SparkSession = {
+  def build(warehouseDir: Option[String] = None): SparkSession = {
     val n = cpus
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .withExtensions(new graft.functions.expr.GraftExtensions)
       .master(s"local[$n]")
       .config("spark.sql.shuffle.partitions", n)
@@ -51,7 +51,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // static conf: only settable at build time (ScaleGate scopes its
+    // artifact warehouse inside its work dir this way)
+    val spark = warehouseDir
+      .fold(b)(w => b.config("spark.sql.warehouse.dir", w)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

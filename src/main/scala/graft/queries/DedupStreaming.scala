@@ -88,7 +88,7 @@ trait DedupStreaming { self: DedupQueries.type =>
     else java.nio.file.Files.createTempDirectory(tag).toString
   }
 
-  private[queries] def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
+  private[graft] def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)): Unit)
 
   /** Stage the n-drop source files of a streaming drain, CACHED per

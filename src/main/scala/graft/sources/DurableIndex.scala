@@ -30,7 +30,7 @@ private[graft] object DurableIndex {
 
   /** Database holding the durable index tables (external; the catalog
     * entry is per-session, the data outlives it). */
-  private val IndexDb = "graft_index"
+  private[graft] val IndexDb = "graft_index"
 
   /** Cheap content fingerprint of `dir/tableFile`: a 48-bit fold over
     * (leaf-file path relative to the table root, length, mtime).

@@ -1,0 +1,296 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import scala.util.control.NonFatal
+
+/** The REPEATABLE sf10 scale gate (round-16 verdict #1): round 16's
+  * sf10 campaign was a manual one — ad-hoc ScaleGen invocations,
+  * targeted Verify runs, results hand-recorded in COVERAGE.md — which
+  * is exactly how q125's 19x payload-shuffle regression stayed
+  * invisible until someone went looking. This main makes the campaign
+  * a per-round artifact the way Bench is:
+  *
+  *   runMain graft.tools.ScaleGate <workDir> [flags]
+  *     --skip-skew    skip the sf10-skew leg
+  *     --skip-sf1     skip the sf1 leg (ratios then gate on walls only)
+  *     --only=qA,qB   restrict the curve to the named families
+  *     --out=path     where the JSON verdict lands (default
+  *                    <workDir>/SCALE.json)
+  *
+  * What it does, in order:
+  *   1. REFUSES to run with any engine force flag set (pinned gates
+  *      measure a route, not the engine) — the no-force-flags claim is
+  *      enforced, not asserted after the fact;
+  *   2. generates-or-reuses three corpora under <workDir>: sf1
+  *      (x10 of sf0.1), sf10 (x100), sf10skew (x100 + skew blocks) —
+  *      reuse keys on ScaleGen's _scalegen_meta.json marker (params +
+  *      GenVersion), so a content change regenerates instead of gating
+  *      stale data;
+  *   3. runs the 11-family curve + the q125 bulk-serving route at sf1
+  *      (min-of-2) and sf10 (1 sample + one retry if the band trips —
+  *      this sandbox injects multi-ten-second stalls, and a single
+  *      poisoned sample must not fail a round). Every run starts from
+  *      a WIPED warehouse, so each family pays its fresh artifact
+  *      build — the same measure the round-16 reference walls used.
+  *      The action is Verify's own (coalesce(1) parquet write), and
+  *      the sf10 dumps double as the CC-oracle inputs (#4);
+  *   4. dumps oracle_sql.json alongside the sf10 results so
+  *      `tools/cc_oracle.py <sf10Dir> <workDir>/dump_sf10` can verify
+  *      the CC trio (q134/q154/q159) against a DuckDB-pairs +
+  *      union-find oracle — the independent check DuckDB's recursive
+  *      CTE could not deliver at 500k docs (round-16 verdict #2);
+  *   5. runs the 6-query skew leg on sf10skew (band: wall vs the
+  *      recorded reference, one retry), asserting non-empty results —
+  *      q117's sf10-uniform vacuity is also closed corpus-side (the
+  *      ScaleGen hh block), and the gate asserts rows > 0 everywhere;
+  *   6. emits ONE machine-readable verdict (SCALE.json): per-leg
+  *      walls, rows, ratios, band outcomes, peak heap, and a global
+  *      `ok` — and exits non-zero if any family failed its band, any
+  *      result was empty, or any query threw.
+  *
+  * Band rule per family: the sf10/sf1 ratio may drift to
+  * ratioBand = refRatio * 2 + 2 before it FAILS — unless the absolute
+  * sf10 wall is still within 1.75x of the recorded reference (a
+  * stalled sf1 denominator must not fail the round). Anything past
+  * [[HardRatioCap]] fails regardless: at 10x data that is the
+  * quadratic scream threshold, the thing this gate exists to catch.
+  * Reference walls are the round-16 post-fix measurements
+  * (COVERAGE.md round-16 scale gates + continuation).
+  */
+object ScaleGate {
+
+  /** (family, sf1 reference wall s, sf10 reference wall s) — the
+    * round-16 recorded curve, post the three sf10 fixes. */
+  val Curve: Seq[(String, Double, Double)] = Seq(
+    ("q93_incremental_dedup", 3.8, 38.2),
+    ("q105_stream_incremental_dedup", 7.7, 41.0),
+    ("q107_stream_index_bootstrap", 16.0, 170.0),
+    ("q117_heavy_hitters", 2.6, 6.9),
+    ("q125_ann_index_serve_large", 2.0, 67.5),
+    ("q126_stream_ann_serve", 6.1, 91.7),
+    ("q134_stream_components", 16.9, 59.0),
+    ("q142_incremental_ngram", 38.1, 150.2),
+    ("q147_ann_retraction", 7.4, 74.4),
+    ("q154_retraction_publish", 1.9, 5.5),
+    ("q159_retraction_publish_rebuild", 10.1, 97.4),
+    ("q161_bench_retirement", 5.7, 19.2))
+
+  /** (query, sf10-skew reference wall s) — round-16 recorded. */
+  val SkewLeg: Seq[(String, Double)] = Seq(
+    ("q23_dedup_exact", 12.0),
+    ("q26_ngram_jaccard", 303.4),
+    ("q117_heavy_hitters", 44.0),
+    ("q142_incremental_ngram", 242.5),
+    ("q145_incremental_ngram_large", 125.7),
+    ("q150_ngram_retraction", 110.6))
+
+  /** sf10/sf1 past this is quadratic-shaped whatever the reference
+    * says (10x data; quadratic would read ~100x). */
+  val HardRatioCap = 35.0
+
+  /** Gate-pinning env vars: a run with any of these set measures a
+    * pinned route, not the engine's own gates. */
+  val ForceFlags: Seq[String] = Seq(
+    "SPARK_GRAFT_CC_DRIVER_MAX_BYTES",
+    "SPARK_GRAFT_DELTA_BROADCAST_MAX_DOCS",
+    "SPARK_GRAFT_DELTA_BROADCAST_MAX_BYTES",
+    "SPARK_GRAFT_SEM_REBUILD_DEBT_FRACTION",
+    "SPARK_GRAFT_RETRACT_REBUILD_DEBT_FRACTION",
+    "SPARK_GRAFT_NGRAM_REBUILD_DEBT_FRACTION",
+    "SPARK_GRAFT_STREAM_PARTITIONS",
+    "SPARK_GRAFT_INITIAL_PARTITIONS")
+
+  private def f(d: Double): String =
+    BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse(
+      sys.error("usage: ScaleGate <workDir> [--skip-skew] [--skip-sf1] [--only=..] [--out=..]"))
+    val flags = args.drop(1)
+    val skipSkew = flags.contains("--skip-skew")
+    val skipSf1 = flags.contains("--skip-sf1")
+    // plumbing-only mode: tiny corpora off sf0.001 (the bands still
+    // evaluate, and pass trivially via the absolute-wall alternative —
+    // this exercises generation/reuse/runs/dumps/JSON, not the bands)
+    val smoke = flags.contains("--smoke")
+    val only = flags.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only=").split(",").map(_.trim).toSet)
+    val outPath = flags.find(_.startsWith("--out="))
+      .map(_.stripPrefix("--out=")).getOrElse(s"$workDir/SCALE.json")
+
+    val forced = ForceFlags.filter(sys.env.contains)
+    require(forced.isEmpty,
+      s"refusing to gate with force flags set: ${forced.mkString(", ")}")
+
+    Files.createDirectories(Paths.get(workDir))
+    // artifacts live under the gate's own warehouse so wipes are scoped
+    // (static conf — set at build; getOrCreate would reuse a prior
+    // session's, but gate runs are fresh JVMs via runMain)
+    val warehouse = s"$workDir/warehouse"
+    val spark = graft.GraftSession.build(Some(warehouse))
+    graft.GraftSession.quietNoisyLoggers()
+
+    val src = if (smoke) "/root/testdata/sf0.001" else "/root/testdata/sf0.1"
+    val (loCopies, hiCopies) = if (smoke) (2, 4) else (10, 100)
+    // smoke skips the skew leg: full-size skew blocks (the gates are
+    // fixed absolute contracts) dwarf a tiny base; SkewSpec covers the
+    // skew machinery at spec scale
+    val runSkew = !skipSkew && !smoke
+    val sf1Dir = s"$workDir/sf1"
+    val sf10Dir = s"$workDir/sf10"
+    val skewDir = s"$workDir/sf10skew"
+    ensureCorpus(spark, src, sf1Dir, loCopies, skew = false)
+    ensureCorpus(spark, src, sf10Dir, hiCopies, skew = false)
+    if (runSkew) ensureCorpus(spark, src, skewDir, 100, skew = true)
+
+    def wipeWarehouse(): Unit = {
+      spark.catalog.clearCache()
+      // bucketed artifacts are CATALOG tables over warehouse paths —
+      // deleting the files alone leaves ghost tables in the same-JVM
+      // catalog, and the next run attaches to them (tableExists short-
+      // circuits the rebuild) and dies with FAILED_READ_FILE
+      spark.sql(
+        s"DROP DATABASE IF EXISTS ${graft.sources.DurableIndex.IndexDb} CASCADE")
+      graft.queries.DedupQueries.rmQuietly(warehouse)
+      // a rebuilt artifact lands at the SAME fingerprint-keyed path, so
+      // the session's FileStatusCache would otherwise serve the wiped
+      // generation's listing
+      spark.catalog.refreshByPath(warehouse)
+    }
+
+    /** One fresh-build timed run: wiped warehouse, Verify's own action
+      * (coalesce(1) parquet write). Returns (wall s, rows) — rows
+      * counted untimed off the dump. */
+    def run(name: String, dir: String, dumpDir: String): (Double, Long) = {
+      wipeWarehouse()
+      val dest = s"$dumpDir/$name"
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(dest)
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, spark.read.parquet(dest).count())
+    }
+
+    val curve = Curve.filter { case (n, _, _) => only.forall(_.contains(n)) }
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+
+    // ---- sf1 leg (min-of-2: cheap runs, and the ratio denominator
+    // must not be a stall artifact) ----
+    val sf1Walls: Map[String, Double] =
+      if (skipSf1) Map.empty
+      else curve.map { case (name, _, _) =>
+        try {
+          val w = math.min(run(name, sf1Dir, s"$workDir/dump_sf1")._1,
+            run(name, sf1Dir, s"$workDir/dump_sf1")._1)
+          println(s"[scalegate] sf1 $name ${f(w)}s")
+          name -> w
+        } catch { case NonFatal(e) =>
+          failures += s"$name@sf1: ${e.getMessage}"
+          name -> Double.NaN
+        }
+      }.toMap
+
+    // ---- sf10 leg (1 sample; retry once if the band trips) ----
+    val sf10Dump = s"$workDir/dump_sf10"
+    val results = curve.map { case (name, refSf1, refSf10) =>
+      def sample(): (Double, Long) = run(name, sf10Dir, sf10Dump)
+      try {
+        var (wall, rows) = sample()
+        def ratio(w: Double): Double =
+          sf1Walls.get(name).filterNot(_.isNaN).map(w / _).getOrElse(Double.NaN)
+        val refRatio = refSf10 / refSf1
+        def inBand(w: Double): Boolean = {
+          val r = ratio(w)
+          val ratioOk = r.isNaN || r <= refRatio * 2 + 2
+          val wallOk = w <= refSf10 * 1.75
+          (ratioOk || wallOk) && (r.isNaN || r <= HardRatioCap)
+        }
+        var retried = false
+        if (!inBand(wall)) {
+          val (w2, _) = sample() // one stall-mitigation retry
+          wall = math.min(wall, w2); retried = true
+        }
+        val ok = inBand(wall) && rows > 0
+        if (rows == 0) failures += s"$name@sf10: 0 rows (vacuous)"
+        else if (!ok) failures +=
+          f"$name@sf10: wall ${f(wall)}s ratio ${f(ratio(wall))} outside band (ref ${f(refSf10)}s / ${f(refRatio)}x)"
+        println(s"[scalegate] sf10 $name ${f(wall)}s rows=$rows " +
+          s"ratio=${f(ratio(wall))} ${if (ok) "OK" else "FAIL"}" +
+          (if (retried) " (retried)" else ""))
+        (name, wall, rows, ratio(wall), ok, retried)
+      } catch { case NonFatal(e) =>
+        failures += s"$name@sf10: ${e.getMessage}"
+        (name, Double.NaN, 0L, Double.NaN, false, false)
+      }
+    }
+    // the CC-trio oracle inputs: the dumps above + the oracle SQL
+    graft.Verify.writeOracleJson(s"$sf10Dump/oracle_sql.json")
+
+    // ---- skew leg ----
+    val skewResults =
+      if (!runSkew) Seq.empty
+      else SkewLeg.filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, refWall) =>
+          def sample(): (Double, Long) = run(name, skewDir, s"$workDir/dump_skew")
+          try {
+            var (wall, rows) = sample()
+            def inBand(w: Double) = w <= refWall * 2 + 30
+            var retried = false
+            if (!inBand(wall)) { wall = math.min(wall, sample()._1); retried = true }
+            val ok = inBand(wall) && rows > 0
+            if (rows == 0) failures += s"$name@skew: 0 rows (vacuous)"
+            else if (!ok) failures +=
+              s"$name@skew: wall ${f(wall)}s outside band (ref ${f(refWall)}s)"
+            println(s"[scalegate] skew $name ${f(wall)}s rows=$rows " +
+              s"${if (ok) "OK" else "FAIL"}${if (retried) " (retried)" else ""}")
+            (name, wall, rows, ok, retried)
+          } catch { case NonFatal(e) =>
+            failures += s"$name@skew: ${e.getMessage}"
+            (name, Double.NaN, 0L, false, false)
+          }
+        }
+
+    val ok = failures.isEmpty
+    def jm(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def jnum(d: Double): String = if (d.isNaN) "null" else f(d)
+    val json = jm(Seq(
+      "metric" -> "\"scale_gate\"",
+      "ok" -> ok.toString,
+      "work_dir" -> s""""$workDir"""",
+      "sf1" -> jm(sf1Walls.toSeq.sortBy(_._1).map { case (k, v) => k -> jnum(v) }),
+      "sf10" -> jm(results.map(r => r._1 -> jm(Seq(
+        "wall" -> jnum(r._2), "rows" -> r._3.toString,
+        "ratio" -> jnum(r._4), "ok" -> r._5.toString,
+        "retried" -> r._6.toString)))),
+      "skew" -> jm(skewResults.map(r => r._1 -> jm(Seq(
+        "wall" -> jnum(r._2), "rows" -> r._3.toString,
+        "ok" -> r._4.toString, "retried" -> r._5.toString)))),
+      "failures" -> failures.map(s => "\"" + s.replace("\"", "'") + "\"")
+        .mkString("[", ",", "]"),
+      "peak_heap_mb" -> graft.Bench.peakHeapMb().toString))
+    Files.writeString(Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** Generate the corpus unless a matching ScaleGen marker proves the
+    * existing one current (params + content version). */
+  private def ensureCorpus(spark: SparkSession, src: String, out: String,
+      copies: Int, skew: Boolean): Unit = {
+    val marker = Paths.get(out).resolve(ScaleGen.MetaFile)
+    val want = ScaleGen.metaJson(src, copies, skew)
+    val current = Files.exists(marker) && Files.readString(marker) == want
+    if (current) println(s"[scalegate] reusing $out")
+    else {
+      println(s"[scalegate] generating $out (x$copies${if (skew) " skew" else ""})")
+      graft.queries.DedupQueries.rmQuietly(out)
+      ScaleGen.generate(spark, src, out, copies, skew)
+    }
+  }
+}

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
+  /** Bumped whenever the generated CONTENT changes (new blocks, remap
+    * scheme, normalization) — ScaleGate keys corpus reuse on the marker
+    * this version lands in, so a stale corpus regenerates instead of
+    * silently gating on old content. v2 = the hhCommonDocs block. */
+  val GenVersion = 2
+
   /** Smallest power of 10 strictly above the column's max value. The
     * cast-to-long absorbs int-typed key columns in arbitrary source
     * dirs; an empty (or all-null) table is a clear error, not an NPE. */
@@ -199,7 +205,27 @@ object ScaleGen {
       else embScaled.unionByName(
         skewVecBlocks(spark, embScaled,
           docCap * copies + 10L * 1000 * 1000, skewVecs, hotVecs)))
+    // the reuse marker ScaleGate keys on — written LAST, so a killed
+    // generation never leaves a marker over a torn corpus
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out).resolve(MetaFile),
+      metaJson(src, copies, skew, megaDocs, hotDocs, crossingDocs,
+        skewVecs, hotVecs, hhStandingPerCopy, hhArrivingPerCopy))
   }
+
+  private[tools] val MetaFile = "_scalegen_meta.json"
+
+  /** The generation descriptor ScaleGate compares for corpus reuse —
+    * any param or content-version drift regenerates. */
+  private[tools] def metaJson(src: String, copies: Int, skew: Boolean,
+      megaDocs: Int = 3000, hotDocs: Int = 65537, crossingDocs: Int = 40,
+      skewVecs: Int = 70000, hotVecs: Int = 1000,
+      hhStandingPerCopy: Int = 40, hhArrivingPerCopy: Int = 8): String =
+    s"""{"src":"$src","copies":$copies,"skew":$skew,""" +
+      s""""mega":$megaDocs,"hot":$hotDocs,"crossing":$crossingDocs,""" +
+      s""""skew_vecs":$skewVecs,"hot_vecs":$hotVecs,""" +
+      s""""hh_standing":$hhStandingPerCopy,"hh_arriving":$hhArrivingPerCopy,""" +
+      s""""gen_version":$GenVersion}"""
 
   /** The two embedding skew blocks (see [[generate]]'s Scaladoc):
     * identical copies of one template vector for the hot cell, rotated
