@@ -21,473 +21,8 @@ import graft.sources.Tables
   * product is a sequential left-fold so Spark and the DuckDB oracle
   * perform bit-identical IEEE arithmetic (see CrossEngine).
   */
-object SimilarityQueries {
-
-  private val NumQueries = 10
-  private val TopK = 5
-  private val NumPlanes = 8
-  private val Dim = 64
-  private[graft] val NearDupThreshold = "0.38"
-  private val NumCells = 8
-
-  /** q124/q125 top-k per retrieval query. */
-  private[graft] val RetrievalK = 3
-
-  /** Deterministic IVF centroids: Hadamard-style sign patterns
-    * (-1)^popcount(i & (9k+7)) scaled to +-1/8, so every centroid is a
-    * unit vector (norm sqrt(64)/8 = 1) pointing in a distinct direction.
-    * Stand-ins for sampled k-means output; +-0.125 is dyadic, so the
-    * components are exactly representable doubles on both engines. The
-    * round-6 integer-valued stand-ins (components -5..5, norm ~25) sat
-    * so far outside the unit-norm data space that ||c||^2 dominated the
-    * argmin and 498 of 500 vectors landed in 2 of 8 cells; unit-norm
-    * centroids make assignment purely directional and measured-balanced
-    * (53-72 per cell at sf0.001). */
-  private def centroid(k: Int): Seq[Double] =
-    (0 until Dim).map { i =>
-      val sign = if (Integer.bitCount(i & (9 * k + 7)) % 2 == 0) 1.0 else -1.0
-      sign / 8.0
-    }
-
-  /** Deterministic integer-valued hyperplanes: component (j,i) =
-    * ((i*31 + j*17) mod 7) - 3. Integer-exact in double on both engines;
-    * generated here and embedded as literals in both plans. */
-  private def plane(j: Int): Seq[Double] =
-    (0 until Dim).map(i => (((i * 31 + j * 17) % 7) - 3).toDouble)
-
-  // ---- adaptive banded LSH (q37): planes-per-band from corpus size ----
-
-  /** Target mean bucket occupancy for the near-dup LSH: bucket count per
-    * band ~ n / 32, so candidate volume (sum of bucket-size-choose-2)
-    * stays LINEAR in the corpus instead of quadratic-at-fixed-buckets. */
-  private[graft] val NearDupOccupancy = 32L
-  private[graft] val NearDupMinPlanes = 4
-  private[graft] val NearDupMaxPlanes = 12
-
-  /** Planes per band for a corpus of n vectors: the smallest p in
-    * [Min, Max] with n <= occupancy * 2^p (i.e. ceil(log2(n/32)),
-    * clamped). Integer thresholds, so Spark/DuckDB agree exactly.
-    * Driver-side mirror of [[nearDupPlanesCol]] / the oracle CASE;
-    * TechniqueSpec pins all three to the same escalation points. */
-  private[graft] def nearDupPlanes(n: Long): Int = {
-    var k = NearDupMinPlanes
-    while (k < NearDupMaxPlanes && n > (NearDupOccupancy << k)) k += 1
-    k
-  }
-
-  private def nearDupPlanesCol(n: Column): Column =
-    (NearDupMinPlanes until NearDupMaxPlanes)
-      .foldRight(lit(NearDupMaxPlanes): Column) { (k, rest) =>
-        when(n <= lit(NearDupOccupancy << k), lit(k)).otherwise(rest)
-      }
-
-  private def sqlNearDupPlanes: String =
-    "CASE " + (NearDupMinPlanes until NearDupMaxPlanes)
-      .map(k => s"WHEN n_corpus <= ${NearDupOccupancy << k} THEN $k")
-      .mkString(" ") + s" ELSE $NearDupMaxPlanes END"
-
-  /** Hyperplane (band, j) of the adaptive family: component i =
-    * ((i*31 + j*57 + band*97 + i*i*11 + i*j*23) mod 13) - 6.
-    *
-    * Distinct-in-j is NOT enough for the 2^p bucket-count claim — the
-    * family must also avoid (a) constant/zero planes (a linear-in-i
-    * formula degenerates whenever the i-coefficient hits 0 mod 13, as
-    * the first version of this family did at j = 7: its band-2 instance
-    * was the literal zero vector) and (b) NEGATED pairs, which produce
-    * perfectly anti-correlated bits that halve the effective bucket
-    * count (the first version had corr(h0,h1) = -1 in band 2, observed
-    * as `sub` taking 2 of 4 values). The i*i quadratic term breaks the
-    * linear negation structure; the family is verified numerically:
-    * bands 0-2, j < 12 contain no constant plane and worst within-band
-    * |corr| = 0.59. */
-  private def adaptivePlane(band: Int, j: Int): Seq[Double] =
-    (0 until Dim).map(i =>
-      (((i * 31 + j * 57 + band * 97 + i * i * 11 + i * j * 23) % 13) - 6).toDouble)
-
-  /** Distinct near-dup candidate pairs (a_id < b_id) from the adaptive
-    * banded LSH — the blocking stage of q37, exposed so TechniqueSpec
-    * can measure candidate-volume growth across scale factors. The
-    * corpus count rides in via a broadcast one-row aggregate (no driver
-    * action), and inactive planes short-circuit in the CASE, so a small
-    * corpus pays for p dot products, not MaxPlanes. */
-  private[graft] def nearDupCandidates(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val stats = e.agg(count(lit(1)).as("n_corpus"))
-    def bucket(band: Int): Column = (0 until NearDupMaxPlanes).map { j =>
-      when(lit(j) < col("p") &&
-          dotFold(col("v"), array(adaptivePlane(band, j).map(lit): _*)) > 0,
-        lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val bands = e.crossJoin(broadcast(stats))
-      .withColumn("p", nearDupPlanesCol(col("n_corpus")))
-      .withColumn("b0", bucket(0)).withColumn("b1", bucket(1))
-      .select(col("vec_id"),
-        posexplode(array(col("b0"), col("b1"))).as(Seq("band_idx", "band_key")))
-    val a = bands.as("a"); val y = bands.as("y")
-    a.join(y,
-        col("a.band_idx") === col("y.band_idx")
-          && col("a.band_key") === col("y.band_key")
-          && col("a.vec_id") < col("y.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
-  }
-
-  // ---- SemDeDup refinement (q106): adaptive sub-bucketing of cells ----
-
-  /** Target mean occupancy of a refined (cell x sub-bucket) block. */
-  private[graft] val SemSubOccupancy = 64L
-  private[graft] val SemMaxSub = 8
-
-  /** Hyperplane bits subdividing each IVF cell once mean cell occupancy
-    * exceeds the target: smallest pc in [0, Max] with n <= NumCells *
-    * occupancy * 2^pc. Same adaptive discipline as [[nearDupPlanes]];
-    * pc = 0 (pure SemDeDup cells) until the corpus outgrows them. */
-  private[graft] def semSubBits(n: Long): Int = {
-    var k = 0
-    while (k < SemMaxSub && n > ((NumCells * SemSubOccupancy) << k)) k += 1
-    k
-  }
-
-  private def semSubBitsCol(n: Column): Column =
-    (0 until SemMaxSub).foldRight(lit(SemMaxSub): Column) { (k, rest) =>
-      when(n <= lit((NumCells * SemSubOccupancy) << k), lit(k)).otherwise(rest)
-    }
-
-  private def sqlSemSubBits: String =
-    "CASE " + (0 until SemMaxSub)
-      .map(k => s"WHEN n_corpus <= ${(NumCells * SemSubOccupancy) << k} THEN $k")
-      .mkString(" ") + s" ELSE $SemMaxSub END"
-
-  /** Exact dot(c_k, h_j) of sub-plane j with centroid k. Every term is
-    * a dyadic (+-0.125) times a small int and every partial sum a
-    * multiple of 0.125 with |.| <= 48 — exactly representable at each
-    * step, so this Scala fold is EXACT and the same literal lands in
-    * both engines' plans.
-    *
-    * Used to DECORRELATE the sub-planes from the cell direction: a
-    * cell's members all point roughly along c_k (that is what a cell
-    * IS), so a raw hyperplane leaves most of a cell on one side
-    * (measured 8.1x candidate growth at 4x data, vs ~4x for an even
-    * split). Projecting the normal orthogonal to the centroid —
-    * bit = dot(v, h) - dot(c,h) * dot(v,c) > 0, i.e. dot(v, h - (c.h)c)
-    * with unit centroids — tests only the within-cell RESIDUAL, which
-    * is near-isotropic, so each plane splits each cone near-evenly
-    * (measured: growth back to ~4.4x at 4x data). */
-  private def semPlaneOffset(k: Int, j: Int): Double =
-    (0 until Dim).map(i => centroid(k)(i) * adaptivePlane(2, j)(i)).sum
-
-  /** (vec_id, v, cell, sub): every vector's refined semantic block —
-    * data-aware IVF cell x adaptive CENTERED-hyperplane sub-bucket
-    * (band 2 of the [[adaptivePlane]] family; bands 0/1 belong to q37).
-    * Exposed so TechniqueSpec can measure block-candidate growth across
-    * SFs. */
-  private[graft] def semDedupBlocks(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val stats = e.agg(count(lit(1)).as("n_corpus"))
-    val cellDists = (0 until NumCells).map { k =>
-      sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
-    }
-    val d = e.crossJoin(broadcast(stats))
-      .withColumn("pc", semSubBitsCol(col("n_corpus")))
-      .select(col("vec_id") +: col("v") +: col("pc") +: cellDists: _*)
-    val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
-      (k, rest) =>
-        val leLater = (k + 1 until NumCells)
-          .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
-        when(leLater, lit(k)).otherwise(rest)
-    }
-    val assigned = d.select(col("vec_id"), col("v"), col("pc"), cell.as("cell"))
-    // the vector's projection on its own cell's centroid (one fold, the
-    // CASE evaluates only the matching branch)
-    val dvc = (0 until NumCells).foldLeft(lit(0.0): Column)((acc, k) =>
-      when(col("cell") === k,
-        dotFold(col("v"), array(centroid(k).map(lit): _*))).otherwise(acc))
-    val centered = assigned.withColumn("dvc", dvc)
-    def offset(j: Int): Column =
-      (0 until NumCells).foldLeft(lit(0.0): Column)((acc, k) =>
-        when(col("cell") === k, lit(semPlaneOffset(k, j))).otherwise(acc))
-    val sub = (0 until SemMaxSub).map { j =>
-      when(lit(j) < col("pc") &&
-          dotFold(col("v"), array(adaptivePlane(2, j).map(lit): _*))
-            > offset(j) * col("dvc"),
-        lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    centered.select(col("vec_id"), col("v"), col("cell"), sub.as("sub"))
-  }
-
-  /** Distinct candidate pairs (a_id < b_id) of the semantic dedup: same
-    * refined (cell, sub) block. */
-  private[graft] def semDedupCandidates(s: SparkSession, dir: String): DataFrame = {
-    val cells = semDedupBlocks(s, dir)
-    val a = cells.select(col("vec_id").as("a_id"), col("cell"), col("sub"))
-    val y = cells.select(col("vec_id").as("b_id"),
-      col("cell").as("ycell"), col("sub").as("ysub"))
-    a.join(y, col("cell") === col("ycell") && col("sub") === col("ysub")
-        && col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-  }
-
-  // ---- data-aware SemDeDup (q109): k-means cells + centered sub-planes ----
-
-  /** (vec_id, v, cell, sub) with DATA-AWARE cells: the coarse quantizer is
-    * one distributed Lloyd iteration (q90's training shape — quantized
-    * exact distances, per-cluster mean re-estimation), and each k-means
-    * cell is subdivided by the same adaptive CENTERED sub-planes as q106.
-    * This closes q106's Scaladoc promise that "at 100 TB the cells come
-    * from sampled k-means": here the centroids are learned from the
-    * corpus itself rather than fixed Hadamard stand-ins.
-    *
-    * Plan shape (deliberately BETTER than q90's crossJoin+window):
-    * the k seed vectors and the k learned centroids are each pivoted into
-    * a ONE-ROW broadcast "codebook", so both assignment passes are plain
-    * per-row CASE argmins over k distance columns — no corpus×k explode,
-    * no window shuffle, no corpus self-join. Total cost: two corpus scans
-    * plus two k-row shuffles (the mean re-estimation and the pivot), the
-    * I/O-bound floor for Lloyd at 100 TB. Centroid geometry (‖m‖²,
-    * dot(m, h_j)) rides in via an 8-row broadcast join on the cell id.
-    *
-    * Cross-engine exactness: components are quantized floor(x·1024) as in
-    * q90 (power-of-two scale, exact product, bit-identical floor), so
-    * every seed distance, component sum, and dot(q, ·) fold is INTEGER-
-    * valued-double arithmetic — exact in any order; each mean is a single
-    * double division and all downstream folds/products are sequential
-    * IEEE ops on identical operands. The centered bit generalizes q106's
-    * unit-centroid form to arbitrary-norm means without a division:
-    * dot(q, h − (m·h/‖m‖²)m) > 0  ⟺  dot(q,h)·‖m‖² > (m·h)·(q·m).
-    *
-    * Non-empty-cell invariant (argmin CASE is null-hostile): each seed's
-    * own vector is at distance 0 to itself and ties break to the lower
-    * cid, so every cell keeps ≥1 member and every mean is defined. */
-  private[graft] def kmeansSemBlocks(s: SparkSession, dir: String): DataFrame =
-    kmeansSemBlocksOf(s, dir, lit(true), (0 until NumCells).map(_.toLong))
-
-  /** [[kmeansSemBlocks]] generalized for the incremental contract
-    * (q110): the quantizer is TRAINED only on rows matching `trainPred`
-    * (the standing corpus), seeded by the explicit `seedIds`, and pc
-    * derives from the TRAIN count — index parameters are fixed at build
-    * time, exactly as q93 freezes its band parameterization — while
-    * every row (corpus and delta alike) is ASSIGNED through the learned
-    * broadcast codebook. */
-  private[graft] def kmeansSemBlocksOf(s: SparkSession, dir: String,
-      trainPred: Column, seedIds: Seq[Long]): DataFrame =
-    assignSemBlocks(quantized(s, dir),
-      kmeansCodebook(s, dir, trainPred, seedIds))
-
-  /** (vec_id, v, q): every vector with its floor(x·1024) quantization
-    * (power-of-two scale — exact product, bit-identical floor on both
-    * engines; every downstream dot/dist fold over q is integer-valued-
-    * double arithmetic, exact in any order). */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).select(col("vec_id"), col("v"),
-      transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
-
-  /** Exactly one non-null per aggregate, so max() is a deterministic
-    * pivot of a ≤k-row frame into ONE broadcastable row. */
-  private def pivotRow(src: DataFrame, key: String, ids: Seq[Long],
-      value: String, out: String) =
-    src.agg(max(when(col(key) === ids.head, col(value))).as(s"${out}0"),
-      (1 until NumCells).map(c =>
-        max(when(col(key) === ids(c), col(value))).as(s"$out$c")): _*)
-
-  /** Null-hostile CASE argmin over distance columns d0..d{k-1}; ties
-    * break to the lower index, matching the oracle CASE exactly. */
-  private def argminCell: Column =
-    (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) { (c, rest) =>
-      val leLater = (c + 1 until NumCells)
-        .map(j => col(s"d$c") <= col(s"d$j")).reduce(_ && _)
-      when(leLater, lit(c)).otherwise(rest)
-    }
-
-  /** (cid, m, n_corpus): the LEARNED codebook — one Lloyd iteration
-    * over the rows matching `trainPred`, seeded by `seedIds`, with the
-    * train count attached to every row so downstream consumers (and the
-    * persisted form, q112) carry the frozen pc parameterization with
-    * the centroids. */
-  private[graft] def kmeansCodebook(s: SparkSession, dir: String,
-      trainPred: Column, seedIds: Seq[Long]): DataFrame = {
-    val k = NumCells
-    require(seedIds.size == k)
-    val train = quantized(s, dir).filter(trainPred)
-    val stats = train.agg(count(lit(1)).as("n_corpus"))
-    val sb = pivotRow(train.filter(col("vec_id").isin(seedIds: _*)),
-      "vec_id", seedIds, "q", "sv")
-    val asg1 = train.crossJoin(broadcast(sb))
-      .select(col("vec_id") +: col("q") +:
-        (0 until k).map(c => sqDistFold(col("q"), col(s"sv$c")).as(s"d$c")): _*)
-      .select(col("vec_id"), col("q"), argminCell.as("cid"))
-    val sums = (0 until Dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
-    val cent = asg1.groupBy(col("cid")).agg(count(lit(1)).as("c"), sums: _*)
-    cent.select(col("cid"),
-        array((0 until Dim).map(i => col(s"s$i") / col("c")): _*).as("m"))
-      .crossJoin(broadcast(stats))
-  }
-
-  /** Assign every row of `vq` (a [[quantized]] frame) through
-    * `codebook` — fresh from [[kmeansCodebook]] or re-read from its
-    * persisted parquet form (doubles round-trip bit-exact, so either
-    * source yields identical blocks): per-row CASE argmin over the
-    * pivoted one-row codebook, then the centered sub-plane bits from
-    * the 8-row geometry join. */
-  private[graft] def assignSemBlocks(vq: DataFrame, codebook: DataFrame): DataFrame = {
-    val k = NumCells
-    val stats = codebook.agg(max(col("n_corpus")).as("n_corpus"))
-    val cb = pivotRow(codebook, "cid", (0 until k).map(_.toLong), "m", "m")
-    val asg2 = vq.crossJoin(broadcast(cb))
-      .select(col("vec_id") +: col("v") +: col("q") +:
-        (0 until k).map(c => sqDistFold(col("q"), col(s"m$c")).as(s"d$c")): _*)
-      .select(col("vec_id"), col("v"), col("q"), argminCell.as("cell"))
-    val geo = codebook.select(col("cid") +: col("m") +:
-      dotFold(col("m"), col("m")).as("mm") +:
-      (0 until SemMaxSub).map(j => dotFold(col("m"),
-        array(adaptivePlane(2, j).map(lit): _*)).as(s"mh$j")): _*)
-    val sub = (0 until SemMaxSub).map { j =>
-      when(lit(j) < col("pc") &&
-          dotFold(col("q"), array(adaptivePlane(2, j).map(lit): _*)) * col("mm")
-            > col(s"mh$j") * col("qm"),
-        lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    asg2.join(broadcast(geo), col("cell") === col("cid"))
-      .crossJoin(broadcast(stats))
-      .withColumn("pc", semSubBitsCol(col("n_corpus")))
-      .withColumn("qm", dotFold(col("q"), col("m")))
-      .select(col("vec_id"), col("v"), col("cell"), sub.as("sub"))
-  }
-
-  private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-
-  private val sqlVecs =
-    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
-
-  // ---- IVF-PQ machinery shared by q82 (ADC search) and q85 (re-rank) ----
-
-  /** How many IVF cells a query probes (multi-probe): the standard
-    * recall/cost dial of a production IVF index. nprobe=1 on this
-    * corpus (random unit vectors, no planted clusters) caps recall@3
-    * around 0.2 because true neighbors of a query land outside its own
-    * Voronoi cell ~2/3 of the time; probing the 3 nearest cells lifts
-    * measured recall@3 to 0.53-0.63 while still scanning only 3/8 of
-    * the corpus per query. */
-  private val NProbe = 3
-
-  /** (q_id, vec_id, adc): every candidate of every query vector scored
-    * by asymmetric distance — one pass assigns each vector its IVF cell
-    * + PQ codes, each query probes its NProbe nearest cells, the query
-    * side precomputes a PqSub x PqK LUT of exact subspace distances,
-    * and a candidate's score is the sum of its codes' LUT entries (its
-    * raw vector is never read past the assignment pass). A candidate
-    * lives in exactly one cell and the probed cells are distinct, so no
-    * (q_id, vec_id) pair is scored twice. */
-  private def adcScored(s: SparkSession, dir: String): DataFrame = {
-    import PqGeometry._
-    val e = vecs(s, dir)
-    val cellDists: Seq[Column] = (0 until NumCells).map { k =>
-      sqDistFold(col("v"), array(centroid(k).map(lit): _*)).as(s"d$k")
-    }
-    val codeDists: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
-      sqDistFold(slice(col("v"), m * PqSubDim + 1, PqSubDim),
-        array(pqCentroid(m, k).map(lit): _*)).as(s"c${m}_$k")
-    val d = e.select(col("vec_id") +: col("v") +: (cellDists ++ codeDists): _*)
-    val cell = (0 until NumCells - 1).foldRight(lit(NumCells - 1): Column) {
-      (k, rest) =>
-        val leLater = (k + 1 until NumCells)
-          .map(j => col(s"d$k") <= col(s"d$j")).reduce(_ && _)
-        when(leLater, lit(k)).otherwise(rest)
-    }
-    def code(m: Int): Column =
-      (0 until PqK - 1).foldRight(lit(PqK - 1): Column) { (k, rest) =>
-        val leLater = (k + 1 until PqK)
-          .map(j => col(s"c${m}_$k") <= col(s"c${m}_$j")).reduce(_ && _)
-        when(leLater, lit(k)).otherwise(rest)
-      }
-    val assigned = d.select(
-      col("vec_id") +: col("v") +: cell.as("cell") +:
-        (0 until PqSub).map(m => code(m).as(s"code$m")): _*)
-    // query-side LUT: exact subspace distance to every codebook entry
-    val lutCols: Seq[Column] = for (m <- 0 until PqSub; k <- 0 until PqK) yield
-      sqDistFold(slice(col("qv"), m * PqSubDim + 1, PqSubDim),
-        array(pqCentroid(m, k).map(lit): _*)).as(s"lut${m}_$k")
-    // multi-probe: explode each query's 8 cell distances, keep the
-    // NProbe nearest cells ((pdist, pcell) rank — deterministic), then
-    // compute the LUT once per probed cell (queries x NProbe rows, tiny)
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("pcell"))
-    val q = d.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        posexplode(array((0 until NumCells).map(k => col(s"d$k")): _*))
-          .as(Seq("pcell", "pdist")))
-      .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= NProbe)
-      .select(col("q_id") +: col("pcell").as("qcell") +: lutCols: _*)
-    def lutVal(m: Int): Column =
-      (0 until PqK - 1).foldRight(col(s"lut${m}_${PqK - 1}")) { (k, rest) =>
-        when(col(s"code$m") === k, col(s"lut${m}_$k")).otherwise(rest)
-      }
-    val adc = (1 until PqSub).foldLeft(lutVal(0))((acc, m) => acc + lutVal(m))
-    assigned.drop("v")
-      .join(broadcast(q),
-        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), adc.as("adc"))
-  }
-
-  /** Oracle CTE list producing `scored(q_id, vec_id, adc)` — the SQL
-    * twin of [[adcScored]], shared by q82 and q85. */
-  private lazy val sqlAdcCtes: String = {
-    import PqGeometry._
-    val cellDists = (0 until NumCells).map { k =>
-      val arr = centroid(k).mkString(", ")
-      s"${sqlSqDistFold("v", s"[$arr]::DOUBLE[]")} AS d$k"
-    }.mkString(",\n    ")
-    val codeDists = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
-      val arr = pqCentroid(m, k).mkString(", ")
-      val slice = s"v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
-      s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS c${m}_$k"
-    }).mkString(",\n    ")
-    val cellArgmin = (0 until NumCells - 1).map { k =>
-      val leLater = (k + 1 until NumCells).map(j => s"d$k <= d$j").mkString(" AND ")
-      s"WHEN $leLater THEN $k"
-    }.mkString(" ")
-    def codeArgmin(m: Int): String = {
-      val cases = (0 until PqK - 1).map { k =>
-        val leLater = (k + 1 until PqK).map(j => s"c${m}_$k <= c${m}_$j").mkString(" AND ")
-        s"WHEN $leLater THEN $k"
-      }.mkString(" ")
-      s"CASE $cases ELSE ${PqK - 1} END"
-    }
-    val lutCols = (for (m <- 0 until PqSub; k <- 0 until PqK) yield {
-      val arr = pqCentroid(m, k).mkString(", ")
-      val slice = s"qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
-      s"${sqlSqDistFold(slice, s"[$arr]::DOUBLE[]")} AS lut${m}_$k"
-    }).mkString(",\n    ")
-    val adcSum = (0 until PqSub).map { m =>
-      val cases = (0 until PqK).map(k => s"WHEN $k THEN lut${m}_$k").mkString(" ")
-      s"(CASE a.code$m $cases END)"
-    }.mkString(" + ")
-    val pdistCase = (0 until NumCells).map(k => s"WHEN $k THEN d$k").mkString(" ")
-    val probeValues = (0 until NumCells).map(k => s"($k)").mkString(",")
-    s"""e AS ($sqlVecs),
-       |d AS (SELECT vec_id, v,
-       |    $cellDists,
-       |    $codeDists
-       |  FROM e),
-       |assigned AS (SELECT vec_id, v,
-       |    CASE $cellArgmin ELSE ${NumCells - 1} END AS cell,
-       |    ${(0 until PqSub).map(m => s"${codeArgmin(m)} AS code$m").mkString(",\n    ")}
-       |  FROM d),
-       |qp AS (SELECT vec_id AS q_id, v AS qv, pc.c AS pcell,
-       |    CASE pc.c $pdistCase END AS pdist
-       |  FROM d CROSS JOIN (VALUES $probeValues) pc(c)
-       |  WHERE vec_id < $NumQueries),
-       |probe AS (SELECT q_id, qv, pcell FROM (
-       |    SELECT q_id, qv, pcell, row_number() OVER (
-       |      PARTITION BY q_id ORDER BY pdist, pcell) AS prk
-       |    FROM qp) WHERE prk <= $NProbe),
-       |lut AS (SELECT q_id, pcell AS qcell,
-       |    $lutCols
-       |  FROM probe),
-       |scored AS (SELECT q_id, a.vec_id, $adcSum AS adc
-       |  FROM lut JOIN assigned a ON a.cell = lut.qcell AND a.vec_id <> q_id)""".stripMargin
-  }
+object SimilarityQueries extends SimGeometry with SimIvfPq
+    with SimServing with SimRetraction with SimIncremental {
 
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -1090,610 +625,4 @@ object SimilarityQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7),
         Some(del))
     })
-
-  /** q124/q125's body: top-K retrieval SERVED from the durable block
-    * index — the read path a RAG/embedding-search user runs, distinct
-    * from the dedup probes (which want high-precision near-dup pairs;
-    * retrieval wants the best K whatever their score). The query batch
-    * is assigned a cell through the re-read codebook, then probes the
-    * cell as the union of its 2^pc sub-block KEYS — an explode to
-    * (q_id, block_key) pairs — so the candidate join runs on the
-    * index's own bucketed block_key with zero index-side Exchange.
-    * A per-query window then takes the top K (cosine desc, vec_id
-    * tiebreak — fully deterministic). WHERE the cosine is computed
-    * differs per route (the round-16 sf10 finding):
-    *
-    *   - SERVING route (bounded batch): key and vector sides both
-    *     broadcast; candidates join back to the broadcast query
-    *     vectors for the cosine — no payload ever shuffles, so the
-    *     two-join shape stays optimal;
-    *   - BULK route (past the gate): the query vector `qv` IS
-    *     duplicated onto the exploded key side (queries x 2^pc subs —
-    *     still the small side by construction) and the cosine is
-    *     computed INSIDE the bucketed merge join, so the q_id
-    *     Exchange moves only (q_id, c_id, cosine) rows instead of
-    *     every candidate's ~550-byte vector (q125 sf10: 1306s → 67.5s).
-    *
-    * SIZE-GATED like every probe in the family: a bounded serving
-    * batch broadcasts its key and vector sides; past
-    * [[SemDeltaBroadcastMaxVecs]] both joins degrade to shuffles
-    * against the Exchange-free bucketed scan (`forceLarge` pins the
-    * route for q125 and the plan audit). */
-  private[graft] def semIndexTopK(s: SparkSession, dir: String,
-      forceLarge: Option[Boolean] = None): DataFrame =
-    semIndexTopKOf(s, dir,
-      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7), forceLarge)
-
-  /** [[semIndexTopK]] parameterized over the arriving query rows (raw
-    * embeddings schema) so the streaming drain (q126) can serve each
-    * micro-batch; the size gate runs per call — i.e. per micro-batch
-    * in the streaming case, like q114's in-drain gate. */
-  private[graft] def semIndexTopKOf(s: SparkSession, dir: String,
-      raw: DataFrame, forceLarge: Option[Boolean] = None,
-      deleted: Option[DataFrame] = None): DataFrame = {
-    // in-flight retraction: deleted vectors tombstone out of the block
-    // index by ONE anti-join against the broadcast takedown-sized set —
-    // the codebook (a trained artifact) is deliberately NOT retrained,
-    // so assignments stay stable and the serving contract is exactly
-    // "the same index minus the deleted rows". The DURABLE form (q147)
-    // resolves the index through [[semRetractedIndex]] instead.
-    val idx0 = semBlockIndexTable(s, dir)
-    val idx = deleted.map(d => idx0.join(
-        broadcast(d.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
-      .getOrElse(idx0)
-    semTopKOverIndex(s, dir, idx, raw, forceLarge)
-  }
-
-  /** The serving tail over an already-resolved index relation — shared
-    * by the base path ([[semIndexTopKOf]]) and the durable-retraction
-    * path ([[semServeRetracted]]). */
-  private def semTopKOverIndex(s: SparkSession, dir: String,
-      idx: DataFrame, raw: DataFrame,
-      forceLarge: Option[Boolean]): DataFrame = {
-    val codebook = semCodebookTable(s, dir)
-    val vq = raw
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
-    val queries = assignSemBlocks(vq, codebook)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
-      .localCheckpoint() // keys probe + cosine join-back read one assignment
-    // size gate off the stage just materialized — block-manager
-    // metadata, zero extra jobs per serving batch (round-12 verdict
-    // #6); both broadcast sides (qkeys, qvecs) derive from it
-    val large = forceLarge.getOrElse(
-      DedupQueries.stagedBytes(queries)
-        .map(_ > SemDeltaBroadcastMaxBytes)
-        .getOrElse(raw.select("vec_id").count() > SemDeltaBroadcastMaxVecs))
-    val stats = codebook.agg(max(col("n_corpus")).as("n_corpus"))
-    def keysOf(extra: Column*) = queries
-      .crossJoin(broadcast(stats))
-      .withColumn("pc", semSubBitsCol(col("n_corpus")))
-      .select(col("q_id") +: col("cell") +:
-        explode(sequence(lit(0), expr("shiftleft(1, pc) - 1"))).as("sub") +:
-        extra: _*)
-      .select(col("q_id") +: (col("cell") * lit(256) + col("sub")).as("block_key") +:
-        extra: _*)
-    val scored = if (large) {
-      // bulk route (round-16 sf10 finding): the two-join shape shuffled
-      // every (query, candidate) pair WITH its candidate vector payload
-      // through the q_id Exchange before the cosine — at sf10 a 20k-query
-      // batch moved ~550 bytes/candidate and the rank's top-K could prune
-      // nothing map-side (q125: 1306s). Carrying qv on the exploded KEY
-      // side instead (queries x 2^pc subs — the small side by
-      // construction) computes the cosine INSIDE the bucketed merge join,
-      // so the q_id Exchange moves only (q_id, c_id, cosine) rows and the
-      // optimizer's partial WindowGroupLimit can prune before the shuffle.
-      // The index side is untouched: bare bucketed scan, zero Exchange
-      // (PlanAuditSpec audits both routes).
-      idx.hint("merge").join(keysOf(col("qv")), Seq("block_key"))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          cosine(col("qv"), col("v")).as("cosine"))
-    } else {
-      // serving route: both tiny sides broadcast; the payload never
-      // shuffles at all, so the two-join shape stays optimal here
-      val qvecs = queries.select(col("q_id"), col("qv"))
-      idx.join(broadcast(keysOf()), Seq("block_key"))
-        .select(col("q_id"), col("vec_id").as("c_id"), col("v"))
-        .join(broadcast(qvecs), Seq("q_id"))
-        .select(col("q_id"), col("c_id"), cosine(col("qv"), col("v")).as("cosine"))
-    }
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= RetrievalK)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cosine"))
-  }
-
-  /** Past this fraction of the standing block-index rows, a published
-    * ANN delete stops being a sidecar and FOLDS into a full index
-    * generation — the similarity twin of
-    * [[DedupQueries.RetractRebuildDebtFraction]]. */
-  private[queries] val SemRebuildDebtFraction =
-    sys.env.getOrElse("SPARK_GRAFT_SEM_REBUILD_DEBT_FRACTION", "0.2").toDouble
-
-  /** The (corpus fp x delete-set fp) version a published ANN delete log
-    * is keyed on — [[DedupQueries.retractionFp]] over the embeddings
-    * source. */
-  private def semRetractionFp(s: SparkSession, dir: String,
-      del: DataFrame): String = {
-    val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "embeddings.parquet")
-    java.lang.Long.toHexString(
-      ((java.lang.Long.parseLong(srcFp, 16) * 31 + java.lang.Long.parseLong(
-        DedupQueries.deleteSetFp(del.select(col("vec_id").as("doc_id"))), 16))
-        & 0xFFFFFFFFFFFFL) | 0x1)
-  }
-
-  /** Resolve the RETRACTED serving index — the durable half q147 was
-    * missing (round-13 verdict #2): the old tombstone lived only
-    * in-flight, so nothing was published, every future serving query
-    * re-paid the anti-join, and a fresh session that was not re-handed
-    * the delete set silently served deleted vectors.
-    *
-    * With a delete batch in hand (`delIds = Some(d)`), the delete set
-    * is PUBLISHED as a DurableIndex sidecar (`sem_del`, keyed corpus
-    * fp x delete fp) carrying (vec_id, corpus_fp, del_fp, folded) —
-    * an O(|D|) write. The mode is decided ONCE at publish by the
-    * tombstone-debt gate (deleted fraction of the block-index rows +
-    * an absolute ~4M-id cap, one vec_id-column scan, no broadcast
-    * hint) and recorded in the sidecar's `folded` flag — folded
-    * sidecars are META-ONLY (one marker row; the fold generation is
-    * the content, published BEFORE its marker) — so every later
-    * resolution, including sessions that never saw the batch, replays
-    * the same decision with zero gate scans:
-    *
-    *   - under the gate, serving COMPOSES the sidecar over the
-    *     unchanged base index: one broadcast anti-join added to the
-    *     bucketed Exchange-free scan;
-    *   - past [[SemRebuildDebtFraction]], the index MAJOR-COMPACTS
-    *     into a full `sem_blocks_r` generation (bucketed on block_key
-    *     like its base; codebook deliberately NOT retrained — the
-    *     serving contract is "the same index minus the deleted rows"),
-    *     and every later read is a bare bucketed scan again.
-    *
-    * WITHOUT a delete batch (`delIds = None` — a fresh serving
-    * session), the live sidecar is discovered from the warehouse
-    * ([[graft.sources.DurableIndex.attachLatest]]), validated against
-    * the CURRENT corpus fingerprint (a regenerated corpus moots a
-    * stale delete log), and composed or read folded per its recorded
-    * mode. No sidecar -> the base index. */
-  private[graft] def semRetractedIndex(s: SparkSession, dir: String,
-      delIds: Option[DataFrame],
-      forceRebuild: Option[Boolean] = None): DataFrame = {
-    val idx0 = semBlockIndexTable(s, dir)
-    val srcFp = graft.sources.DurableIndex.fingerprint(s, dir, "embeddings.parquet")
-    def composed(vecIds: DataFrame): DataFrame =
-      idx0.join(broadcast(vecIds), Seq("vec_id"), "left_anti")
-        .select(idx0.columns.map(col).toIndexedSeq: _*)
-    delIds match {
-      case Some(d) =>
-        val del = d.select("vec_id").distinct().localCheckpoint()
-        val fp = semRetractionFp(s, dir, del)
-        // explicit override, else the recorded mode (generation
-        // existence — zero jobs), else ONE shared debt-gate scan:
-        // deleted fraction of the index rows or the absolute id cap
-        val folded = forceRebuild.getOrElse {
-          if (graft.sources.DurableIndex.liveExists(s, dir, "sem_blocks_r", fp)) true
-          else if (graft.sources.DurableIndex.liveExists(s, dir, "sem_del", fp)) false
-          else graft.sources.DurableIndex.exceedsDebt(
-            idx0, del.select(col("vec_id")), "vec_id", SemRebuildDebtFraction)
-        }
-        if (folded) {
-          // the GENERATION publishes before the sidecar marker (a
-          // crash between the two leaves the retraction invisible —
-          // never a marker pointing at a missing fold); the folded
-          // sidecar is META-ONLY: a sweep-scale delete set has no
-          // business being written coalesce(1), and nothing ever
-          // composes it — the fold generation is the content
-          val gen = graft.sources.DurableIndex.attachOrBuildFp(
-            s, dir, "sem_blocks_r", fp, Some(("block_key", 16))) {
-            composed(del).repartition(16, col("block_key"))
-          }
-          graft.sources.DurableIndex.attachOrBuildFp(s, dir, "sem_del", fp, None) {
-            del.limit(0).select(col("vec_id"))
-              .unionByName(s.range(1).select(lit(-1L).as("vec_id")))
-              .select(col("vec_id"), lit(srcFp).as("corpus_fp"),
-                lit(fp).as("del_fp"), lit(true).as("folded")).coalesce(1)
-          }
-          gen
-        } else {
-          val sc = graft.sources.DurableIndex.attachOrBuildFp(
-            s, dir, "sem_del", fp, None) {
-            del.select(col("vec_id"), lit(srcFp).as("corpus_fp"),
-              lit(fp).as("del_fp"), lit(false).as("folded")).coalesce(1)
-          }
-          composed(sc.select("vec_id"))
-        }
-      case None =>
-        // fresh-session path: discover the live delete log from the
-        // warehouse; an absent, empty, or stale-corpus sidecar
-        // (regenerated embeddings) degrades to the base index — old
-        // deletes are moot under a new corpus identity
-        graft.sources.DurableIndex.attachLatest(s, dir, "sem_del")
-          .flatMap(sc => sc.select("corpus_fp", "del_fp", "folded")
-            .limit(1).collect().headOption.map(h => (sc, h)))
-          .filter { case (_, h) => h.getString(0) == srcFp } match {
-          case None => idx0
-          case Some((sc, head)) =>
-            if (head.getBoolean(2))
-              graft.sources.DurableIndex.attachOrBuildFp(
-                s, dir, "sem_blocks_r", head.getString(1), Some(("block_key", 16))) {
-                // unreachable by construction: the generation publishes
-                // BEFORE its marker — a marker without its fold is a
-                // corrupted warehouse, and rebuilding from the
-                // meta-only sidecar would silently serve deleted rows
-                sys.error(s"sem_del marker ${head.getString(1)} has no " +
-                  "sem_blocks_r generation — warehouse corrupted")
-              }
-            else composed(sc.select("vec_id"))
-        }
-    }
-  }
-
-  /** Top-K serving over the retracted index — q147's surface and the
-    * read path a takedown-compliant vector service actually runs. */
-  private[graft] def semServeRetracted(s: SparkSession, dir: String,
-      raw: DataFrame, delIds: Option[DataFrame],
-      forceRebuild: Option[Boolean] = None): DataFrame =
-    semTopKOverIndex(s, dir, semRetractedIndex(s, dir, delIds, forceRebuild),
-      raw, None)
-
-  /** q126's body: the serving path LIVE — a stream of retrieval
-    * queries drained against the standing durable index, the shape of
-    * an online vector-search service. Queries arrive as 3 drops (mod-3
-    * classes — retrieval answers are per-query, so batch-local top-K
-    * is globally exact and drop order is irrelevant); each micro-batch
-    * runs [[semIndexTopKOf]] — re-gated per batch — and dynamic-
-    * overwrites its own batch_id partition (replay-idempotent: the
-    * answer to a query is a pure function of the query and the
-    * standing index). Final table == batch q124 under the verbatim
-    * oracle. Test hooks as in [[graft.queries.DedupQueries]]. */
-  private[graft] def streamAnnServe(s: SparkSession, dir: String,
-      chaos: Long => Unit = _ => (),
-      scratch: Option[(String, String)] = None,
-      resume: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    import DedupQueries.{createBatchSink, rmQuietly, withStreamConfs}
-    val queries = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7)
-    val (srcDir, ckpt) = scratch.getOrElse(
-      (DedupQueries.streamScratch("graft_q126_src"),
-        DedupQueries.streamScratch("graft_q126_ckpt")))
-    val outTable = JvmScratch.tableName("stream_ann_out")
-    try {
-      if (!resume) {
-        DedupQueries.stageDropsCached(s, dir, "q126", "embeddings.parquet", srcDir, 3)(
-          i => queries.filter(pmod(col("vec_id"), lit(3)) === i))
-        JvmScratch.resetTable(s, "stream_ann_out")
-        createBatchSink(s, outTable, Seq("q_id" -> "bigint",
-          "rank" -> "bigint", "c_id" -> "bigint", "cosine" -> "double"))
-      }
-      // build/attach the index and codebook BEFORE the drain (the
-      // standing artifacts exist before a serving stream starts)
-      semBlockIndexTable(s, dir)
-      semCodebookTable(s, dir)
-      val schema = s.read.parquet(srcDir).schema
-      withStreamConfs(s) {
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1).parquet(srcDir)
-          .writeStream.outputMode(OutputMode.Append())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val ss = batch.sparkSession
-            semIndexTopKOf(ss, dir, batch)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite").insertInto(outTable)
-            chaos(batchId)
-          }
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.catalog.refreshTable(outTable)
-      s.table(outTable).select("q_id", "rank", "c_id", "cosine")
-    } finally if (scratch.isEmpty) rmQuietly(srcDir, ckpt)
-  }
-
-  /** The shared keeper tail of the durable-probe queries (q112/q115):
-    * lowest corpus id wins per delta vector, hits staged by the caller. */
-  private def keepLowest(hits: DataFrame): DataFrame = {
-    val keep = hits.groupBy("d_id").agg(min(col("c_id")).as("keeper_id"))
-    hits.join(keep, Seq("d_id"))
-      .filter(col("c_id") === col("keeper_id"))
-      .select(col("d_id").as("vec_id"), col("keeper_id"), col("cosine"))
-  }
-
-  /** q112's probe stage, pre-staging: (d_id, c_id, cosine) hits of the
-    * delta against the persisted block index. Exposed unstaged so
-    * PlanAuditSpec can assert the plan that actually touches the index
-    * (the localCheckpoint in the query body would hide it). */
-  private[graft] def semIndexProbe(s: SparkSession, dir: String,
-      forceLarge: Option[Boolean] = None): DataFrame =
-    semIndexProbeOf(s, dir,
-      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 7), forceLarge)
-
-  /** The probe parameterized over the arriving rows (raw embeddings
-    * schema), so the streaming drain (q113) can run it per micro-batch:
-    * assign `deltaRaw` through the re-read codebook and join its
-    * blocks into the bucketed index scan, cosine-verify.
-    *
-    * SIZE-GATED like [[semanticIncrementalMatches]] and q93's probe:
-    * a delta-sized arrival (< [[SemDeltaBroadcastMaxVecs]] vectors —
-    * the gate count is one column-pruned scan of the delta ids)
-    * broadcasts its blocks into the bucketed scan, zero index-side
-    * Exchange. Past the gate the broadcast is dropped and the delta
-    * pays ONE shuffle into the index's own HashPartitioning(block_key,
-    * 16) layout — the bucketed side still reads Exchange-free.
-    * `forceLarge` pins the path for q115 and the plan audit. */
-  private[graft] def semIndexProbeOf(s: SparkSession, dir: String,
-      deltaRaw: DataFrame, forceLarge: Option[Boolean] = None): DataFrame = {
-    val idx = semBlockIndexTable(s, dir)
-    val large = forceLarge.getOrElse(
-      deltaRaw.select("vec_id").count() > SemDeltaBroadcastMaxVecs)
-    val deltaBlocks = blocksOfRaw(deltaRaw, semCodebookTable(s, dir))
-      .select(col("vec_id").as("d_id"), col("v").as("dv"), col("block_key"))
-    (if (large) idx.hint("merge").join(deltaBlocks, Seq("block_key"))
-     else idx.join(broadcast(deltaBlocks), Seq("block_key")))
-      .select(col("d_id"), col("vec_id").as("c_id"),
-        cosine(col("dv"), col("v")).as("cosine"))
-      .filter(col("cosine") >= NearDupThreshold)
-  }
-
-  /** (vec_id, v, block_key) of raw embeddings-schema rows assigned
-    * through `codebook` — the folded single-column block key the
-    * bucketed index joins on. Shared by the q112 probe and the q114
-    * stream-grown index. */
-  private[graft] def blocksOfRaw(raw: DataFrame, codebook: DataFrame): DataFrame = {
-    val vq = raw
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        transform(col("v"), x => floor(x * lit(1024.0)).cast("double")).as("q"))
-    assignSemBlocks(vq, codebook)
-      .select(col("vec_id"), col("v"),
-        (col("cell") * lit(256) + col("sub")).as("block_key"))
-  }
-
-  /** The persisted codebook: (cid, m, n_corpus), trained once per
-    * corpus content fingerprint on the standing rows (vec_id % 10 != 7)
-    * and published as a tiny parquet sidecar under the warehouse. */
-  private[graft] def semCodebookTable(s: SparkSession, dir: String): DataFrame =
-    graft.sources.DurableIndex.attachOrBuild(
-      s, dir, "sem_codebook", "embeddings.parquet", None) {
-      val seedIds = (0L until 16L).filter(_ % 10 != 7).take(NumCells)
-      kmeansCodebook(s, dir, col("vec_id") % 10 =!= 7, seedIds).coalesce(1)
-    }
-
-  /** The FULL-corpus sibling of [[semCodebookTable]] (all vectors,
-    * seeds 0..k-1 — the q109/q114 training set, which differs from the
-    * standing-corpus codebook above in both population and seeds, so
-    * the two are distinct durable families). q114's bootstrap used to
-    * re-run the Lloyd iteration — two corpus scans — on EVERY
-    * invocation; at sf1 that train was the bulk of its ~25s wall
-    * (round-10 verdict #6). Persisting it under the corpus content
-    * fingerprint makes the train once-per-corpus: repeated bootstraps
-    * (bench iterations, the sf1 Verify pass) re-read a one-row sidecar.
-    * Arithmetic is deterministic (quantized components, exact integer
-    * folds), so reuse is result-identical and the q114 oracle is
-    * untouched. */
-  private[graft] def semCodebookAllTable(s: SparkSession, dir: String): DataFrame =
-    graft.sources.DurableIndex.attachOrBuild(
-      s, dir, "sem_codebook_all", "embeddings.parquet", None) {
-      kmeansCodebook(s, dir, lit(true), (0 until NumCells).map(_.toLong))
-        .coalesce(1)
-    }
-
-  /** The persisted corpus block index: (vec_id, v, block_key) for every
-    * standing-corpus vector, bucketed 16 ways on block_key so the probe
-    * join needs no index-side Exchange (the q41 property). Carries the
-    * raw vectors as its payload — the IVF-list shape — so the cosine
-    * verify reads them straight off the index scan. */
-  private[graft] def semBlockIndexTable(s: SparkSession, dir: String): DataFrame =
-    graft.sources.DurableIndex.attachOrBuild(
-      s, dir, "sem_blocks", "embeddings.parquet", Some(("block_key", 16))) {
-      assignSemBlocks(quantized(s, dir).filter(col("vec_id") % 10 =!= 7),
-          semCodebookTable(s, dir))
-        .select(col("vec_id"), col("v"),
-          (col("cell") * lit(256) + col("sub")).as("block_key"))
-    }
-
-  /** The q109/q114 shared oracle CTE prefix: the full Lloyd-trained
-    * block assignment (train on ALL vectors, seeds vec_id 0..7)
-    * restated in DuckDB through `cells(vec_id, v, cell, sub)` —
-    * centroid arithmetic CTE-for-CTE with the Spark plan. */
-  private[graft] lazy val semAllBlocksOracleCtes: String = {
-    val k = NumCells
-    val svCols = (0 until k)
-      .map(c => s"(SELECT q FROM vq WHERE vec_id = $c) AS sv$c")
-      .mkString(",\n    ")
-    val argmin = (0 until k - 1).map { c =>
-      val leLater = (c + 1 until k).map(j => s"d$c <= d$j").mkString(" AND ")
-      s"WHEN $leLater THEN $c"
-    }.mkString("\n    ")
-    val d1 = (0 until k)
-      .map(c => s"${sqlSqDistFold("q", s"sv$c")} AS d$c").mkString(",\n      ")
-    val sums = (0 until Dim).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
-    val means = (0 until Dim).map(i => s"s$i / c").mkString(", ")
-    val mCols = (0 until k)
-      .map(c => s"(SELECT m FROM mv WHERE cid = $c) AS m$c")
-      .mkString(",\n    ")
-    val d2 = (0 until k)
-      .map(c => s"${sqlSqDistFold("q", s"m$c")} AS d$c").mkString(",\n      ")
-    val mhCols = (0 until SemMaxSub).map { j =>
-      val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
-      s"${sqlDotFold("m", s"[$arr]::DOUBLE[]")} AS mh$j"
-    }.mkString(",\n    ")
-    val subSql = (0 until SemMaxSub).map { j =>
-      val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
-      s"CASE WHEN $j < pc AND ${sqlDotFold("q", s"[$arr]::DOUBLE[]")} * mm > " +
-        s"mh$j * ${sqlDotFold("q", "m")} THEN ${1 << j} ELSE 0 END"
-    }.mkString(" +\n      ")
-    s"""e AS ($sqlVecs),
-       |params AS (SELECT $sqlSemSubBits AS pc
-       |  FROM (SELECT count(*) AS n_corpus FROM e)),
-       |vq AS (SELECT vec_id, v, list_transform(v, x -> floor(x * 1024.0)) AS q FROM e),
-       |sb AS (SELECT $svCols),
-       |asg1 AS (SELECT vec_id, q, CASE
-       |    $argmin
-       |    ELSE ${k - 1} END AS cid FROM (
-       |  SELECT vec_id, q, $d1 FROM vq CROSS JOIN sb)),
-       |cent AS (SELECT cid, count(*) AS c, $sums FROM asg1 GROUP BY cid),
-       |mv AS (SELECT cid, [$means]::DOUBLE[] AS m FROM cent),
-       |cb AS (SELECT $mCols),
-       |asg2 AS (SELECT vec_id, v, q, CASE
-       |    $argmin
-       |    ELSE ${k - 1} END AS cell FROM (
-       |  SELECT vec_id, v, q, $d2 FROM vq CROSS JOIN cb)),
-       |geo AS (SELECT cid, m, ${sqlDotFold("m", "m")} AS mm, $mhCols FROM mv),
-       |cells AS (SELECT vec_id, v, cell,
-       |    $subSql AS sub
-       |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params)""".stripMargin
-  }
-
-  /** The q110/q111 oracle: the full train-assign-probe pipeline
-    * restated in DuckDB, centroid arithmetic CTE-for-CTE. */
-  /** Shared CTE prefix of the standing-corpus-trained oracles (q110
-    * family and q124/q125): codebook trained on vec_id % 10 != 7,
-    * every vector assigned to (cell, sub) — ends at `cells`. */
-  private[graft] lazy val semStandingCellsOracleCtes: String = {
-    val k = NumCells
-    val seedIds = (0L until 16L).filter(_ % 10 != 7).take(k)
-    val svCols = (0 until k)
-      .map(c => s"(SELECT q FROM corpus WHERE vec_id = ${seedIds(c)}) AS sv$c")
-      .mkString(",\n    ")
-    val argmin = (0 until k - 1).map { c =>
-      val leLater = (c + 1 until k).map(j => s"d$c <= d$j").mkString(" AND ")
-      s"WHEN $leLater THEN $c"
-    }.mkString("\n    ")
-    val d1 = (0 until k)
-      .map(c => s"${sqlSqDistFold("q", s"sv$c")} AS d$c").mkString(",\n      ")
-    val sums = (0 until Dim).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
-    val means = (0 until Dim).map(i => s"s$i / c").mkString(", ")
-    val mCols = (0 until k)
-      .map(c => s"(SELECT m FROM mv WHERE cid = $c) AS m$c")
-      .mkString(",\n    ")
-    val d2 = (0 until k)
-      .map(c => s"${sqlSqDistFold("q", s"m$c")} AS d$c").mkString(",\n      ")
-    val mhCols = (0 until SemMaxSub).map { j =>
-      val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
-      s"${sqlDotFold("m", s"[$arr]::DOUBLE[]")} AS mh$j"
-    }.mkString(",\n    ")
-    val subSql = (0 until SemMaxSub).map { j =>
-      val arr = adaptivePlane(2, j).map(d => s"$d").mkString(", ")
-      s"CASE WHEN $j < pc AND ${sqlDotFold("q", s"[$arr]::DOUBLE[]")} * mm > " +
-        s"mh$j * ${sqlDotFold("q", "m")} THEN ${1 << j} ELSE 0 END"
-    }.mkString(" +\n      ")
-    s"""WITH e AS ($sqlVecs),
-       |vq AS (SELECT vec_id, v, list_transform(v, x -> floor(x * 1024.0)) AS q FROM e),
-       |corpus AS (SELECT * FROM vq WHERE vec_id % 10 != 7),
-       |params AS (SELECT $sqlSemSubBits AS pc
-       |  FROM (SELECT count(*) AS n_corpus FROM corpus)),
-       |sb AS (SELECT $svCols),
-       |asg1 AS (SELECT vec_id, q, CASE
-       |    $argmin
-       |    ELSE ${k - 1} END AS cid FROM (
-       |  SELECT vec_id, q, $d1 FROM corpus CROSS JOIN sb)),
-       |cent AS (SELECT cid, count(*) AS c, $sums FROM asg1 GROUP BY cid),
-       |mv AS (SELECT cid, [$means]::DOUBLE[] AS m FROM cent),
-       |cb AS (SELECT $mCols),
-       |asg2 AS (SELECT vec_id, v, q, CASE
-       |    $argmin
-       |    ELSE ${k - 1} END AS cell FROM (
-       |  SELECT vec_id, v, q, $d2 FROM vq CROSS JOIN cb)),
-       |geo AS (SELECT cid, m, ${sqlDotFold("m", "m")} AS mm, $mhCols FROM mv),
-       |cells AS (SELECT vec_id, v, cell,
-       |    $subSql AS sub
-       |  FROM asg2 JOIN geo ON geo.cid = asg2.cell CROSS JOIN params)""".stripMargin
-  }
-
-  private[graft] lazy val semanticIncrementalOracle: String =
-    s"""$semStandingCellsOracleCtes,
-       |hits AS (SELECT d.vec_id AS d_id, c.vec_id AS c_id,
-       |    ${sqlCosine("d.v", "c.v")} AS cosine
-       |  FROM cells d JOIN cells c
-       |    ON d.cell = c.cell AND d.sub = c.sub
-       |   AND d.vec_id % 10 = 7 AND c.vec_id % 10 != 7
-       |  WHERE ${sqlCosine("d.v", "c.v")} >= $NearDupThreshold),
-       |keep AS (SELECT d_id, min(c_id) AS keeper_id
-       |  FROM hits GROUP BY d_id)
-       |SELECT h.d_id AS vec_id, k.keeper_id, h.cosine
-       |FROM hits h JOIN keep k
-       |  ON h.d_id = k.d_id AND h.c_id = k.keeper_id""".stripMargin
-
-  /** q124/q125 shared oracle: top-K retrieval — every query (the
-    * held-out decile) against every standing vector in its CELL,
-    * ranked by cosine with vec_id tiebreak. The Spark plan probes the
-    * cell as the union of its 2^pc sub-block keys (so the join stays
-    * on the bucketed block_key); since every indexed vector's sub is
-    * < 2^pc, that union IS the whole cell — the two statements are
-    * equivalent by construction. */
-  /** The serving oracle parameterized over an extra candidate-side
-    * predicate (alias `c`) — empty for q124/q125/q126; the retraction
-    * query (q147) excludes the deleted vectors. The codebook-training
-    * CTEs stay verbatim: retraction does not retrain. */
-  private[graft] def annServeOracleFor(candPred: String): String = {
-    val cp = if (candPred.isEmpty) "" else s" AND $candPred"
-    s"""$semStandingCellsOracleCtes,
-       |scored AS (SELECT d.vec_id AS q_id, c.vec_id AS c_id,
-       |    ${sqlCosine("d.v", "c.v")} AS cosine
-       |  FROM cells d JOIN cells c ON d.cell = c.cell
-       |   AND d.vec_id % 10 = 7 AND c.vec_id % 10 != 7$cp),
-       |ranked AS (SELECT q_id, c_id, cosine,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cosine DESC, c_id) AS rank
-       |  FROM scored)
-       |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, cosine
-       |FROM ranked WHERE rank <= $RetrievalK""".stripMargin
-  }
-
-  private[graft] lazy val annServeOracle: String = annServeOracleFor("")
-
-  /** Threshold over which an arriving embedding delta stops
-    * broadcasting and instead shuffles both sides on (cell, sub) —
-    * the same size-gate discipline as the q93/q108 MinHash probe. */
-  private[graft] val SemDeltaBroadcastMaxVecs = 100000L
-
-  /** The byte form of the same gate, for call sites whose delta is
-    * already STAGED (the streaming drains): ~32 MB of staged blocks
-    * stops broadcasting — read from block-manager metadata, zero
-    * jobs per micro-batch (round-12 verdict #6). */
-  private[graft] val SemDeltaBroadcastMaxBytes = 32L << 20
-
-  /** The q110/q111 shared pipeline: train on the standing corpus,
-    * assign everything through the broadcast codebook, probe delta
-    * blocks against corpus blocks.
-    *
-    * SIZE-GATED like [[graft.queries.DedupQueries]]'s
-    * `matchesAgainstIndex` (the round-9 verdict's q93 lesson, applied
-    * at birth): while the delta is genuinely delta-sized (<
-    * [[SemDeltaBroadcastMaxVecs]] vectors — the gate count is one
-    * column-pruned scan of the delta ids), its blocks broadcast and
-    * the corpus side streams through with zero shuffle. A LARGE delta
-    * instead drops the hint and equi-joins on (cell, sub) — both
-    * sides pay one shuffle into the block key, the standard route
-    * when a day's crawl outgrows broadcast range. `forceLarge` pins
-    * the path for q111 and the plan audit. */
-  private[graft] def semanticIncrementalMatches(s: SparkSession, dir: String,
-      forceLarge: Option[Boolean]): DataFrame = {
-    val deltaPred = col("vec_id") % 10 === 7
-    val seedIds = (0L until 16L).filter(_ % 10 != 7).take(NumCells)
-    val large = forceLarge.getOrElse(
-      vecs(s, dir).filter(deltaPred).count() > SemDeltaBroadcastMaxVecs)
-    val blocks = kmeansSemBlocksOf(s, dir, !deltaPred, seedIds)
-    val d = blocks.filter(deltaPred)
-      .select(col("vec_id").as("d_id"), col("v").as("dv"), col("cell"), col("sub"))
-    val c = blocks.filter(!deltaPred)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"),
-        col("cell").as("ccell"), col("sub").as("csub"))
-    val joinCond = col("cell") === col("ccell") && col("sub") === col("csub")
-    // merge-hint pins the large path to a sort-merge join (q108's
-    // treatment): without it AQE would re-broadcast at test scale and
-    // the audited plan would not be the 100-TB plan
-    val hits = (if (large) d.hint("merge").join(c, joinCond)
-        else broadcast(d).join(c, joinCond))
-      .select(col("d_id"), col("c_id"), cosine(col("dv"), col("cv")).as("cosine"))
-      .filter(col("cosine") >= NearDupThreshold)
-      .localCheckpoint()
-    val keep = hits.groupBy("d_id").agg(min(col("c_id")).as("keeper_id"))
-    hits.join(keep, Seq("d_id"))
-      .filter(col("c_id") === col("keeper_id"))
-      .select(col("d_id").as("vec_id"), col("keeper_id"), col("cosine"))
-  }
 }
