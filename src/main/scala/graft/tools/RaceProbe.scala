@@ -1,0 +1,87 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Child-process halves of the CROSS-PROCESS publisher race
+  * (round-16 verdict #4): ConcurrentPublishSpec races threads over
+  * [[graft.sources.DurableIndex.publishAtomic]] and argues the FS
+  * primitive sits below the JVM lock, so the interleaving equals two
+  * JVMs'. This main makes the argument empirical — each invocation is
+  * a REAL separate JVM with its own SparkSession, Hadoop FileContext,
+  * and process lifetime; CrossProcessPublishSpec forks N of them
+  * against one destination plus a reader and asserts the same three
+  * invariants (one winner, losers told, no torn read) cross-process.
+  *
+  * Protocol (file-based, no IPC):
+  *   publish <warehouse> <destName> <idx> <rows> <barrierFile>
+  *     stages a complete `rows`-row build, drops `ready_<idx>`, spins
+  *     on the barrier file, then races publishAtomic; prints ONE line
+  *     `RACE_RESULT WIN|LOSE <idx>` (losers delete their build — the
+  *     loser's contract).
+  *   read <warehouse> <destName> <stopFile>
+  *     attach-and-count loop until the stop file appears; prints ONE
+  *     line `RACE_READS ok=<n> miss=<n> illegal=<n>` where `illegal`
+  *     counts reads whose row count is not a multiple of 100 — each
+  *     publisher stages a distinct multiple, so any torn/mixed read is
+  *     detectable without the reader knowing the publisher set.
+  */
+object RaceProbe {
+
+  private def session(warehouse: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "publish" =>
+      val Array(_, warehouse, destName, idx, rows, barrier) = args.take(6)
+      val spark = session(warehouse)
+      val base = new Path(warehouse, "graft_race2")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(base)
+      val tmp = new Path(base, s"$destName.build_proc$idx")
+      spark.range(rows.toLong).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      Files.writeString(Paths.get(warehouse, s"ready_$idx"), "ready")
+      while (!Files.exists(Paths.get(barrier))) Thread.sleep(2)
+      val won = graft.sources.DurableIndex.publishAtomic(
+        spark, tmp, new Path(base, destName))
+      if (!won) fs.delete(tmp, true)
+      println(s"RACE_RESULT ${if (won) "WIN" else "LOSE"} $idx")
+      spark.stop()
+
+    case "read" =>
+      val Array(_, warehouse, destName, stopFile) = args.take(4)
+      val spark = session(warehouse)
+      val dest = new Path(warehouse, "graft_race2/" + destName)
+      var ok, miss, illegal = 0
+      while (!Files.exists(Paths.get(stopFile))) {
+        try {
+          val n = spark.read.parquet(dest.toString).count()
+          if (n > 0 && n % 100 == 0) ok += 1 else illegal += 1
+        } catch {
+          // absent destination is the legal pre-publish state whatever
+          // shape it surfaces as (same taxonomy as the thread spec)
+          case e: Throwable
+            if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+              .exists(c => c.isInstanceOf[java.io.FileNotFoundException]
+                || String.valueOf(c.getMessage).contains("does not exist")
+                || String.valueOf(c.getMessage).contains("PATH_NOT_FOUND")) =>
+            miss += 1
+        }
+      }
+      println(s"RACE_READS ok=$ok miss=$miss illegal=$illegal")
+      spark.stop()
+
+    case other => sys.error(s"unknown mode $other")
+  }
+}
