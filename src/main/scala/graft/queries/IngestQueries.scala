@@ -96,5 +96,45 @@ object IngestQueries {
       csvBack.withColumn("src", lit("csv"))
         .unionByName(jsonBack.withColumn("src", lit("json")))
         .select(col("src") +: cols: _*)
+    },
+
+    // ------------------------------------------------------------------
+    // The SPLITTABLE multiline-CSV route (round-16 verdict #7) as a
+    // first-class oracle-checked operator: multiLine=true pins Spark's
+    // CSV source to one task per file, so at 100 TB ingest serializes
+    // on file count; graft.ingest.SplitCsv makes the splits provably
+    // record-safe with a distributed quote-parity boundary scan first
+    // (two-pass, 2x I/O for unbounded parallelism). The staged corpus
+    // gives every record an embedded newline AND an escaped quote —
+    // both the things that make naive splitting unsafe — plus a
+    // corrupt file the PERMISSIVE parse must capture and skip; the
+    // tiny chunk size forces dozens of boundary-aligned ranges per
+    // file, so the parallel route (not a degenerate single range) is
+    // what the hash compare certifies. SplitCsvSpec additionally
+    // proves row-identity against the multiLine reader itself.
+    QueryDef(
+      "q162_split_csv",
+      "stage customer to quoted-multiline CSV (embedded newline + escaped quote per record, + a corrupt file) and read it back through the SPLITTABLE two-pass route: distributed quote-parity boundary scan -> boundary-aligned parallel ranges -> from_csv; PERMISSIVE corrupt capture; oracle restates the parquet original",
+      """SELECT c_custkey, c_name || chr(10) || 'Q"T' AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_splitcsv_q").toString
+      // embedded newline + RFC4180 escaped quote in every record
+      val staged = Tables.customer(s, dir).withColumn("c_name",
+        concat(col("c_name"), lit("\nQ\"T")))
+      val cols = staged.schema.fieldNames.map(col)
+      staged.coalesce(2).write.mode("overwrite")
+        .option("header", true).option("quote", "\"").option("escape", "\"")
+        .csv(s"$tmp/csv")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "csv", "zz_corrupt.csv"),
+        "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\n" +
+          "oops,\"Bad\nRow\",notanint,notadouble,m\n")
+      graft.ingest.SplitCsv.read(s, s"$tmp/csv/*.csv",
+          StructType(staged.schema.fields :+
+            StructField(SourceLoader.CorruptCol, StringType)),
+          SourceLoader.CorruptCol, chunkBytes = 4096)
+        .filter(col(SourceLoader.CorruptCol).isNull)
+        .select(cols.toIndexedSeq: _*)
     })
 }

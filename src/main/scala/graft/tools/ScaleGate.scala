@@ -19,6 +19,11 @@ import scala.util.control.NonFatal
   *     --only=qA,qB   restrict the curve to the named families
   *     --out=path     where the JSON verdict lands (default
   *                    <workDir>/SCALE.json)
+  *     --leg=curve|skew  (internal) run ONE leg in this JVM — the
+  *                    orchestrator forks a fresh JVM per leg, because
+  *                    a leg that OOMs must only take itself down and
+  *                    accumulated driver state must not tip a later
+  *                    leg over (both observed on the first full run)
   *
   * What it does, in order:
   *   1. REFUSES to run with any engine force flag set (pinned gates
@@ -109,6 +114,33 @@ object ScaleGate {
   private def f(d: Double): String =
     BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Fork one leg into a FRESH JVM (same classpath, JDK17 add-opens
+    * derived from this JVM's own args, same heap budget), streaming
+    * its output through. A leg that OOMs or dies only takes its own
+    * process down — the first full gate run proved why this matters:
+    * all three legs shared one JVM, and ~2000 accumulated stages of
+    * driver-side state (listener events, codegen caches, AQE stats)
+    * tipped q142@skew into a task OOM that a fresh process never hits,
+    * then took q145/q150 down with the stopped SparkContext. */
+  private def forkLeg(leg: String, workDir: String,
+      extraFlags: Seq[String]): Int = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .sliding(2).collect { case Seq("--add-opens", v) => Seq("--add-opens", v) }
+      .flatten.toSeq
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ScaleGate", workDir, s"--leg=$leg") ++ extraFlags).asJava
+    val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+    scala.io.Source.fromInputStream(p.getInputStream).getLines()
+      .foreach(l => if (l.startsWith("[scalegate]")) println(l))
+    p.waitFor()
+  }
+
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse(
       sys.error("usage: ScaleGate <workDir> [--skip-skew] [--skip-sf1] [--only=..] [--out=..]"))
@@ -119,6 +151,8 @@ object ScaleGate {
     // evaluate, and pass trivially via the absolute-wall alternative —
     // this exercises generation/reuse/runs/dumps/JSON, not the bands)
     val smoke = flags.contains("--smoke")
+    val leg = flags.find(_.startsWith("--leg="))
+      .map(_.stripPrefix("--leg="))
     val only = flags.find(_.startsWith("--only="))
       .map(_.stripPrefix("--only=").split(",").map(_.trim).toSet)
     val outPath = flags.find(_.startsWith("--out="))
@@ -128,26 +162,52 @@ object ScaleGate {
     require(forced.isEmpty,
       s"refusing to gate with force flags set: ${forced.mkString(", ")}")
 
-    Files.createDirectories(Paths.get(workDir))
-    // artifacts live under the gate's own warehouse so wipes are scoped
-    // (static conf — set at build; getOrCreate would reuse a prior
-    // session's, but gate runs are fresh JVMs via runMain)
-    val warehouse = s"$workDir/warehouse"
-    val spark = graft.GraftSession.build(Some(warehouse))
-    graft.GraftSession.quietNoisyLoggers()
-
-    val src = if (smoke) "/root/testdata/sf0.001" else "/root/testdata/sf0.1"
-    val (loCopies, hiCopies) = if (smoke) (2, 4) else (10, 100)
     // smoke skips the skew leg: full-size skew blocks (the gates are
     // fixed absolute contracts) dwarf a tiny base; SkewSpec covers the
     // skew machinery at spec scale
     val runSkew = !skipSkew && !smoke
+
+    // ---- ORCHESTRATOR (no --leg): corpora, then one JVM per leg ----
+    if (leg.isEmpty) {
+      Files.createDirectories(Paths.get(workDir))
+      val gen = graft.GraftSession.build(Some(s"$workDir/warehouse"))
+      graft.GraftSession.quietNoisyLoggers()
+      val src = if (smoke) "/root/testdata/sf0.001" else "/root/testdata/sf0.1"
+      val (loCopies, hiCopies) = if (smoke) (2, 4) else (10, 100)
+      ensureCorpus(gen, src, s"$workDir/sf1", loCopies, skew = false)
+      ensureCorpus(gen, src, s"$workDir/sf10", hiCopies, skew = false)
+      if (runSkew) ensureCorpus(gen, src, s"$workDir/sf10skew", 100, skew = true)
+      gen.stop()
+
+      val fwd = flags.filter(fl => fl.startsWith("--only=")
+        || fl == "--smoke" || fl == "--skip-sf1")
+      val curveRc = forkLeg("curve", workDir, fwd)
+      val skewRc = if (runSkew) forkLeg("skew", workDir, fwd.filterNot(_ == "--skip-sf1"))
+        else 0
+      val ok = curveRc == 0 && skewRc == 0
+      def part(p: String, fallback: String): String = {
+        val f0 = Paths.get(workDir, p)
+        if (Files.exists(f0)) Files.readString(f0) else fallback
+      }
+      val json = s"""{"metric":"scale_gate","ok":$ok,"work_dir":"$workDir",""" +
+        s""""curve":${part("SCALE_curve.json", s"""{"ok":false,"rc":$curveRc}""")},""" +
+        s""""skew":${part("SCALE_skew.json",
+          if (runSkew) s"""{"ok":false,"rc":$skewRc}""" else "null")}}"""
+      Files.writeString(Paths.get(outPath), json)
+      println(json)
+      if (!ok) sys.exit(1)
+      return
+    }
+
+    // ---- LEG WORKER (--leg=curve | --leg=skew) ----
+    // artifacts live under the gate's own warehouse so wipes are scoped
+    // (static conf — set at build; leg workers are fresh JVMs)
+    val warehouse = s"$workDir/warehouse"
+    val spark = graft.GraftSession.build(Some(warehouse))
+    graft.GraftSession.quietNoisyLoggers()
     val sf1Dir = s"$workDir/sf1"
     val sf10Dir = s"$workDir/sf10"
     val skewDir = s"$workDir/sf10skew"
-    ensureCorpus(spark, src, sf1Dir, loCopies, skew = false)
-    ensureCorpus(spark, src, sf10Dir, hiCopies, skew = false)
-    if (runSkew) ensureCorpus(spark, src, skewDir, 100, skew = true)
 
     def wipeWarehouse(): Unit = {
       spark.catalog.clearCache()
@@ -187,7 +247,7 @@ object ScaleGate {
 
     // ---- sf1 leg (one fresh warehouse, families in curve order) ----
     val sf1Walls: Map[String, Double] =
-      if (skipSf1) Map.empty
+      if (skipSf1 || leg.contains("skew")) Map.empty
       else {
         wipeWarehouse()
         curve.map { case (name, _, _) =>
@@ -205,8 +265,9 @@ object ScaleGate {
     // ---- sf10 leg (one fresh warehouse; 1 sample per family; retry
     // once — warm — if the band trips, as stall mitigation) ----
     val sf10Dump = s"$workDir/dump_sf10"
-    wipeWarehouse()
-    val results = curve.map { case (name, refSf1, refSf10) =>
+    if (leg.contains("curve")) wipeWarehouse()
+    val results = if (!leg.contains("curve")) Seq.empty
+    else curve.map { case (name, refSf1, refSf10) =>
       def sample(): (Double, Long) = run(name, sf10Dir, sf10Dump)
       try {
         var (wall, rows) = sample()
@@ -238,12 +299,14 @@ object ScaleGate {
       }
     }
     // the CC-trio oracle inputs: the dumps above + the oracle SQL
-    graft.Verify.writeOracleJson(s"$sf10Dump/oracle_sql.json")
+    if (leg.contains("curve"))
+      graft.Verify.writeOracleJson(s"$sf10Dump/oracle_sql.json")
 
     // ---- skew leg (one fresh warehouse) ----
-    if (runSkew) wipeWarehouse()
+    val doSkew = leg.contains("skew")
+    if (doSkew) wipeWarehouse()
     val skewResults =
-      if (!runSkew) Seq.empty
+      if (!doSkew) Seq.empty
       else SkewLeg.filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, refWall) =>
           def sample(): (Double, Long) = run(name, skewDir, s"$workDir/dump_skew")
@@ -269,22 +332,24 @@ object ScaleGate {
     def jm(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     def jnum(d: Double): String = if (d.isNaN) "null" else f(d)
-    val json = jm(Seq(
-      "metric" -> "\"scale_gate\"",
-      "ok" -> ok.toString,
-      "work_dir" -> s""""$workDir"""",
-      "sf1" -> jm(sf1Walls.toSeq.sortBy(_._1).map { case (k, v) => k -> jnum(v) }),
-      "sf10" -> jm(results.map(r => r._1 -> jm(Seq(
-        "wall" -> jnum(r._2), "rows" -> r._3.toString,
-        "ratio" -> jnum(r._4), "ok" -> r._5.toString,
-        "retried" -> r._6.toString)))),
-      "skew" -> jm(skewResults.map(r => r._1 -> jm(Seq(
-        "wall" -> jnum(r._2), "rows" -> r._3.toString,
-        "ok" -> r._4.toString, "retried" -> r._5.toString)))),
-      "failures" -> failures.map(s => "\"" + s.replace("\"", "'") + "\"")
+    val legEntries =
+      if (doSkew) Seq(
+        "skew" -> jm(skewResults.map(r => r._1 -> jm(Seq(
+          "wall" -> jnum(r._2), "rows" -> r._3.toString,
+          "ok" -> r._4.toString, "retried" -> r._5.toString)))))
+      else Seq(
+        "sf1" -> jm(sf1Walls.toSeq.sortBy(_._1).map { case (k, v) => k -> jnum(v) }),
+        "sf10" -> jm(results.map(r => r._1 -> jm(Seq(
+          "wall" -> jnum(r._2), "rows" -> r._3.toString,
+          "ratio" -> jnum(r._4), "ok" -> r._5.toString,
+          "retried" -> r._6.toString)))))
+    val json = jm(Seq("ok" -> ok.toString) ++ legEntries ++ Seq(
+      "failures" -> failures.map(s =>
+          "\"" + s.replace("\\", "/").replace("\"", "'")
+            .replace("\n", " ").replace("\r", " ").take(400) + "\"")
         .mkString("[", ",", "]"),
       "peak_heap_mb" -> graft.Bench.peakHeapMb().toString))
-    Files.writeString(Paths.get(outPath), json)
+    Files.writeString(Paths.get(s"$workDir/SCALE_${leg.get}.json"), json)
     println(json)
     spark.stop()
     if (!ok) sys.exit(1)

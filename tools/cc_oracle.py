@@ -65,6 +65,11 @@ def main():
     queries = sys.argv[3:] or DEFAULT
     oracle = json.load(open(f"{dumpdir}/oracle_sql.json"))
     con = duckdb.connect()
+    # bounded so the oracle can run alongside a live gate; the pair
+    # prefix at 500k docs wants tens of GB — let it spill, not swap
+    con.sql("SET threads=8")
+    con.sql("SET memory_limit='40GB'")
+    con.sql("SET temp_directory='/tmp/cc_oracle_spill'")
     p = f"{sfdir}/documents.parquet"
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')")
