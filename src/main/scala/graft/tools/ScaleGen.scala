@@ -25,8 +25,10 @@ object ScaleGen {
   /** Bumped whenever the generated CONTENT changes (new blocks, remap
     * scheme, normalization) — ScaleGate keys corpus reuse on the marker
     * this version lands in, so a stale corpus regenerates instead of
-    * silently gating on old content. v2 = the hhCommonDocs block. */
-  val GenVersion = 2
+    * silently gating on old content. v2 = the hhCommonDocs block; v3 =
+    * per-sub-block filler prefixes (v2 planted verbatim arriving/standing
+    * duplicate pairs). */
+  val GenVersion = 3
 
   /** Smallest power of 10 strictly above the column's max value. The
     * cast-to-long absorbs int-typed key columns in arbitrary source
@@ -58,9 +60,14 @@ object ScaleGen {
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val skew = args.lift(3).exists(a => a == "skew" || a == "--skew")
+    // optional hh-block overrides (standing, arriving per copy) for
+    // controlled A/B corpora; defaults are generate()'s
+    val hhS = args.lift(4).map(_.toInt).getOrElse(40)
+    val hhA = args.lift(5).map(_.toInt).getOrElse(8)
     // shared entry-point session (round-16 advice: one builder site)
     val spark = graft.GraftSession.build()
-    generate(spark, src, out, copies, skew)
+    generate(spark, src, out, copies, skew,
+      hhStandingPerCopy = hhS, hhArrivingPerCopy = hhA)
     spark.stop()
   }
 
@@ -310,16 +317,22 @@ object ScaleGen {
       hhBase: Long, standing: Int, arriving: Int): DataFrame = {
     val template = docs.orderBy("doc_id").limit(1).localCheckpoint()
     val cols = docs.columns
-    def block(n: Int, idOf: Column => Column): DataFrame =
+    // the filler prefix differs PER SUB-BLOCK: with a shared prefix the
+    // arriving _i range is a subset of the standing one, so every
+    // arriving doc was a VERBATIM duplicate of a standing doc — 800
+    // unintended jaccard-1.0 pairs at x100, violating the block's
+    // dedup-neutrality contract (caught by the round-17 scale gate as
+    // +800 q142 rows and extra rescore pressure)
+    def block(n: Int, idOf: Column => Column, filler: String): DataFrame =
       template.crossJoin(spark.range(n).select(col("id").as("_i")))
         .withColumn("doc_id", idOf(col("_i")))
         .withColumn("text",
           concat_ws(" ", lit("uhh0") +: lit("uhh1") +: lit("uhh2") +:
-            (0 until 12).map(j => concat(lit(s"uf${j}x"), col("_i"))): _*))
+            (0 until 12).map(j => concat(lit(s"$filler${j}x"), col("_i"))): _*))
         .select(cols.map(col).toIndexedSeq: _*)
-    block(standing, i => lit(hhBase) + i * 10 + 5)
+    block(standing, i => lit(hhBase) + i * 10 + 5, "uf")
       .unionByName(block(arriving,
-        i => lit(hhBase) + (lit(standing.toLong) + i) * 10 + 7))
+        i => lit(hhBase) + (lit(standing.toLong) + i) * 10 + 7, "ug"))
   }
 
   /** The three skew blocks (see [[generate]]'s Scaladoc). Non-key
