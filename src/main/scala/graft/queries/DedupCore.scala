@@ -21,6 +21,50 @@ trait DedupCore { self: DedupQueries.type =>
   private[queries] val JaccardThreshold = "0.8"
   private[queries] val DfCut = 50 // inverted-index document-frequency cut
 
+  /** Delta/R-bounded staging that must SURVIVE memory pressure: the
+    * round-17 scale gate found q142@sf10's fate at the default 8 GiB
+    * heap decided by whether its staged shingle relations fit
+    * DESERIALIZED — a skew-sized delta stages millions of
+    * (doc_id, sg-string) rows, and the default MEMORY_AND_DISK level
+    * kept tipping the executors into an eviction storm (plain task
+    * OOMs, and kryo re-serialization crashes on the way down).
+    * MEMORY_AND_DISK_SER stores the blocks serialized: 3-5x smaller
+    * for string-heavy rows, and eviction writes bytes instead of
+    * re-serializing under pressure.
+    *
+    * DATA-ADAPTIVE like [[DedupStreaming.textStreamWidth]]: the level
+    * flips to serialized once the corpus passes [[StageSerMinBytes]] —
+    * a measured trade, not a blanket one: at sf0.1 the serde costs
+    * q142 ~+1.5s (+30% — stagings are consumed by several branches,
+    * each re-deserializing), while at sf10 the deserialized level is
+    * the difference between finishing in ~175s and an eviction-storm
+    * OOM (3/3 vs ~50/50 at the default 8 GiB heap). At 100 TB the
+    * staged "delta" is a day's crawl and must never be the thing that
+    * OOMs the job. */
+  private[queries] def stageSer(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    if (corpusBytes(s, dir) >= StageSerMinBytes)
+      df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.localCheckpoint()
+
+  /** documents.parquet size past which shingle-scale stagings store
+    * serialized (sf0.1 ~0.6 MB stays deserialized; sf10 ~60 MB flips). */
+  private[queries] val StageSerMinBytes: Long = 16L << 20
+
+  private val corpusBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** documents.parquet content length, memoized per dir (a metadata
+    * call per staging would be cheap; the memo just keeps it zero). */
+  private[queries] def corpusBytes(s: SparkSession, dir: String): Long =
+    corpusBytesCache.computeIfAbsent(dir, { d =>
+      val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      java.lang.Long.valueOf(
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
+    })
+
   /** (doc_id, sg): distinct word-3-gram shingles per document. */
   private[queries] def shingle(docs: DataFrame): DataFrame =
     docs

@@ -130,9 +130,16 @@ trait DedupNgram { self: DedupQueries.type =>
     * by runtime size. `forceLarge` pins the path for q145. */
   private[queries] def ngramMaintain(post: DataFrame, sdf: DataFrame,
       p0: DataFrame, deltaSh: DataFrame,
-      forceLarge: Option[Boolean] = None): DataFrame = {
+      forceLarge: Option[Boolean] = None, ser: Boolean = false): DataFrame = {
     val large = forceLarge.getOrElse(deltaIsLarge(deltaSh))
     def bc(df: DataFrame): DataFrame = if (large) df else broadcast(df)
+    // shingle-scale stagings flip serialized past the corpus-size
+    // threshold (see DedupCore.stageSer) — callers with a corpus dir
+    // pass `ser`; spec callers on synthetic frames keep the default
+    def st(df: DataFrame): DataFrame =
+      if (ser) df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else df.localCheckpoint()
     // Staging discipline (round-12 verdict #3): ONLY delta/R-bounded
     // relations are localCheckpoint-staged — ddf, crossing, rIds, the
     // rescore probe's pair counts. The corpus-sized sides (the probed
@@ -164,16 +171,14 @@ trait DedupNgram { self: DedupQueries.type =>
     def allFsh = standingFsh.unionByName(deltaFsh)
     // pairs touching R: R's shingles probed against the whole index;
     // (lo, hi, sg)-distinct counts a both-in-R pair once
-    val rFsh = allFsh.join(bc(rIds), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val c = rFsh.select(col("doc_id").as("ra"), col("sg"))
+    val rFsh = st(allFsh.join(bc(rIds), Seq("doc_id"), "left_semi"))
+    val c = st(rFsh.select(col("doc_id").as("ra"), col("sg"))
       .join(allFsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
         col("sg") === col("bsg") && col("ra") =!= col("rb"))
       .select(least(col("ra"), col("rb")).as("da"),
         greatest(col("ra"), col("rb")).as("db"), col("sg"))
       .distinct()
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .groupBy("da", "db").agg(count(lit(1)).as("c")))
     val pids = c.select(col("da").as("doc_id"))
       .unionByName(c.select(col("db").as("doc_id"))).distinct()
     val n = allFsh.join(bc(pids), Seq("doc_id"), "left_semi")
@@ -221,11 +226,15 @@ trait DedupNgram { self: DedupQueries.type =>
     * compaction [[ngramRetractPublishMode]] implements (q157).
     * == q26 over corpus-minus-deleted, verbatim oracle. */
   private[queries] def ngramRetract(post: DataFrame, p0: DataFrame,
-      delIds: DataFrame): DataFrame = {
+      delIds: DataFrame, ser: Boolean = false): DataFrame = {
+    def st(df: DataFrame): DataFrame =
+      if (ser) df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else df.localCheckpoint()
     val del = delIds.select("doc_id").distinct().localCheckpoint()
     // the deleted docs' per-shingle counts, read out of the index
-    val rdf = post.join(broadcast(del), Seq("doc_id"), "left_semi")
-      .groupBy("sg").agg(count(lit(1)).as("rdf")).localCheckpoint()
+    val rdf = st(post.join(broadcast(del), Seq("doc_id"), "left_semi")
+      .groupBy("sg").agg(count(lit(1)).as("rdf")))
     // surviving postings under the post-delete df — a VIEW over the
     // bucketed artifact scan, deliberately NOT staged (round-12
     // verdict #3): pinning the corpus-sized relation in executor
@@ -244,16 +253,14 @@ trait DedupNgram { self: DedupQueries.type =>
     val rIds = postLive.join(broadcast(uncrossed), Seq("sg"), "left_semi")
       .select("doc_id").distinct().localCheckpoint()
     def fsh = postLive.filter(col("dfl") <= DfCut).select("doc_id", "sg")
-    val rFsh = fsh.join(broadcast(rIds), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val c = rFsh.select(col("doc_id").as("ra"), col("sg"))
+    val rFsh = st(fsh.join(broadcast(rIds), Seq("doc_id"), "left_semi"))
+    val c = st(rFsh.select(col("doc_id").as("ra"), col("sg"))
       .join(fsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
         col("sg") === col("bsg") && col("ra") =!= col("rb"))
       .select(least(col("ra"), col("rb")).as("da"),
         greatest(col("ra"), col("rb")).as("db"), col("sg"))
       .distinct()
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .groupBy("da", "db").agg(count(lit(1)).as("c")))
     val pids = c.select(col("da").as("doc_id"))
       .unionByName(c.select(col("db").as("doc_id"))).distinct()
     val n = fsh.join(broadcast(pids), Seq("doc_id"), "left_semi")
@@ -335,7 +342,8 @@ trait DedupNgram { self: DedupQueries.type =>
       } else
         graft.sources.DurableIndex.attachOrBuildFp(
           s, dir, "ngram_pairs_r", fp, None)(
-          ngramRetract(post, ngramPairsTable(s, dir), del))
+          ngramRetract(post, ngramPairsTable(s, dir), del,
+            ser = corpusBytes(s, dir) >= StageSerMinBytes))
     (pairs, rebuild)
   }
 
@@ -393,8 +401,8 @@ trait DedupNgram { self: DedupQueries.type =>
     * the relation PlanAuditSpec audits. */
   private[graft] def ngramProbeStage(s: SparkSession, dir: String,
       large: Boolean): DataFrame = {
-    val deltaSh = shingle(
-      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)).localCheckpoint()
+    val deltaSh = stageSer(s, dir, shingle(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)))
     val ddf = deltaSh.groupBy("sg").agg(count(lit(1)).as("ddf")).localCheckpoint()
     ngramPostProbe(ngramPostingsTable(s, dir), ddf, large)
   }

@@ -153,10 +153,11 @@ object DedupQueries
       "q142_incremental_ngram",
       s"incremental n-gram Jaccard under df-cut drift: persisted postings/df/pair artifacts; only delta-carried shingles can cross the df<=$DfCut cut, so the fix-up set is (crossing-shingle docs ∪ delta) — standing pairs outside it carry over untouched, pairs touching it re-score via one index probe; == full-corpus q26 exactly",
       sqlNgramOracle) { (s, dir) =>
-      val deltaSh = shingle(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)).localCheckpoint()
+      val deltaSh = stageSer(s, dir, shingle(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)))
       ngramMaintain(ngramPostingsTable(s, dir), ngramDfTable(s, dir),
-        ngramPairsTable(s, dir), deltaSh)
+        ngramPairsTable(s, dir), deltaSh,
+        ser = corpusBytes(s, dir) >= StageSerMinBytes)
     },
 
     // ------------------------------------------------------------------
@@ -175,10 +176,11 @@ object DedupQueries
       "q145_incremental_ngram_large",
       s"LARGE-delta incremental n-gram Jaccard: the q142 contract through the size-gated non-broadcast path — delta df counts shuffled once into the postings table's 16-bucket sg layout and merge-joined with zero index-side Exchange, every delta-side broadcast dropped in favor of AQE; == q142 == full-corpus q26 exactly",
       sqlNgramOracle) { (s, dir) =>
-      val deltaSh = shingle(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)).localCheckpoint()
+      val deltaSh = stageSer(s, dir, shingle(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)))
       ngramMaintain(ngramPostingsTable(s, dir), ngramDfTable(s, dir),
-        ngramPairsTable(s, dir), deltaSh, forceLarge = Some(true))
+        ngramPairsTable(s, dir), deltaSh, forceLarge = Some(true),
+        ser = corpusBytes(s, dir) >= StageSerMinBytes)
     },
 
     // ------------------------------------------------------------------
@@ -731,7 +733,8 @@ object DedupQueries
       sqlNgramOracleFor("doc_id % 10 NOT IN (3, 7)")) { (s, dir) =>
       val del = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
         .select("doc_id")
-      ngramRetract(ngramPostingsTable(s, dir), ngramPairsTable(s, dir), del)
+      ngramRetract(ngramPostingsTable(s, dir), ngramPairsTable(s, dir), del,
+        ser = corpusBytes(s, dir) >= StageSerMinBytes)
     },
 
     // ------------------------------------------------------------------

@@ -112,7 +112,8 @@ object ScaleGate {
     "SPARK_GRAFT_INITIAL_PARTITIONS")
 
   private def f(d: Double): String =
-    BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    if (d.isNaN) "NaN" // --skip-sf1 ratios; BigDecimal(NaN) throws
+    else BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** Fork one leg into a FRESH JVM (same classpath, JDK17 add-opens
     * derived from this JVM's own args, same heap budget), streaming
