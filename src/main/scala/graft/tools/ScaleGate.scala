@@ -240,6 +240,15 @@ object ScaleGate {
       graft.SparkEntry.queries(name)(spark, dir)
         .coalesce(1).write.mode("overwrite").parquet(dest)
       val wall = (System.nanoTime() - t0) / 1e9
+      // release the finished query's staged blocks (localCheckpoints)
+      // NOW instead of waiting for GC + ContextCleaner: the round-16
+      // reference campaign ran each query in its own process (zero
+      // storage carryover), and without this the leg's later heavies
+      // ran against megabytes-to-gigabytes of dead predecessors'
+      // blocks — q145@skew died evicting them (passes alone) while
+      // every durable artifact it actually needs is on disk
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (wall, spark.read.parquet(dest).count())
     }
 
@@ -271,7 +280,17 @@ object ScaleGate {
     else curve.map { case (name, refSf1, refSf10) =>
       def sample(): (Double, Long) = run(name, sf10Dir, sf10Dump)
       try {
-        var (wall, rows) = sample()
+        // one retry on a thrown first sample too (not only band trips):
+        // the 8 GiB eviction roulette occasionally fails a task outright
+        // while the context survives — the artifacts are durable, so a
+        // warm second shot is sound; a dead context rethrows
+        var (wall, rows) =
+          try sample() catch { case NonFatal(e)
+              if !spark.sparkContext.isStopped =>
+            System.err.println(s"[scalegate] $name@sf10 first sample threw " +
+              s"(${String.valueOf(e.getMessage).take(120)}) — one retry")
+            sample()
+          }
         def ratio(w: Double): Double =
           sf1Walls.get(name).filterNot(_.isNaN).map(w / _).getOrElse(Double.NaN)
         val refRatio = refSf10 / refSf1
@@ -312,7 +331,14 @@ object ScaleGate {
         .map { case (name, refWall) =>
           def sample(): (Double, Long) = run(name, skewDir, s"$workDir/dump_skew")
           try {
-            var (wall, rows) = sample()
+            // same thrown-sample retry rule as the sf10 leg
+            var (wall, rows) =
+              try sample() catch { case NonFatal(e)
+                  if !spark.sparkContext.isStopped =>
+                System.err.println(s"[scalegate] $name@skew first sample " +
+                  s"threw (${String.valueOf(e.getMessage).take(120)}) — one retry")
+                sample()
+              }
             def inBand(w: Double) = w <= refWall * 2 + 30
             var retried = false
             if (!inBand(wall)) { wall = math.min(wall, sample()._1); retried = true }
@@ -347,7 +373,8 @@ object ScaleGate {
     val json = jm(Seq("ok" -> ok.toString) ++ legEntries ++ Seq(
       "failures" -> failures.map(s =>
           "\"" + s.replace("\\", "/").replace("\"", "'")
-            .replace("\n", " ").replace("\r", " ").take(400) + "\"")
+            .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+            .filter(_ >= ' ').take(400) + "\"")
         .mkString("[", ",", "]"),
       "peak_heap_mb" -> graft.Bench.peakHeapMb().toString))
     Files.writeString(Paths.get(s"$workDir/SCALE_${leg.get}.json"), json)
