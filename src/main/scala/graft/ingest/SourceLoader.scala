@@ -33,13 +33,32 @@ import graft.sinks.TableSink
   * modification time for every file source; the per-file row number —
   * which only parquet exposes natively (`_metadata.row_index`) — is
   * computed with `row_number() over (partition by file)` ordered by
-  * `monotonically_increasing_id()`, stable here because each multiline
-  * CSV/JSON file is a single input split. At 100 TB with splittable
-  * inputs, prefer parquet row_index or record the split offset instead.
+  * `monotonically_increasing_id()`, stable for the multiLine routes
+  * because each multiline CSV/JSON file is a single input split. The
+  * SPLITTABLE CSV route (below) instead orders by its `_rec_offset`
+  * column — the record's absolute byte offset, deterministic under any
+  * task placement.
+  *
+  * CSV route gate (round-17 verdict #5): `multiLine=true` pins Spark's
+  * CSV source to one task per file, so at 100 TB ingest serializes on
+  * file count. Past [[csvSplitMinBytes]] total matched bytes the csv
+  * branch reads through [[SplitCsv]] — the two-pass splittable reader,
+  * proven row-identical (corrupt classification included) to the
+  * multiLine reader by SplitCsvSpec — and synthesizes the same
+  * `_metadata` lineage struct from the route's own file/mtime columns.
+  * The reference's KB-scale files stay on the multiLine reader.
   */
 object SourceLoader {
 
   val CorruptCol = "_corrupt_record"
+
+  /** Total matched CSV bytes past which readRaw switches to the
+    * splittable two-pass route. The sys.props form exists so specs can
+    * force either route in-process. */
+  private[ingest] def csvSplitMinBytes: Long =
+    sys.props.get("graft.csv.split.min.bytes")
+      .orElse(sys.env.get("SPARK_GRAFT_CSV_SPLIT_MIN_BYTES"))
+      .map(_.toLong).getOrElse(128L << 20)
 
   /** Result of one country's load: the appended row count and the number
     * of malformed rows skipped (the COPY report, ref: step_3:148-153). */
@@ -54,15 +73,32 @@ object SourceLoader {
     val path = salesPath(dataDir, cc)
     cc.format match {
       case "csv" =>
-        spark.read
-          .option("header", true)
-          .option("multiLine", true)
-          .option("quote", "\"")
-          .option("escape", "\"")
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", CorruptCol)
-          .schema(Schemas.inCsvSchema(CorruptCol))
-          .csv(path)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val totalBytes = Option(fs.globStatus(p)).getOrElse(Array.empty)
+          .flatMap(st =>
+            if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
+          .filter(_.isFile).map(_.getLen).sum
+        if (totalBytes >= csvSplitMinBytes)
+          // the splittable route: task count scales with bytes, not
+          // files; lineage synthesized to the multiLine reader's
+          // `_metadata` shape (basename + modification time), plus the
+          // route's `_rec_offset` for deterministic row numbering
+          SplitCsv.read(spark, path, Schemas.inCsvSchema(CorruptCol), CorruptCol)
+            .withColumn("_metadata", struct(
+              element_at(split(col("_src_file"), "/"), -1).as("file_name"),
+              col("_src_mtime").as("file_modification_time")))
+            .drop("_src_file", "_src_mtime")
+        else
+          spark.read
+            .option("header", true)
+            .option("multiLine", true)
+            .option("quote", "\"")
+            .option("escape", "\"")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CorruptCol)
+            .schema(Schemas.inCsvSchema(CorruptCol))
+            .csv(path)
       case "parquet" =>
         spark.read.parquet(path).withColumn(CorruptCol, lit(null: String))
       case "json" =>
@@ -90,13 +126,20 @@ object SourceLoader {
     * 58-76, 88-106), attach lineage + sequence, drop malformed rows. */
   def loadCountry(spark: SparkSession, dataDir: String, cc: CountryConfig,
       keyOffset: Long = 0L): (DataFrame, LoadReport) = {
-    val raw = readRaw(spark, dataDir, cc)
+    val raw0 = readRaw(spark, dataDir, cc)
+    // split-route frames carry the record's absolute byte offset — a
+    // deterministic within-file total order under ANY task placement;
+    // the single-split multiLine/parquet routes keep the mono-id order
+    val rowOrder =
+      if (raw0.columns.contains("_rec_offset")) col("_rec_offset")
+      else monotonically_increasing_id()
+    val raw = raw0
       .withColumn("_metadata_file_name", col("_metadata.file_name"))
       .withColumn("_metadata_last_modified", col("_metadata.file_modification_time"))
       .withColumn("_metadata_row_number",
         row_number().over(
           Window.partitionBy(col("_metadata.file_name"))
-            .orderBy(monotonically_increasing_id())).cast("long"))
+            .orderBy(rowOrder)).cast("long"))
 
     def s(field: String): Column = nullify(col(s"`$field`").cast("string"))
 

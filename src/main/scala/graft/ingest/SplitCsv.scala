@@ -35,31 +35,47 @@ import org.apache.spark.sql.types.StructType
   *   sees one whole record, no line-splitting involved). The file's
   *   first range drops its leading header record.
   *
-  * Every emitted row carries `_src_file` and `_rec_offset` (the
-  * record's absolute byte offset — a deterministic total order within
-  * a file, unlike monotonically_increasing_id). Cost: pass 1 reads the
-  * bytes once, pass 2 once more — 2x I/O for unbounded parallelism,
-  * the standard trade (a staged-conversion route pays the same 2x and
-  * a shuffle more).
+  * Every emitted row carries `_src_file`, `_rec_offset` (the record's
+  * absolute byte offset — a deterministic total order within a file,
+  * unlike monotonically_increasing_id) and `_src_mtime` (the file's
+  * modification time, so the SourceLoader lineage columns need no
+  * `_metadata` struct this route cannot supply). Cost: pass 1 reads
+  * the bytes once, pass 2 once more — 2x I/O for unbounded
+  * parallelism, the standard trade (a staged-conversion route pays the
+  * same 2x and a shuffle more).
+  *
+  * Record separators: `\n` and `\r\n` (the multiLine reader's
+  * defaults). A LONE `\r` acting as a record separator — i.e. a CR
+  * outside quotes not followed by LF — is REJECTED fail-fast with a
+  * clear error instead of silently gluing records together (the
+  * round-17 ADVICE data-loss shape: from_csv would keep the first
+  * record of a glued run and drop the rest without corrupt capture).
+  * Lone CRs INSIDE quotes are data and pass through untouched.
   *
   * Ref behavior matched: SourceLoader.readRaw's csv branch
   * (header=true, quote=escape='"', PERMISSIVE + corrupt column);
-  * SplitCsvSpec proves row-identical output on the reference sales
-  * files and on synthetic corpora with boundary-crossing quoted
-  * newlines at adversarial chunk sizes.
+  * SplitCsvSpec proves row-identical output — corrupt-row
+  * classification included — on the reference sales files and on
+  * synthetic corpora with boundary-crossing quoted newlines at
+  * adversarial chunk sizes.
   */
 object SplitCsv {
 
-  /** One pass-1 result: chunk identity, quote parity, and the first
+  /** One pass-1 result: chunk identity, quote parity, the first
     * in-chunk newline offset (absolute) under each start assumption
-    * (-1 = none in this chunk under that assumption). */
+    * (-1 = none in this chunk under that assumption), and the lone-CR
+    * evidence under each assumption (`loneCrOut`/`loneCrIn`; `endCr`
+    * is the RELATIVE parity at a chunk-final CR, -1 when the chunk
+    * does not end in CR — a CR at a chunk boundary is only lone if the
+    * NEXT chunk's first byte is not LF, resolved in the combine). */
   private case class ChunkScan(file: String, idx: Int, parity: Int,
-      firstNlOutside: Long, firstNlInside: Long)
+      firstNlOutside: Long, firstNlInside: Long,
+      loneCrOut: Boolean, loneCrIn: Boolean, endCr: Int, startsNl: Boolean)
 
   /** Boundary-aligned read range; `dropHeader` marks the file-leading
     * range whose first record is the header line. */
   private case class RecRange(file: String, start: Long, end: Long,
-      dropHeader: Boolean)
+      dropHeader: Boolean, mtime: Long)
 
   /** Read every file matching `pattern` (a Hadoop glob) as quoted
     * multiline CSV with header, schema-typed, PERMISSIVE with
@@ -68,6 +84,8 @@ object SplitCsv {
   def read(spark: SparkSession, pattern: String, schema: StructType,
       corruptCol: String, chunkBytes: Long = 32L << 20): DataFrame = {
     require(chunkBytes >= 16, s"chunkBytes=$chunkBytes unreasonably small")
+    require(chunkBytes <= (1L << 30),
+      s"chunkBytes=$chunkBytes exceeds the 1 GiB per-task buffer bound")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val p = new Path(pattern)
@@ -77,46 +95,74 @@ object SplitCsv {
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
       }
       .filter(st => st.isFile && st.getLen > 0)
-      .map(st => (st.getPath.toString, st.getLen))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
       .sortBy(_._1)
     require(files.nonEmpty, s"no files match $pattern")
+    // Map lookups, not a linear find per group — O(#files) driver
+    // combine at million-file scale (round-17 verdict #5)
+    val lenOf: Map[String, Long] = files.map(f => f._1 -> f._2).toMap
+    val mtimeOf: Map[String, Long] = files.map(f => f._1 -> f._3).toMap
 
     // ---- pass 1: distributed chunk scans ----
-    val chunks = files.flatMap { case (f, len) =>
+    val chunks = files.flatMap { case (f, len, _) =>
       (0L until len by chunkBytes).zipWithIndex.map { case (off, i) =>
         (f, i, off, math.min(off + chunkBytes, len))
       }
     }
+    // one chunk per task — the chunk IS the parallelism unit, so the
+    // task count scales with the data instead of capping at a constant
+    // (round-17 verdict #5: a 512 cap meant ~200 GB scanned serially
+    // per task at 100 TB). At extreme chunk counts raise chunkBytes.
     val scans: Seq[ChunkScan] = spark.sparkContext
-      .parallelize(chunks.toSeq, math.max(1, math.min(chunks.length, 512)))
+      .parallelize(chunks.toSeq, math.max(1, chunks.length))
       .map { case (f, i, start, end) =>
         val in = new Path(f).getFileSystem(conf.value).open(new Path(f))
         val buf = new Array[Byte]((end - start).toInt)
         try { in.seek(start); in.readFully(buf) } finally in.close()
         var parity = 0
         var nlOut = -1L; var nlIn = -1L
+        var loneCrOut = false; var loneCrIn = false
+        var endCr = -1
         var j = 0
-        while (j < buf.length && (nlOut < 0 || nlIn < 0)) {
+        while (j < buf.length) {
           val b = buf(j)
           if (b == '"') parity ^= 1
           else if (b == '\n') {
             if (parity == 0 && nlOut < 0) nlOut = start + j
             if (parity == 1 && nlIn < 0) nlIn = start + j
+          } else if (b == '\r') {
+            if (j + 1 < buf.length) {
+              if (buf(j + 1) != '\n') {
+                if (parity == 0) loneCrOut = true else loneCrIn = true
+              }
+            } else endCr = parity // chunk-final CR: resolved in combine
           }
           j += 1
         }
-        // finish the parity count past the last needed newline
-        while (j < buf.length) { if (buf(j) == '"') parity ^= 1; j += 1 }
-        ChunkScan(f, i, parity, nlOut, nlIn)
+        ChunkScan(f, i, parity, nlOut, nlIn, loneCrOut, loneCrIn, endCr,
+          startsNl = buf(0) == '\n')
       }.collect().toSeq // O(#chunks) tuples — driver-safe at any corpus size
 
     // ---- driver combine: true parities -> record boundaries ----
     val ranges: Seq[RecRange] = scans.groupBy(_.file).toSeq.flatMap {
       case (f, cs) =>
-        val len = files.find(_._1 == f).get._2
+        val len = lenOf(f)
         var parity = 0
         val bounds = Seq.newBuilder[Long]
-        cs.sortBy(_.idx).foreach { c =>
+        val ordered = cs.sortBy(_.idx)
+        ordered.zipWithIndex.foreach { case (c, k) =>
+          // fail fast on a lone-CR record separator (CR outside quotes
+          // with no following LF): silently gluing records loses data
+          require(if (parity == 0) !c.loneCrOut else !c.loneCrIn,
+            s"$f: lone \\r record separator (CR not followed by LF outside " +
+              s"quotes, chunk ${c.idx}) — only \\n and \\r\\n are supported")
+          if (c.endCr >= 0 && (c.endCr ^ parity) == 0) {
+            val nextStartsNl =
+              k + 1 < ordered.length && ordered(k + 1).startsNl
+            require(nextStartsNl,
+              s"$f: lone \\r record separator (CR at chunk ${c.idx} boundary " +
+                s"or EOF outside quotes) — only \\n and \\r\\n are supported")
+          }
           val nl = if (parity == 0) c.firstNlOutside else c.firstNlInside
           if (nl >= 0) bounds += nl + 1 // a record starts after the newline
           parity ^= c.parity
@@ -125,19 +171,25 @@ object SplitCsv {
           s"$f: unbalanced quotes (parity ${parity}) — not RFC4180")
         val starts = (0L +: bounds.result()).distinct.filter(_ < len)
         starts.zip(starts.drop(1) :+ len).map { case (a, b) =>
-          RecRange(f, a, b, dropHeader = a == 0L)
+          RecRange(f, a, b, dropHeader = a == 0L, mtime = mtimeOf(f))
         }
     }
 
     // ---- pass 2: boundary-aligned ranges -> complete record strings ----
     import spark.implicits._
     val records = spark.sparkContext
-      .parallelize(ranges, math.max(1, math.min(ranges.length, 512)))
+      .parallelize(ranges, math.max(1, ranges.length))
       .flatMap { r =>
+        // a merged range (record > chunk) can exceed the array bound —
+        // fail with the real cause, not a negative-size allocation
+        require(r.end - r.start <= Int.MaxValue - 8,
+          s"${r.file}: a single record spans ${r.end - r.start} bytes " +
+            s"(range ${r.start}..${r.end}) — larger than the 2 GiB " +
+            "single-record limit of the splittable route")
         val in = new Path(r.file).getFileSystem(conf.value).open(new Path(r.file))
         val buf = new Array[Byte]((r.end - r.start).toInt)
         try { in.seek(r.start); in.readFully(buf) } finally in.close()
-        val out = Seq.newBuilder[(String, String, Long)]
+        val out = Seq.newBuilder[(String, String, Long, Long)]
         var parity = 0
         var recStart = 0
         var j = 0
@@ -152,7 +204,7 @@ object SplitCsv {
             // keeps the two routes row-identical (SplitCsvSpec)
             val rec = new String(buf, recStart, e - recStart, "UTF-8")
               .replace("\r\n", "\n")
-            out += ((r.file, rec, r.start + recStart))
+            out += ((r.file, rec, r.start + recStart, r.mtime))
           }
         }
         while (j < buf.length) {
@@ -165,13 +217,14 @@ object SplitCsv {
         val all = out.result()
         if (r.dropHeader) all.drop(1) else all
       }
-      .toDF("_src_file", "_rec", "_rec_offset")
+      .toDF("_src_file", "_rec", "_rec_offset", "_src_mtime")
 
     // ---- parse: one whole record per from_csv call ----
     val opts = Map("quote" -> "\"", "escape" -> "\"", "mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> corruptCol)
     records
       .withColumn("_parsed", from_csv(col("_rec"), schema, opts))
-      .select(col("_parsed.*"), col("_src_file"), col("_rec_offset"))
+      .select(col("_parsed.*"), col("_src_file"), col("_rec_offset"),
+        timestamp_millis(col("_src_mtime")).as("_src_mtime"))
   }
 }

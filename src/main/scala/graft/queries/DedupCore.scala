@@ -53,17 +53,24 @@ trait DedupCore { self: DedupQueries.type =>
   private[queries] val StageSerMinBytes: Long = 16L << 20
 
   private val corpusBytesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
-  /** documents.parquet content length, memoized per dir (a metadata
-    * call per staging would be cheap; the memo just keeps it zero). */
-  private[queries] def corpusBytes(s: SparkSession, dir: String): Long =
-    corpusBytesCache.computeIfAbsent(dir, { d =>
-      val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      java.lang.Long.valueOf(
-        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
+  /** documents.parquet content length, memoized per (dir, mtime) — the
+    * mtime key means a corpus REGENERATED at the same path in-session
+    * (ScaleGen in specs) gets a fresh size instead of a stale staging
+    * level; the per-call cost is one cheap getFileStatus, and the memo
+    * keeps the recursive content summary to one call per generation. */
+  private[queries] def corpusBytes(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime catch {
+        case _: java.io.FileNotFoundException => return 0L
+      }
+    corpusBytesCache.computeIfAbsent((dir, mtime), { _ =>
+      java.lang.Long.valueOf(fs.getContentSummary(p).getLength)
     })
+  }
 
   /** (doc_id, sg): distinct word-3-gram shingles per document. */
   private[queries] def shingle(docs: DataFrame): DataFrame =

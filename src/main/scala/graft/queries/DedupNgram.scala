@@ -149,7 +149,9 @@ trait DedupNgram { self: DedupQueries.type =>
     // per-tick storage footprint stays delta-bounded (a spec asserts
     // it) at the price of re-reading the postings scan per consumer
     // branch — cheap columnar reads of a standing artifact, not text.
-    val ddf = deltaSh.groupBy("sg").agg(count(lit(1)).as("ddf")).localCheckpoint()
+    // ddf is delta-shingle-VOCABULARY-sized (sg strings) — the largest
+    // delta-bounded staging; it takes the serialized flip with the rest
+    val ddf = st(deltaSh.groupBy("sg").agg(count(lit(1)).as("ddf")))
     // cut-crossing shingles from the df SIDECAR, not the postings:
     // df is per-sg constant, so the sidecar join gives the identical
     // set without a postings-wide distinct

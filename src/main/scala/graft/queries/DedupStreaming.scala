@@ -835,17 +835,30 @@ trait DedupStreaming { self: DedupQueries.type =>
     sys.env.getOrElse("SPARK_GRAFT_CC_DRIVER_MAX_BYTES",
       (64L << 20).toString).toLong
 
-  /** Driver-side storage size of an already-staged (localCheckpoint'd)
-    * relation, read from block-manager metadata — ZERO jobs. None when
-    * the relation is not a staged LogicalRDD (synthetic spec inputs),
-    * or its blocks are not registered. */
+  /** Driver-side DESERIALIZED-EQUIVALENT storage size of an
+    * already-staged (localCheckpoint'd) relation, read from
+    * block-manager metadata — ZERO jobs. None when the relation is not
+    * a staged LogicalRDD (synthetic spec inputs), or its blocks are
+    * not registered.
+    *
+    * Storage-level normalization (the round-17 q142@skew root cause):
+    * big-corpus stagings store MEMORY_AND_DISK_SER (DedupCore.stageSer),
+    * whose blocks are 3-5x smaller than the deserialized rows — but the
+    * gate's criterion is the DESERIALIZED footprint the relation would
+    * occupy as a per-executor broadcast hash relation. Comparing raw
+    * serialized bytes against the 32 MB broadcast cap silently re-opened
+    * the broadcast route for skew-scale deltas (q142@skew kryo/OOM at
+    * the 8 GiB contract heap, while forced-large q145 passed the same
+    * corpus); serialized block sizes scale by 4x before the compare. */
   private[queries] def stagedBytes(df: DataFrame): Option[Long] =
     df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.flatMap(id =>
-      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id))
-      .filter(i => i.memSize + i.diskSize > 0)
-      .map(i => i.memSize + i.diskSize)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap { rdd =>
+      val factor = if (rdd.getStorageLevel.deserialized) 1L else 4L
+      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+        .filter(i => i.memSize + i.diskSize > 0)
+        .map(i => (i.memSize + i.diskSize) * factor)
+    }
 
   /** The shared large-delta gate (round-12 verdict #6): every
     * maintenance tick used to pay a full delta scan + driver hop

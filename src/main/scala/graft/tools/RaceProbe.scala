@@ -21,12 +21,15 @@ import org.apache.spark.sql.SparkSession
   *     on the barrier file, then races publishAtomic; prints ONE line
   *     `RACE_RESULT WIN|LOSE <idx>` (losers delete their build — the
   *     loser's contract).
-  *   read <warehouse> <destName> <stopFile>
+  *   read <warehouse> <destName> <stopFile> <legalCounts>
   *     attach-and-count loop until the stop file appears; prints ONE
   *     line `RACE_READS ok=<n> miss=<n> illegal=<n>` where `illegal`
-  *     counts reads whose row count is not a multiple of 100 — each
-  *     publisher stages a distinct multiple, so any torn/mixed read is
-  *     detectable without the reader knowing the publisher set.
+  *     counts reads whose row count is not a MEMBER of the
+  *     comma-separated legal set — exact membership, because a
+  *     divisibility rule is unsound precisely in the torn case it
+  *     exists to catch (round-17 ADVICE: staged counts 100 and 200
+  *     torn together read 300, a multiple of 100). The spec stages
+  *     counts NOT closed under addition as a second line of defense.
   */
 object RaceProbe {
 
@@ -60,14 +63,15 @@ object RaceProbe {
       spark.stop()
 
     case "read" =>
-      val Array(_, warehouse, destName, stopFile) = args.take(4)
+      val Array(_, warehouse, destName, stopFile, legalCounts) = args.take(5)
+      val legal = legalCounts.split(",").map(_.trim.toLong).toSet
       val spark = session(warehouse)
       val dest = new Path(warehouse, "graft_race2/" + destName)
       var ok, miss, illegal = 0
       while (!Files.exists(Paths.get(stopFile))) {
         try {
           val n = spark.read.parquet(dest.toString).count()
-          if (n > 0 && n % 100 == 0) ok += 1 else illegal += 1
+          if (legal.contains(n)) ok += 1 else illegal += 1
         } catch {
           // absent destination is the legal pre-publish state whatever
           // shape it surfaces as (same taxonomy as the thread spec)

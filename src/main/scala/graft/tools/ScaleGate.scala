@@ -115,6 +115,23 @@ object ScaleGate {
     if (d.isNaN) "NaN" // --skip-sf1 ratios; BigDecimal(NaN) throws
     else BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Heap-cliff symptom taxonomy (round-17 verdict #6): a leg whose
+    * first sample dies with an OOM SHAPE must fail the gate even when
+    * the warm retry happens to pass — the retry exists for this
+    * sandbox's multi-ten-second stalls, not to paper over memory
+    * regressions. The shapes are the ones the 8 GiB cliff actually
+    * produced across rounds 16-17: plain executor/driver OOMs, the
+    * kryo-on-eviction crash (kryo has no serializer for the
+    * HeapByteBuffer inside evicted storage blocks), and GC-overhead
+    * deaths. */
+  private[tools] def oomShaped(msg: String): Boolean = {
+    val m = String.valueOf(msg)
+    Seq("OutOfMemoryError", "Java heap space", "GC overhead",
+      "HeapByteBuffer", "Unable to create serializer",
+      "Total size of serialized results", "Not enough memory")
+      .exists(m.contains)
+  }
+
   /** Fork one leg into a FRESH JVM (same classpath, JDK17 add-opens
     * derived from this JVM's own args, same heap budget), streaming
     * its output through. A leg that OOMs or dies only takes its own
@@ -281,14 +298,20 @@ object ScaleGate {
       def sample(): (Double, Long) = run(name, sf10Dir, sf10Dump)
       try {
         // one retry on a thrown first sample too (not only band trips):
-        // the 8 GiB eviction roulette occasionally fails a task outright
-        // while the context survives — the artifacts are durable, so a
-        // warm second shot is sound; a dead context rethrows
+        // transient stalls occasionally fail a task outright while the
+        // context survives — the artifacts are durable, so a warm
+        // second shot is sound; a dead context rethrows. An OOM-SHAPED
+        // first sample is NOT retryable-away: it is recorded as a gate
+        // failure even when the retry passes (round-17 verdict #6 —
+        // a heap regression must fail loudly, not ride a lucky retry).
         var (wall, rows) =
           try sample() catch { case NonFatal(e)
               if !spark.sparkContext.isStopped =>
+            val msg = String.valueOf(e.getMessage)
+            if (oomShaped(msg)) failures +=
+              s"$name@sf10: OOM-shaped first sample (${msg.take(200)})"
             System.err.println(s"[scalegate] $name@sf10 first sample threw " +
-              s"(${String.valueOf(e.getMessage).take(120)}) — one retry")
+              s"(${msg.take(120)}) — one retry")
             sample()
           }
         def ratio(w: Double): Double =
@@ -296,9 +319,13 @@ object ScaleGate {
         val refRatio = refSf10 / refSf1
         def inBand(w: Double): Boolean = {
           val r = ratio(w)
-          val ratioOk = r.isNaN || r <= refRatio * 2 + 2
           val wallOk = w <= refSf10 * 1.75
-          (ratioOk || wallOk) && (r.isNaN || r <= HardRatioCap)
+          // no sf1 denominator (--skip-sf1 / thrown sf1 sample): the
+          // wall is the ONLY gate — a NaN ratio must not vacuously pass
+          // (round-17 ADVICE: `r.isNaN || ...` disabled HardRatioCap
+          // and the whole band under --skip-sf1)
+          if (r.isNaN) wallOk
+          else ((r <= refRatio * 2 + 2) || wallOk) && r <= HardRatioCap
         }
         var retried = false
         if (!inBand(wall)) {
@@ -314,7 +341,8 @@ object ScaleGate {
           (if (retried) " (retried)" else ""))
         (name, wall, rows, ratio(wall), ok, retried)
       } catch { case NonFatal(e) =>
-        failures += s"$name@sf10: ${e.getMessage}"
+        val tag = if (oomShaped(String.valueOf(e.getMessage))) "[OOM-shaped] " else ""
+        failures += s"$name@sf10: $tag${e.getMessage}"
         (name, Double.NaN, 0L, Double.NaN, false, false)
       }
     }
@@ -331,12 +359,15 @@ object ScaleGate {
         .map { case (name, refWall) =>
           def sample(): (Double, Long) = run(name, skewDir, s"$workDir/dump_skew")
           try {
-            // same thrown-sample retry rule as the sf10 leg
+            // same thrown-sample retry + OOM-shape rules as the sf10 leg
             var (wall, rows) =
               try sample() catch { case NonFatal(e)
                   if !spark.sparkContext.isStopped =>
+                val msg = String.valueOf(e.getMessage)
+                if (oomShaped(msg)) failures +=
+                  s"$name@skew: OOM-shaped first sample (${msg.take(200)})"
                 System.err.println(s"[scalegate] $name@skew first sample " +
-                  s"threw (${String.valueOf(e.getMessage).take(120)}) — one retry")
+                  s"threw (${msg.take(120)}) — one retry")
                 sample()
               }
             def inBand(w: Double) = w <= refWall * 2 + 30
@@ -350,7 +381,8 @@ object ScaleGate {
               s"${if (ok) "OK" else "FAIL"}${if (retried) " (retried)" else ""}")
             (name, wall, rows, ok, retried)
           } catch { case NonFatal(e) =>
-            failures += s"$name@skew: ${e.getMessage}"
+            val tag = if (oomShaped(String.valueOf(e.getMessage))) "[OOM-shaped] " else ""
+            failures += s"$name@skew: $tag${e.getMessage}"
             (name, Double.NaN, 0L, false, false)
           }
         }

@@ -13,13 +13,24 @@ import graft.model.{CountryConfig, Schemas}
   * must be ROW-IDENTICAL to Spark's one-task-per-file multiLine reader
   * — on the reference sales files (the golden-count contract) and on
   * adversarial synthetic corpora where quoted newlines, escaped
-  * quotes, and CRLF endings straddle chunk boundaries at every
-  * alignment a tiny chunk size can produce. */
+  * quotes, CRLF endings and corrupt rows straddle chunk boundaries at
+  * every alignment a tiny chunk size can produce. */
 class SplitCsvSpec extends SparkSpec {
 
-  private def canon(df: DataFrame): DataFrame =
-    df.select(df.columns.filterNot(_.startsWith("_"))
-      .sorted.map(col).toIndexedSeq: _*)
+  /** Comparison shape: data columns sorted by name PLUS the corrupt
+    * classification as a null-flag — the corrupt TEXT differs by
+    * construction (the multiLine reader echoes the raw record, the
+    * split route echoes its CRLF-normalized record string), but
+    * which rows are corrupt must match exactly (round-17 ADVICE:
+    * dropping `_bad` made the PERMISSIVE-parity claim untested). */
+  private def canon(df: DataFrame, corruptCol: String = "_bad"): DataFrame = {
+    val data = df.columns.filterNot(_.startsWith("_")).sorted.map(col).toSeq
+    val flag =
+      if (df.columns.contains(corruptCol))
+        Seq(col(corruptCol).isNotNull.as("zz_corrupt_flag"))
+      else Seq.empty
+    df.select((data ++ flag).toIndexedSeq: _*)
+  }
 
   private def assertSame(a: DataFrame, b: DataFrame, what: String): Unit = {
     val (ca, cb) = (canon(a), canon(b))
@@ -35,14 +46,18 @@ class SplitCsvSpec extends SparkSpec {
       s"$refDataDir/sales/source=IN/format=csv/date=*/*.csv",
       Schemas.inCsvSchema(SourceLoader.CorruptCol), SourceLoader.CorruptCol)
     assert(split.count() == 1931L, "reference golden count")
-    assertSame(mono, split, "reference IN sales")
+    val (ca, cb) = (canon(mono, SourceLoader.CorruptCol),
+      canon(split, SourceLoader.CorruptCol))
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+      "reference IN sales: row sets differ")
   }
 
   test("adversarial corpus: boundaries inside quoted newlines at every tiny chunk size") {
     val dir = Files.createTempDirectory("graft_splitcsv")
     // records exercising: embedded \n and \r\n in quotes, escaped ""
     // quotes, empty fields, a record far larger than the chunk size
-    // (no valid boundary in several chunks), CRLF record endings
+    // (no valid boundary in several chunks), CRLF record endings, and
+    // CORRUPT rows (too many columns) both routes must capture
     val rows = (0 until 200).map { i =>
       val addr = i % 4 match {
         case 0 => s""""line$i\nsecond line, with comma""""
@@ -51,7 +66,10 @@ class SplitCsvSpec extends SparkSpec {
         case 3 => s""""${"x" * 120}\n${"y" * 120}""""
       }
       val tail = if (i % 7 == 0) "" else s"t$i"
-      s"id$i,$addr,$tail"
+      // every 13th row grows two EXTRA fields -> malformed under the
+      // 3-column schema, must land in the corrupt column on BOTH routes
+      val extra = if (i % 13 == 0) ",surplus,fields" else ""
+      s"id$i,$addr,$tail$extra"
     }
     val body = "id,address,tag\r\n" + rows.mkString("\r\n") + "\r\n"
     Files.writeString(dir.resolve("a.csv"), body)
@@ -62,12 +80,19 @@ class SplitCsvSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("id", StringType),
       StructField("address", StringType), StructField("tag", StringType),
       StructField("_bad", StringType)))
+    // cached: Spark refuses raw-CSV queries whose pruned schema is ONLY
+    // the corrupt record column, and the corrupt-parity asserts below
+    // are exactly such queries
     val mono = spark.read
       .option("header", true).option("multiLine", true)
       .option("quote", "\"").option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_bad")
       .schema(schema).csv(dir.toString)
+      .cache()
+    assert(mono.filter(col("_bad").isNotNull).count() > 0,
+      "adversarial corpus must contain corrupt rows (else the corrupt-" +
+        "parity leg of assertSame is vacuous)")
     for (chunk <- Seq(16L, 33L, 64L, 257L, 1L << 20)) {
       val split = SplitCsv.read(spark, s"$dir/*.csv", schema, "_bad", chunk)
       assertSame(mono, split, s"adversarial corpus at chunkBytes=$chunk")
@@ -75,17 +100,69 @@ class SplitCsvSpec extends SparkSpec {
     graft.queries.DedupQueries.rmQuietly(dir.toString)
   }
 
-  test("split route parallelism: many boundary-aligned ranges, not one task per file") {
+  test("split route parallelism scales with chunk count — past the old 512 cap") {
     // the POINT of the two-pass design: a single multiline file yields
-    // as many pass-2 ranges as its record boundaries allow — at 1 KB
-    // chunks the reference file must fan out to dozens of tasks
+    // as many pass-2 ranges as its record boundaries allow. At 256 B
+    // chunks the 168 KB reference file must fan out past the constant
+    // 512-partition cap round 17 flagged (a cap means ~200 GB scanned
+    // serially per task at 100 TB).
     val f = s"$refDataDir/sales/source=IN/format=csv/date=2020-01-01/order-20200101.csv"
     val split = SplitCsv.read(spark, f,
       Schemas.inCsvSchema(SourceLoader.CorruptCol), SourceLoader.CorruptCol,
-      chunkBytes = 1L << 10)
+      chunkBytes = 256L)
     val parts = split.rdd.getNumPartitions
-    assert(parts > 16,
-      s"splittable route produced only $parts partitions for a 168 KB file at 1 KB chunks")
+    assert(parts > 512,
+      s"splittable route produced only $parts partitions for a 168 KB file at 256 B chunks")
     assert(split.count() > 0)
+  }
+
+  test("SourceLoader csv branch gated onto the split route == multiLine route, golden counts") {
+    // round-17 verdict #5: the route must be REACHABLE from the
+    // medallion ingest path, not only via q162. Force the gate both
+    // ways in-process and require identical loadCountry output —
+    // lineage columns (file name, row number, modification time) and
+    // surrogate keys included.
+    val cc = CountryConfig("IN")
+    def withSplitMin[A](v: String)(body: => A): A = {
+      sys.props("graft.csv.split.min.bytes") = v
+      try body finally sys.props.remove("graft.csv.split.min.bytes")
+    }
+    val viaSplit = withSplitMin("0") {
+      assert(SourceLoader.readRaw(spark, refDataDir, cc)
+        .columns.contains("_rec_offset"), "gate did not pick the split route")
+      SourceLoader.loadCountry(spark, refDataDir, cc)
+    }
+    val viaMono = withSplitMin(Long.MaxValue.toString) {
+      SourceLoader.loadCountry(spark, refDataDir, cc)
+    }
+    assert(viaSplit._2.loaded == 1931L, "split-route golden count")
+    assert(viaSplit._2.skipped == viaMono._2.skipped, "skip counts differ")
+    val (a, b) = (viaSplit._1, viaMono._1)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "gated split route and multiLine route disagree on loadCountry output")
+  }
+
+  test("lone-CR record separators fail fast instead of silently gluing records") {
+    val dir = Files.createTempDirectory("graft_splitcsv_cr")
+    // CR-only line endings: the multiLine reader treats them as record
+    // separators; the split route cannot, and must say so loudly
+    // (round-17 ADVICE: gluing + from_csv drops all but the first
+    // record — data loss with no corrupt capture)
+    Files.writeString(dir.resolve("cr.csv"),
+      "id,address,tag\rr1,a,b\rr2,c,d\r")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("address", StringType), StructField("tag", StringType),
+      StructField("_bad", StringType)))
+    val e = intercept[Exception] {
+      SplitCsv.read(spark, s"$dir/*.csv", schema, "_bad", 16L).count()
+    }
+    assert(e.getMessage.contains("lone \\r"),
+      s"expected a lone-CR fail-fast, got: ${e.getMessage}")
+    // lone CRs INSIDE quotes are data, not separators — must still read
+    Files.writeString(dir.resolve("ok.csv"),
+      "id,address,tag\nq1,\"with\rcarriage\",t\nq2,plain,u\n")
+    val ok = SplitCsv.read(spark, s"$dir/ok.csv", schema, "_bad", 16L)
+    assert(ok.count() == 2L, "in-quote CR corpus must parse")
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
   }
 }

@@ -46,14 +46,18 @@ class CrossProcessPublishSpec extends SparkSpec {
     val destName = "race2_t_deadbeef"
     val barrier = s"$work/barrier"
     val stopFile = s"$work/stop"
-    val counts = Seq(100L, 200L) // distinct multiples of 100 (reader contract)
+    // NOT closed under addition (100+1000 ∉ set), and the reader gets
+    // the exact legal set — a torn read exposing both builds (1100) or
+    // either build doubled is illegal by membership, not divisibility
+    val counts = Seq(100L, 1000L)
 
     def start(args: Seq[String]): Process = {
       val pb = new ProcessBuilder(childCmd(args))
       pb.redirectErrorStream(true)
       pb.start()
     }
-    val readerP = start(Seq("read", work, destName, stopFile))
+    val readerP = start(Seq("read", work, destName, stopFile,
+      counts.mkString(",")))
     val pubs = counts.zipWithIndex.map { case (n, i) =>
       start(Seq("publish", work, destName, i.toString, n.toString, barrier))
     }
