@@ -50,6 +50,16 @@ object GraftSession {
       .config(InitialPartitionsKey, initialPartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed artifact scans REPORT their SORTED BY ordering (the
+      // planner lists files to prove one-file-per-bucket — cheap for
+      // index tables, and the listing is FileStatusCache'd): together
+      // with DurableIndex's one-partition-per-bucket builds this makes
+      // every index-side merge-join SORT-FREE instead of re-sorting
+      // 1/buckets of the corpus in-task per consumer (the round-18
+      // q142@skew OOM). Off by default only because Spark can't know
+      // the file-listing is cheap; for fingerprint-keyed index tables
+      // it is. PlanAuditSpec pins the resulting plan shape.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
     // static conf: only settable at build time (ScaleGate scopes its
     // artifact warehouse inside its work dir this way)
