@@ -65,35 +65,41 @@ import scala.util.control.NonFatal
   * stalled sf1 denominator must not fail the round). Anything past
   * [[HardRatioCap]] fails regardless: at 10x data that is the
   * quadratic scream threshold, the thing this gate exists to catch.
-  * Reference walls are the round-16 post-fix measurements
-  * (COVERAGE.md round-16 scale gates + continuation).
+  * Reference walls are the round-18 measurements (SCALE_r18.json,
+  * post the sorted-bucket layout fix) — re-baselined from round 16
+  * so the bands track the engine as it speeds up.
   */
 object ScaleGate {
 
   /** (family, sf1 reference wall s, sf10 reference wall s) — the
-    * round-16 recorded curve, post the three sf10 fixes. */
+    * round-18 recorded curve (SCALE_r18.json, post the sorted-bucket
+    * layout fix). Re-baselined from the round-16 walls because the
+    * layout fix dropped several families 20-35%: gating against the
+    * stale refs would let a 2x regression from TODAY's walls pass
+    * (band = ratio*2+2 or wall*1.75). */
   val Curve: Seq[(String, Double, Double)] = Seq(
-    ("q93_incremental_dedup", 3.8, 38.2),
-    ("q105_stream_incremental_dedup", 7.7, 41.0),
-    ("q107_stream_index_bootstrap", 16.0, 170.0),
-    ("q117_heavy_hitters", 2.6, 6.9),
-    ("q125_ann_index_serve_large", 2.0, 67.5),
-    ("q126_stream_ann_serve", 6.1, 91.7),
-    ("q134_stream_components", 16.9, 59.0),
-    ("q142_incremental_ngram", 38.1, 150.2),
-    ("q147_ann_retraction", 7.4, 74.4),
-    ("q154_retraction_publish", 1.9, 5.5),
-    ("q159_retraction_publish_rebuild", 10.1, 97.4),
-    ("q161_bench_retirement", 5.7, 19.2))
+    ("q93_incremental_dedup", 20.7, 37.1),
+    ("q105_stream_incremental_dedup", 13.1, 40.8),
+    ("q107_stream_index_bootstrap", 20.2, 129.7),
+    ("q117_heavy_hitters", 2.9, 6.4),
+    ("q125_ann_index_serve_large", 4.9, 59.3),
+    ("q126_stream_ann_serve", 4.9, 75.4),
+    ("q134_stream_components", 17.9, 111.8),
+    ("q142_incremental_ngram", 23.0, 132.7),
+    ("q147_ann_retraction", 2.8, 72.8),
+    ("q154_retraction_publish", 2.7, 5.3),
+    ("q159_retraction_publish_rebuild", 3.6, 8.1),
+    ("q161_bench_retirement", 6.5, 24.5))
 
-  /** (query, sf10-skew reference wall s) — round-16 recorded. */
+  /** (query, sf10-skew reference wall s) — round-18 recorded
+    * (SCALE_r18.json), re-baselined with the curve. */
   val SkewLeg: Seq[(String, Double)] = Seq(
-    ("q23_dedup_exact", 12.0),
-    ("q26_ngram_jaccard", 303.4),
-    ("q117_heavy_hitters", 44.0),
-    ("q142_incremental_ngram", 242.5),
-    ("q145_incremental_ngram_large", 125.7),
-    ("q150_ngram_retraction", 110.6))
+    ("q23_dedup_exact", 7.8),
+    ("q26_ngram_jaccard", 102.9),
+    ("q117_heavy_hitters", 10.9),
+    ("q142_incremental_ngram", 153.1),
+    ("q145_incremental_ngram_large", 104.3),
+    ("q150_ngram_retraction", 70.6))
 
   /** sf10/sf1 past this is quadratic-shaped whatever the reference
     * says (10x data; quadratic would read ~100x). */
