@@ -50,16 +50,18 @@ object GraftSession {
       .config(InitialPartitionsKey, initialPartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bucketed artifact scans REPORT their SORTED BY ordering (the
-      // planner lists files to prove one-file-per-bucket — cheap for
-      // index tables, and the listing is FileStatusCache'd): together
-      // with DurableIndex's one-partition-per-bucket builds this makes
-      // every index-side merge-join SORT-FREE instead of re-sorting
-      // 1/buckets of the corpus in-task per consumer (the round-18
-      // q142@skew OOM). Off by default only because Spark can't know
-      // the file-listing is cheap; for fingerprint-keyed index tables
-      // it is. PlanAuditSpec pins the resulting plan shape.
-      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // DELIBERATELY NOT SET: spark.sql.legacy.bucketedTableScan
+      // .outputOrdering. With one sorted file per bucket (DurableIndex)
+      // the flag makes every index-side merge-join sort-free and took
+      // q142@sf10 132.7s -> 100.3s — but the round-18 re-run gate
+      // caught it dying at sf10-SKEW on the 8 GiB contract heap
+      // (q142 dead 2/2 samples, q145 OOM-shaped 1/2, vs zero OOM
+      // shapes without it): the in-task sort is also a SPILL BARRIER,
+      // and without it the bucket-wide pair explosion pipelines
+      // straight into the shuffle writers while the scan batches and
+      // staged blocks contend for the same heap. Memory safety at the
+      // contract heap beats the uniform-corpus speedup; revisit only
+      // with a per-query scope and a skew-leg proof.
       .config("spark.ui.enabled", "false")
     // static conf: only settable at build time (ScaleGate scopes its
     // artifact warehouse inside its work dir this way)

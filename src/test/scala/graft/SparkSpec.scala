@@ -20,8 +20,6 @@ object TestSession {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // mirror GraftSession: sorted single-file buckets read sort-free
-    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.warehouse.dir", warehouse)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
