@@ -22,30 +22,32 @@ trait DedupCore { self: DedupQueries.type =>
   private[queries] val DfCut = 50 // inverted-index document-frequency cut
 
   /** Delta/R-bounded staging that must SURVIVE memory pressure: the
-    * round-17 scale gate found q142@sf10's fate at the default 8 GiB
-    * heap decided by whether its staged shingle relations fit
-    * DESERIALIZED — a skew-sized delta stages millions of
-    * (doc_id, sg-string) rows, and the default MEMORY_AND_DISK level
-    * kept tipping the executors into an eviction storm (plain task
-    * OOMs, and kryo re-serialization crashes on the way down).
-    * MEMORY_AND_DISK_SER stores the blocks serialized: 3-5x smaller
-    * for string-heavy rows, and eviction writes bytes instead of
-    * re-serializing under pressure.
+    * round-17/18 scale gates found q142's fate at the default 8 GiB
+    * heap decided by its staged shingle relations. Round 17 flipped
+    * them from deserialized MEMORY_AND_DISK to MEMORY_AND_DISK_SER
+    * (3-5x smaller) and the gate still failed ~half its cold builds:
+    * ANY memory-resident storage block is a double hazard under the
+    * build's sort/window pressure — it occupies the unified region
+    * the sorts need, and when execution evicts it, the eviction-time
+    * serialization is exactly where the JVM dies (the recurring
+    * kryo/HeapByteBuffer crash). DISK_ONLY removes the hazard
+    * structurally: zero storage-memory occupancy, nothing to evict,
+    * execution borrows the whole unified region, and the
+    * serialize-on-the-way-down path ceases to exist. The price is
+    * read-back I/O on re-consumption — bounded, local, and paid only
+    * at gate scale.
     *
     * DATA-ADAPTIVE like [[DedupStreaming.textStreamWidth]]: the level
-    * flips to serialized once the corpus passes [[StageSerMinBytes]] —
-    * a measured trade, not a blanket one: at sf0.1 the serde costs
-    * q142 ~+1.5s (+30% — stagings are consumed by several branches,
-    * each re-deserializing), while at sf10 the deserialized level is
-    * the difference between finishing in ~175s and an eviction-storm
-    * OOM (3/3 vs ~50/50 at the default 8 GiB heap). At 100 TB the
-    * staged "delta" is a day's crawl and must never be the thing that
-    * OOMs the job. */
+    * flips to disk once the corpus passes [[StageSerMinBytes]] —
+    * sf0.1 and below stay deserialized in memory (the bench protocol;
+    * disk staging there costs ~+1.5s on q142 for nothing). At 100 TB
+    * the staged "delta" is a day's crawl and must never be the thing
+    * that OOMs the job. */
   private[queries] def stageSer(s: SparkSession, dir: String,
       df: DataFrame): DataFrame =
     if (corpusBytes(s, dir) >= StageSerMinBytes)
       df.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     else df.localCheckpoint()
 
   /** documents.parquet size past which shingle-scale stagings store

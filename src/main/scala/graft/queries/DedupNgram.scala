@@ -133,12 +133,12 @@ trait DedupNgram { self: DedupQueries.type =>
       forceLarge: Option[Boolean] = None, ser: Boolean = false): DataFrame = {
     val large = forceLarge.getOrElse(deltaIsLarge(deltaSh))
     def bc(df: DataFrame): DataFrame = if (large) df else broadcast(df)
-    // shingle-scale stagings flip serialized past the corpus-size
+    // shingle-scale stagings flip to DISK_ONLY past the corpus-size
     // threshold (see DedupCore.stageSer) — callers with a corpus dir
     // pass `ser`; spec callers on synthetic frames keep the default
     def st(df: DataFrame): DataFrame =
       if (ser) df.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       else df.localCheckpoint()
     // Staging discipline (round-12 verdict #3): ONLY delta/R-bounded
     // relations are localCheckpoint-staged — ddf, crossing, rIds, the
@@ -231,7 +231,7 @@ trait DedupNgram { self: DedupQueries.type =>
       delIds: DataFrame, ser: Boolean = false): DataFrame = {
     def st(df: DataFrame): DataFrame =
       if (ser) df.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       else df.localCheckpoint()
     val del = delIds.select("doc_id").distinct().localCheckpoint()
     // the deleted docs' per-shingle counts, read out of the index
