@@ -52,13 +52,31 @@ object SourceLoader {
 
   val CorruptCol = "_corrupt_record"
 
+  /** Byte-count knob with a VALIDATED parse (round-18 ADVICE: a
+    * malformed override used to throw a bare NumberFormatException deep
+    * inside readRaw with no hint which knob was bad). The sys.props
+    * form exists so specs can force either route in-process. */
+  private def bytesKnob(prop: String, env: String, default: Long): Long =
+    sys.props.get(prop).map((s"system property $prop", _))
+      .orElse(sys.env.get(env).map((s"env var $env", _)))
+      .fold(default) { case (src, v) =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$src='$v' is not a byte count (whole number of bytes expected)")
+        }
+      }
+
   /** Total matched CSV bytes past which readRaw switches to the
-    * splittable two-pass route. The sys.props form exists so specs can
-    * force either route in-process. */
+    * splittable two-pass route. */
   private[ingest] def csvSplitMinBytes: Long =
-    sys.props.get("graft.csv.split.min.bytes")
-      .orElse(sys.env.get("SPARK_GRAFT_CSV_SPLIT_MIN_BYTES"))
-      .map(_.toLong).getOrElse(128L << 20)
+    bytesKnob("graft.csv.split.min.bytes",
+      "SPARK_GRAFT_CSV_SPLIT_MIN_BYTES", 128L << 20)
+
+  /** Total matched JSON bytes past which readRaw switches to the
+    * splittable two-pass route (the FR shape; round-18 verdict #1). */
+  private[ingest] def jsonSplitMinBytes: Long =
+    bytesKnob("graft.json.split.min.bytes",
+      "SPARK_GRAFT_JSON_SPLIT_MIN_BYTES", 128L << 20)
 
   /** Result of one country's load: the appended row count and the number
     * of malformed rows skipped (the COPY report, ref: step_3:148-153). */

@@ -54,14 +54,20 @@ trait DedupCore { self: DedupQueries.type =>
     * serialized (sf0.1 ~0.6 MB stays deserialized; sf10 ~60 MB flips). */
   private[queries] val StageSerMinBytes: Long = 16L << 20
 
+  /** dir -> (mtime, size): ONE entry per dir (round-18 ADVICE — keying
+    * the map by (dir, mtime) never evicted old generations, and on
+    * coarse-mtime filesystems a same-tick regeneration served the stale
+    * size with nothing bounding the map). */
   private val corpusBytesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, java.lang.Long)]()
 
-  /** documents.parquet content length, memoized per (dir, mtime) — the
-    * mtime key means a corpus REGENERATED at the same path in-session
-    * (ScaleGen in specs) gets a fresh size instead of a stale staging
-    * level; the per-call cost is one cheap getFileStatus, and the memo
-    * keeps the recursive content summary to one call per generation. */
+  /** documents.parquet content length, memoized per dir with the mtime
+    * stored IN the entry — a corpus REGENERATED at the same path
+    * in-session (ScaleGen in specs) replaces the entry when its mtime
+    * differs, so the map stays bounded at one entry per dir and the
+    * staleness window is exactly the filesystem's mtime resolution.
+    * Per-call cost is one cheap getFileStatus; the memo keeps the
+    * recursive content summary to one call per generation. */
   private[queries] def corpusBytes(s: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -69,9 +75,10 @@ trait DedupCore { self: DedupQueries.type =>
       try fs.getFileStatus(p).getModificationTime catch {
         case _: java.io.FileNotFoundException => return 0L
       }
-    corpusBytesCache.computeIfAbsent((dir, mtime), { _ =>
-      java.lang.Long.valueOf(fs.getContentSummary(p).getLength)
-    })
+    corpusBytesCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, java.lang.Long.valueOf(fs.getContentSummary(p).getLength))
+    )._2
   }
 
   /** (doc_id, sg): distinct word-3-gram shingles per document. */

@@ -842,19 +842,23 @@ trait DedupStreaming { self: DedupQueries.type =>
     * not registered.
     *
     * Storage-level normalization (the round-17 q142@skew root cause):
-    * big-corpus stagings store MEMORY_AND_DISK_SER (DedupCore.stageSer),
-    * whose blocks are 3-5x smaller than the deserialized rows — but the
-    * gate's criterion is the DESERIALIZED footprint the relation would
-    * occupy as a per-executor broadcast hash relation. Comparing raw
-    * serialized bytes against the 32 MB broadcast cap silently re-opened
-    * the broadcast route for skew-scale deltas (q142@skew kryo/OOM at
-    * the 8 GiB contract heap, while forced-large q145 passed the same
-    * corpus); serialized block sizes scale by 4x before the compare. */
+    * big-corpus stagings store DISK_ONLY serialized blocks
+    * (DedupCore.stageSer), which are 3-5x smaller than the
+    * deserialized rows — but the gate's criterion is the DESERIALIZED
+    * footprint the relation would occupy as a per-executor broadcast
+    * hash relation. Comparing raw serialized bytes against the 32 MB
+    * broadcast cap silently re-opened the broadcast route for
+    * skew-scale deltas (q142@skew kryo/OOM at the 8 GiB contract heap,
+    * while forced-large q145 passed the same corpus); serialized block
+    * sizes scale by 5x — the CONSERVATIVE end of the measured 3-5x
+    * range (round-18 ADVICE: a 5x-compressed skew delta normalized at
+    * 4x and sitting near the cap could still under-estimate and
+    * re-open the exact route this gate closes). */
   private[queries] def stagedBytes(df: DataFrame): Option[Long] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.flatMap { rdd =>
-      val factor = if (rdd.getStorageLevel.deserialized) 1L else 4L
+      val factor = if (rdd.getStorageLevel.deserialized) 1L else 5L
       df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
         .filter(i => i.memSize + i.diskSize > 0)
         .map(i => (i.memSize + i.diskSize) * factor)

@@ -105,6 +105,13 @@ object ScaleGate {
     * says (10x data; quadratic would read ~100x). */
   val HardRatioCap = 35.0
 
+  /** Families whose sf1 REFERENCE wall is below this gate on the
+    * absolute sf10 wall band only: a ~3s denominator makes the ratio
+    * pure noise (q147 read 26.0 in round 18 with a flat sf10 wall —
+    * the ratio moved because its sf1 wall shrank, not because anything
+    * scaled badly). */
+  val SmallDenominatorS = 5.0
+
   /** Gate-pinning env vars: a run with any of these set measures a
     * pinned route, not the engine's own gates. */
   val ForceFlags: Seq[String] = Seq(
@@ -136,6 +143,22 @@ object ScaleGate {
       "HeapByteBuffer", "Unable to create serializer",
       "Total size of serialized results", "Not enough memory")
       .exists(m.contains)
+  }
+
+  /** Throwable form: walks the getCause chain AND suppressed exceptions
+    * concatenating messages + class names before matching (round-18
+    * ADVICE: an OOM wrapped in a driver-side exception whose message
+    * omits the cause text would ride the lucky-retry path unflagged —
+    * e.g. SparkException("Job aborted") caused by an OutOfMemoryError
+    * with a null message, where only the CLASS NAME carries the shape). */
+  private[tools] def oomShaped(e: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    def walk(t: Throwable): Iterator[String] =
+      if (t == null || !seen.add(t)) Iterator.empty
+      else Iterator(t.getClass.getName, String.valueOf(t.getMessage)) ++
+        t.getSuppressed.iterator.flatMap(walk) ++ walk(t.getCause)
+    walk(e).exists(oomShaped)
   }
 
   /** Fork one leg into a FRESH JVM (same classpath, JDK17 add-opens
@@ -314,7 +337,7 @@ object ScaleGate {
           try sample() catch { case NonFatal(e)
               if !spark.sparkContext.isStopped =>
             val msg = String.valueOf(e.getMessage)
-            if (oomShaped(msg)) failures +=
+            if (oomShaped(e)) failures +=
               s"$name@sf10: OOM-shaped first sample (${msg.take(200)})"
             System.err.println(s"[scalegate] $name@sf10 first sample threw " +
               s"(${msg.take(120)}) — one retry")
@@ -331,6 +354,13 @@ object ScaleGate {
           // (round-17 ADVICE: `r.isNaN || ...` disabled HardRatioCap
           // and the whole band under --skip-sf1)
           if (r.isNaN) wallOk
+          // SMALL sf1 denominator (round-18 verdict #3): a family whose
+          // reference sf1 wall is a few seconds has a MEANINGLESS ratio
+          // — q147's sf1 dropped to 2.8s in r18 and its healthy, flat
+          // sf10 wall read as ratio 26 against HardRatioCap 35, one
+          // ambient stall from failing a round on denominator noise.
+          // Below ~5s the absolute sf10 wall band is the whole gate.
+          else if (refSf1 < SmallDenominatorS) wallOk
           else ((r <= refRatio * 2 + 2) || wallOk) && r <= HardRatioCap
         }
         var retried = false
@@ -347,7 +377,7 @@ object ScaleGate {
           (if (retried) " (retried)" else ""))
         (name, wall, rows, ratio(wall), ok, retried)
       } catch { case NonFatal(e) =>
-        val tag = if (oomShaped(String.valueOf(e.getMessage))) "[OOM-shaped] " else ""
+        val tag = if (oomShaped(e)) "[OOM-shaped] " else ""
         failures += s"$name@sf10: $tag${e.getMessage}"
         (name, Double.NaN, 0L, Double.NaN, false, false)
       }
@@ -370,7 +400,7 @@ object ScaleGate {
               try sample() catch { case NonFatal(e)
                   if !spark.sparkContext.isStopped =>
                 val msg = String.valueOf(e.getMessage)
-                if (oomShaped(msg)) failures +=
+                if (oomShaped(e)) failures +=
                   s"$name@skew: OOM-shaped first sample (${msg.take(200)})"
                 System.err.println(s"[scalegate] $name@skew first sample " +
                   s"threw (${msg.take(120)}) — one retry")
@@ -387,7 +417,7 @@ object ScaleGate {
               s"${if (ok) "OK" else "FAIL"}${if (retried) " (retried)" else ""}")
             (name, wall, rows, ok, retried)
           } catch { case NonFatal(e) =>
-            val tag = if (oomShaped(String.valueOf(e.getMessage))) "[OOM-shaped] " else ""
+            val tag = if (oomShaped(e)) "[OOM-shaped] " else ""
             failures += s"$name@skew: $tag${e.getMessage}"
             (name, Double.NaN, 0L, false, false)
           }

@@ -142,6 +142,32 @@ class SplitCsvSpec extends SparkSpec {
       "gated split route and multiLine route disagree on loadCountry output")
   }
 
+  test("driver holds O(#files) not O(#chunks): many-chunk corpus, listing-only materialization") {
+    // round-18 verdict #2: pass 1 used to collect one ChunkScan per
+    // chunk to the driver (~3.3M tuples twice over at 100 TB / 32 MB).
+    // Two files at 16 B chunks fan out to hundreds of chunks; the
+    // driver-held hook must report exactly the FILE count, and the
+    // chunk-scaled parallelism must survive the distributed combine.
+    val dir = Files.createTempDirectory("graft_splitcsv_files")
+    def body(tag: String) = "id,address,tag\n" + (0 until 120).map { i =>
+      s"$tag$i,\"quoted\nline$i\",t$i"
+    }.mkString("\n") + "\n"
+    Files.writeString(dir.resolve("a.csv"), body("a"))
+    Files.writeString(dir.resolve("b.csv"), body("b"))
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("address", StringType), StructField("tag", StringType),
+      StructField("_bad", StringType)))
+    val split = SplitCsv.read(spark, s"$dir/*.csv", schema, "_bad", 16L)
+    assert(split.count() == 240L)
+    assert(SplitCsv.lastDriverHeld.get() == 2L,
+      s"driver materialized ${SplitCsv.lastDriverHeld.get()} tuples for a " +
+        "2-file corpus — the per-chunk driver collection is back")
+    assert(split.rdd.getNumPartitions > 100,
+      s"only ${split.rdd.getNumPartitions} partitions — the distributed " +
+        "combine lost the chunk-scaled parallelism")
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+
   test("lone-CR record separators fail fast instead of silently gluing records") {
     val dir = Files.createTempDirectory("graft_splitcsv_cr")
     // CR-only line endings: the multiLine reader treats them as record
