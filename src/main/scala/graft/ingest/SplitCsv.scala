@@ -65,15 +65,6 @@ import org.apache.spark.sql.types.StructType
   */
 object SplitCsv {
 
-  /** Chunk-count bound the auto-scale targets (round-18 ADVICE: with no
-    * bound, 100 TB at 32 MB chunks is ~3.3M pass-1 tasks; at this bound
-    * the same corpus reads in ~400 MB chunks — still far under the
-    * 1 GiB per-task buffer cap, which auto-scale can never exceed until
-    * ~256 PB, where the explicit chunkBytes require fires instead).
-    * Callers' EXPLICIT smaller chunkBytes below the bound are honored
-    * unchanged (specs force adversarial alignments that way). */
-  private[ingest] val MaxChunks: Long = 1L << 18
-
   /** Test hook: tuples the last read materialized on the driver — the
     * file listing and nothing else (SplitCsvSpec pins O(#files), so a
     * future edit that re-collects per-chunk state fails a spec instead
@@ -106,35 +97,16 @@ object SplitCsv {
     * SourceLoader multiLine reader. */
   def read(spark: SparkSession, pattern: String, schema: StructType,
       corruptCol: String, chunkBytes: Long = 32L << 20): DataFrame = {
-    require(chunkBytes >= 16, s"chunkBytes=$chunkBytes unreasonably small")
-    require(chunkBytes <= (1L << 30),
-      s"chunkBytes=$chunkBytes exceeds the 1 GiB per-task buffer bound")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val p = new Path(pattern)
-    val fs = p.getFileSystem(conf.value)
-    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
-      .flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
-      }
-      .filter(st => st.isFile && st.getLen > 0)
-      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
-      .sortBy(_._1)
-    require(files.nonEmpty, s"no files match $pattern")
+    // listing + chunk auto-scale shared with SplitJson (round-18
+    // ADVICE: the auto-scale bounds chunk count by growing chunk size
+    // with the corpus — 100 TB reads in ~400 MB chunks instead of
+    // 3.3M 32 MB ones; explicit smaller chunkBytes are honored)
+    val (files, eff) = SplitFiles.listing(spark, pattern, chunkBytes)
     // the ONLY driver-side materialization is this listing (pinned by
     // SplitCsvSpec via the hook): scans and ranges stay in RDDs
     lastDriverHeld.set(files.length)
-    val totalBytes = files.map(_._2).sum
-    // auto-scale (round-18 ADVICE): bound the chunk count by growing
-    // the chunk size with the corpus — 100 TB reads in ~400 MB chunks
-    // (262k tasks) instead of 3.3M 32 MB ones. An EXPLICIT chunkBytes
-    // above the auto value is honored (it already passed the 1 GiB
-    // require); specs' tiny values stay tiny because small corpora
-    // never trip the bound.
-    val eff = math.max(chunkBytes, (totalBytes + MaxChunks - 1) / MaxChunks)
-    require(eff <= (1L << 30),
-      s"corpus of $totalBytes bytes needs >1 GiB chunks to stay under " +
-        s"$MaxChunks chunks — beyond this route's per-task buffer bound")
     val numChunks = files.map { case (_, len, _) => (len + eff - 1) / eff }.sum
     val nTasks = math.max(1L, math.min(numChunks, Int.MaxValue.toLong)).toInt
 

@@ -82,7 +82,7 @@ trait DedupCore { self: DedupQueries.type =>
   }
 
   /** (doc_id, sg): distinct word-3-gram shingles per document. */
-  private[queries] def shingle(docs: DataFrame): DataFrame =
+  private[graft] def shingle(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleN)

@@ -24,7 +24,7 @@ trait DedupMinhash { self: DedupQueries.type =>
     * partitioning to cover ALL join keys (requireAllClusterKeysForCoPartition),
     * so a composite (band_idx, band_key) join over band_key buckets
     * would re-shuffle — the prefix makes the bucket layout sufficient. */
-  private[queries] def sigBands(sh: DataFrame): DataFrame = {
+  private[graft] def sigBands(sh: DataFrame): DataFrame = {
     val h = sh.select(col("doc_id"), tokenHash(col("sg")).as("h"))
     val sig = h.groupBy("doc_id")
       .agg(min(permHash(col("h"), 0)).as("m0"),

@@ -91,6 +91,26 @@ trait DedupStreaming { self: DedupQueries.type =>
   private[graft] def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)): Unit)
 
+  /** Stage a batch's bands INTO the band index's HashPartitioning(
+    * band_key, 16) and localCheckpoint the result so the partitioning
+    * is carried by the LogicalRDD — every consumer (the probe's
+    * merge-join delta side, the bucketized partition append) then
+    * reuses ONE shuffle instead of re-Exchanging per consumer
+    * (round-18 verdict #6). Under AQE the checkpoint would capture
+    * UnknownPartitioning (the adaptive wrapper hides the final
+    * shuffle's layout — probed empirically, PlanAuditSpec pins the
+    * fixed shape), so the one staging job runs with AQE off; the
+    * micro-batch confs already pin its shuffle widths, and the session
+    * flag is restored before any consumer plans. */
+  private[graft] def stageBucketed(bands: DataFrame): DataFrame = {
+    val s = bands.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val old = s.conf.get(key)
+    s.conf.set(key, "false")
+    try bands.repartition(16, col("band_key")).localCheckpoint()
+    finally s.conf.set(key, old)
+  }
+
   /** Stage the n-drop source files of a streaming drain, CACHED per
     * (family, source content fingerprint): the drop contents are a
     * pure function of the source table, but every drain invocation —
@@ -486,14 +506,27 @@ trait DedupStreaming { self: DedupQueries.type =>
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
             // the batch's bands feed THREE consumers (cross probe,
-            // within-batch self-join, index append): staged once
-            val batchBands = sigBands(batchSh).localCheckpoint()
+            // within-batch self-join, index append): staged once, and
+            // staged ALREADY in the index's HashPartitioning(band_key,
+            // 16) — localCheckpoint preserves the partitioning, so the
+            // probe's merge-join delta side and the bucketized append
+            // both reuse ONE shuffle instead of re-Exchanging per
+            // consumer (round-18 verdict #6). The delta-side in-task
+            // SORT is deliberately left to the join: round 18 showed
+            // pre-join sorts double as spill barriers at the contract
+            // heap.
+            val batchBands = stageBucketed(sigBands(batchSh))
             val soFar = ss.table(idxTable)
               .filter(col("batch_id") =!= batchId)
               .select("doc_id", "band_idx", "band_key")
+            // standing index and stream-grown index probed as SEPARATE
+            // bucketed relations — their union has no partitioning and
+            // used to re-Exchange the corpus-sized standing bands every
+            // batch (see matchesAgainstIndex.extraIndexes)
             val cross = matchesAgainstIndex(ss, dir, batchSh,
-                bandIndexTable(ss, dir).unionByName(soFar),
-                deltaBandsOpt = Some(batchBands))
+                bandIndexTable(ss, dir),
+                deltaBandsOpt = Some(batchBands),
+                extraIndexes = Seq(soFar))
               .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),
                 greatest(col("delta_id"), col("corpus_id")).as("doc_b"))
             val within = minhashPairsOf(batchSh, Some(batchBands))
@@ -501,11 +534,10 @@ trait DedupStreaming { self: DedupQueries.type =>
             within.unionByName(cross)
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(outTable)
-            // shuffle the batch's bands into the bucket hash so the
-            // partition lands 16 files (one per bucket), not one per
-            // (task x bucket) — the batch is drop-sized, the shuffle
-            // trivial, and the commit fans out 4x fewer files
-            batchBands.repartition(16, col("band_key"))
+            // the staged bands already sit in the bucket hash (16
+            // partitions, one per bucket), so the partition lands 16
+            // files, not one per (task x bucket), with no re-shuffle
+            batchBands
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(idxTable)
             chaos(batchId)
@@ -583,8 +615,14 @@ trait DedupStreaming { self: DedupQueries.type =>
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
             // the batch's bands feed BOTH the probe and the index
-            // append: staged once per batch, not re-signed per consumer
-            val batchBands = sigBands(batchSh).localCheckpoint()
+            // append: staged once per batch, not re-signed per
+            // consumer, and staged ALREADY in the index's
+            // HashPartitioning(band_key, 16) — localCheckpoint
+            // preserves the partitioning, so the probe's merge-join
+            // delta side and the bucketized append reuse ONE shuffle
+            // (round-18 verdict #6; the delta-side in-task sort stays
+            // with the join — round 18's spill-barrier lesson)
+            val batchBands = stageBucketed(sigBands(batchSh))
             // match FIRST, against the index so far MINUS this batch's
             // own partition (empty on first delivery; populated — and
             // self-matching if probed — on a replay)...
@@ -598,9 +636,10 @@ trait DedupStreaming { self: DedupQueries.type =>
             // ...THEN index this batch: a dynamic overwrite of its own
             // batch_id partition, bucketized per the catalog spec —
             // replay rewrites the partition, never double-inserts; the
-            // repartition into the bucket hash lands 16 files (one per
-            // bucket), not one per (task x bucket)
-            batchBands.repartition(16, col("band_key"))
+            // staged bands already sit in the bucket hash, so the
+            // partition lands 16 files (one per bucket), not one per
+            // (task x bucket), with no re-shuffle
+            batchBands
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(idxTable)
             chaos(batchId)
@@ -914,11 +953,12 @@ trait DedupStreaming { self: DedupQueries.type =>
     * downstream verify joins drop their broadcast hints too, letting
     * AQE pick by runtime size. `forceLarge` pins the path for q108 and
     * the plan audit. */
-  private[queries] def matchesAgainstIndex(s: SparkSession, dir: String,
+  private[graft] def matchesAgainstIndex(s: SparkSession, dir: String,
       deltaSh: DataFrame, corpusBands: DataFrame,
       forceLarge: Option[Boolean] = None,
       deltaBandsOpt: Option[DataFrame] = None,
-      candShFromPostings: Boolean = false): DataFrame = {
+      candShFromPostings: Boolean = false,
+      extraIndexes: Seq[DataFrame] = Nil): DataFrame = {
     val large = forceLarge.getOrElse(deltaIsLarge(deltaSh))
     // deltaBandsOpt: a caller that also writes/self-joins the delta's
     // bands (the q107/q134 drains) stages them ONCE per batch and
@@ -926,11 +966,20 @@ trait DedupStreaming { self: DedupQueries.type =>
     // pipeline per consumer
     val deltaBands = deltaBandsOpt.getOrElse(sigBands(deltaSh))
       .select(col("doc_id").as("dd"), col("band_key"))
-    val cand = (if (large)
-        corpusBands.hint("merge").join(deltaBands, Seq("band_key"))
-      else
-        corpusBands.join(broadcast(deltaBands), Seq("band_key")))
-      .select(col("dd"), col("doc_id").as("cd"))
+    // extraIndexes (round-18 verdict #6): a drain probing BOTH a
+    // standing index and its own stream-grown one used to pass their
+    // UNION — whose unknown partitioning made EnsureRequirements
+    // re-Exchange + re-sort the corpus-sized standing bands EVERY
+    // micro-batch. Probing each bucketed relation separately keeps
+    // every index side Exchange-free (the q41 bucket property) and
+    // unions only the CANDIDATES; the verify pass below still runs
+    // once over the deduplicated pair set.
+    val parts = corpusBands +: extraIndexes
+    val cand = parts.map { p =>
+      (if (large) p.hint("merge").join(deltaBands, Seq("band_key"))
+       else p.join(broadcast(deltaBands), Seq("band_key")))
+        .select(col("dd"), col("doc_id").as("cd"))
+    }.reduce(_ unionByName _)
       .distinct()
     val candIds = cand.select(col("cd").as("doc_id")).distinct()
     // candShFromPostings: when the probed index is the durable STANDING

@@ -136,5 +136,63 @@ object IngestQueries {
           SourceLoader.CorruptCol, chunkBytes = 4096)
         .filter(col(SourceLoader.CorruptCol).isNull)
         .select(cols.toIndexedSeq: _*)
+    },
+
+    // ------------------------------------------------------------------
+    // The SPLITTABLE outer-array-JSON route (round-18 verdict #1) as a
+    // first-class oracle-checked operator — the FR ingest shape:
+    // multiLine=true pins Spark's JSON source to one task per file, so
+    // at 100 TB the FR source serializes on file count;
+    // graft.ingest.SplitJson makes byte splits provably element-safe
+    // with a distributed three-start-state string/depth scan (two-pass,
+    // 2x I/O for unbounded parallelism). The staged corpus gives every
+    // record an escaped newline, an escaped quote AND a backslash —
+    // the escape shapes that make naive splitting unsafe — with
+    // string-typed numerics (the FR trait), plus a corrupt file whose
+    // type-mismatched element must land in the corrupt column and be
+    // skipped; the tiny chunk size forces dozens of boundary-aligned
+    // ranges per file, so the parallel route (not a degenerate single
+    // range) is what the hash compare certifies. SplitJsonSpec
+    // additionally proves row-identity against the multiLine reader.
+    QueryDef(
+      "q163_split_json",
+      "stage customer to outer-array JSON (escaped newline + quote + backslash per record, string-typed numerics, + a corrupt file) and read it back through the SPLITTABLE two-pass route: distributed string/depth boundary scan -> element-aligned parallel ranges -> from_json; PERMISSIVE corrupt capture; oracle restates the parquet original",
+      """SELECT c_custkey, c_name || chr(10) || 'Q"\T' AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_splitjson_q").toString
+      // escaped newline + quote + backslash in every record's name
+      val staged = Tables.customer(s, dir).withColumn("c_name",
+        concat(col("c_name"), lit("\nQ\"\\T")))
+      val cols = staged.schema.fieldNames.map(col)
+      import s.implicits._
+      staged
+        .withColumn("c_custkey", col("c_custkey").cast("string"))
+        .withColumn("c_nationkey", col("c_nationkey").cast("string"))
+        .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+        .coalesce(2)
+        .toJSON
+        .mapPartitions(it => Iterator.single(it.mkString("[\n", ",\n", "\n]")))
+        .write.mode("overwrite").text(s"$tmp/json")
+      // a bracket-balanced file whose element is UNPARSEABLE (bareword
+      // value — under an all-string schema a mere type mismatch would
+      // degrade to the field's JSON text, not corrupt) -> corrupt
+      // column, skipped
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "json", "zz_corrupt.json"),
+        """[{"c_custkey": oops, "c_name": "Bad\nRow", "c_nationkey": "x",""" +
+          """ "c_acctbal": "y", "c_mktsegment": "m"}]""")
+      val stringly = StructType(
+        staged.schema.fieldNames.map(StructField(_, StringType)) :+
+          StructField(SourceLoader.CorruptCol, StringType))
+      graft.ingest.SplitJson.read(s, s"$tmp/json/*", Some(stringly),
+          SourceLoader.CorruptCol, chunkBytes = 2048)
+        .filter(col(SourceLoader.CorruptCol).isNull)
+        .select(
+          col("c_custkey").try_cast("long").as("c_custkey"),
+          col("c_name"),
+          col("c_nationkey").try_cast("int").as("c_nationkey"),
+          col("c_acctbal").try_cast("double").as("c_acctbal"),
+          col("c_mktsegment"))
     })
 }

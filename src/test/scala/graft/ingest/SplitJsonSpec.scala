@@ -1,0 +1,237 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.model.CountryConfig
+
+/** The splittable outer-array-JSON route (round-18 verdict #1): SplitJson
+  * must be ROW-IDENTICAL to Spark's one-task-per-file multiLine reader —
+  * on the reference FR sales files (the golden-count contract) and on
+  * adversarial synthetic corpora where escapes, nested structures,
+  * scalar/null elements and corrupt (type-mismatched) elements straddle
+  * chunk boundaries at every alignment a tiny chunk size can produce. */
+class SplitJsonSpec extends SparkSpec {
+
+  /** Comparison shape: data columns sorted by name PLUS the corrupt
+    * classification as a null-flag — the corrupt TEXT may differ by
+    * construction (the multiLine reader echoes Jackson's view of the
+    * element, the split route echoes its sliced element string), but
+    * which rows are corrupt must match exactly (same contract as
+    * SplitCsvSpec). */
+  private def canon(df: DataFrame, corruptCol: String = "_bad"): DataFrame = {
+    val data = df.columns.filterNot(_.startsWith("_")).sorted.map(col).toSeq
+    val flag =
+      if (df.columns.contains(corruptCol))
+        Seq(col(corruptCol).isNotNull.as("zz_corrupt_flag"))
+      else Seq.empty
+    df.select((data ++ flag).toIndexedSeq: _*)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame, what: String,
+      corruptCol: String = "_bad"): Unit = {
+    val (ca, cb) = (canon(a, corruptCol), canon(b, corruptCol))
+    assert(ca.count() == cb.count(), s"$what: counts differ")
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+      s"$what: row sets differ")
+  }
+
+  test("reference FR sales JSON: split route == multiLine reader, rows identical") {
+    val cc = CountryConfig("FR")
+    val mono = SourceLoader.readRaw(spark, refDataDir, cc)
+    val split = SplitJson.read(spark,
+      s"$refDataDir/sales/source=FR/format=json/date=*/*.json",
+      None, SourceLoader.CorruptCol)
+    assert(split.count() == 1517L, "reference golden count (882 + 635)")
+    val (ca, cb) = (canon(mono, SourceLoader.CorruptCol),
+      canon(split, SourceLoader.CorruptCol))
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+      "reference FR sales: row sets differ")
+  }
+
+  test("adversarial corpus: boundaries inside strings/escapes at every tiny chunk size") {
+    val dir = Files.createTempDirectory("graft_splitjson")
+    // elements exercising: escaped quotes and newlines, backslash runs
+    // (\\ then \" — a chunk split can land between the two bytes),
+    // unicode escapes, nested objects and arrays whose strings contain
+    // `}]` decoys, null-valued fields, and an element far larger than
+    // the chunk size (no boundary in several chunks). All elements are
+    // valid objects: per-element corrupt handling has its own pinned
+    // leg below, because the multiLine reader's corrupt semantics are
+    // whole-file, which a splittable route intentionally refines.
+    val objs = (0 until 150).map { i =>
+      i % 4 match {
+        case 0 => s"""{"id": "a$i", "txt": "line\\nsecond, with comma", "n": $i}"""
+        case 1 => s"""{"id": "b$i", "txt": "say \\"hi\\" \\\\ and \\u00e9 more", "n": $i}"""
+        case 2 => s"""{"id": "c$i", "txt": "${"x" * 300}", "n": $i,
+                     |  "deep": {"a": [1, 2, {"b": "}]...str"}]}}""".stripMargin
+        case 3 => s"""{"id": "e$i", "txt": null, "n": $i}"""
+      }
+    }
+    // one pretty-printed file (multi-line elements), one compact
+    // single-line file without trailing newline
+    Files.writeString(dir.resolve("a.json"),
+      objs.take(100).mkString("[\n  ", ",\n  ", "\n]\n"))
+    Files.writeString(dir.resolve("b.json"),
+      objs.drop(100).mkString("[", ",", "]"))
+
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("txt", StringType), StructField("n", LongType),
+      StructField("_bad", StringType)))
+    val mono = spark.read
+      .option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).json(dir.toString)
+      .cache()
+    assert(mono.count() == 150L, "mono reader must parse the corpus cleanly")
+    for (chunk <- Seq(16L, 33L, 64L, 257L, 1L << 20)) {
+      val split = SplitJson.read(spark, s"$dir/*.json", Some(schema), "_bad", chunk)
+      assertSame(mono, split, s"adversarial corpus at chunkBytes=$chunk")
+    }
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+
+  test("corrupt semantics: per-ELEMENT capture where the multiLine reader poisons the file") {
+    // Probed multiLine behavior (pinned here so a Spark upgrade that
+    // changes it fails loudly): ONE type-mismatched element sets the
+    // corrupt column of EVERY row in the file to the whole file text,
+    // and a null/scalar top-level element degrades the whole file to a
+    // single all-null corrupt row. The splittable route intentionally
+    // REFINES both: exactly the offending element lands in the corrupt
+    // column (whole-file blast radius is the one multiLine semantic a
+    // byte-range reader cannot and should not reproduce at 100 TB),
+    // null elements are dropped, and every well-formed object still
+    // parses. ON_ERROR=CONTINUE downstream (loadCountry) drops corrupt
+    // rows either way — this leg pins the upstream divergence itself.
+    val dir = Files.createTempDirectory("graft_splitjson_corrupt")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("n", LongType), StructField("_bad", StringType)))
+    def mono(name: String) = spark.read
+      .option("multiLine", true).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).json(dir.resolve(name).toString)
+    def split(name: String) = SplitJson.read(spark,
+      dir.resolve(name).toString, Some(schema), "_bad", chunkBytes = 16L)
+
+    // one bad element among two good ones
+    Files.writeString(dir.resolve("mismatch.json"),
+      """[{"id": "g1", "n": 1}, {"id": "d1", "n": {"bad": true}}, {"id": "g2", "n": 2}]""")
+    val m1 = mono("mismatch.json").cache()
+    assert(m1.count() == 3L &&
+      m1.filter(col("_bad").isNotNull).count() == 3L,
+      "multiLine whole-file corrupt poisoning changed — revisit the route divergence contract")
+    val s1 = split("mismatch.json").cache()
+    assert(s1.count() == 3L, "split route must keep all three elements")
+    assert(s1.filter(col("_bad").isNotNull).select("id").collect()
+      .map(_.getString(0)).toSeq == Seq("d1"),
+      "split route must capture exactly the mismatched element")
+    assert(s1.filter(col("_bad").isNull).select("id", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("g1", 1L), ("g2", 2L)),
+      "good elements must parse with their values intact")
+
+    // null + scalar top-level elements among good objects
+    Files.writeString(dir.resolve("nonobj.json"),
+      """[{"id": "g1", "n": 1}, null, 42, {"id": "g2", "n": 2}]""")
+    val m2 = mono("nonobj.json").cache()
+    assert(m2.count() == 1L && m2.filter(col("_bad").isNotNull).count() == 1L,
+      "multiLine whole-file degradation on non-object elements changed")
+    val s2 = split("nonobj.json").cache()
+    assert(s2.filter(col("_bad").isNull).count() == 2L &&
+      s2.filter(col("_bad").isNotNull).count() == 1L && s2.count() == 3L,
+      "split route: two good objects, the scalar corrupt, the null dropped")
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+
+  test("inferred-schema path matches the multiLine reader's inference") {
+    // SourceLoader's json branch infers; the split route must land the
+    // same typed columns (string-typed numerics stay strings, real
+    // numerics land long/double) in the same field order.
+    val cc = CountryConfig("FR")
+    val mono = SourceLoader.readRaw(spark, refDataDir, cc)
+    val split = SplitJson.read(spark,
+      s"$refDataDir/sales/source=FR/format=json/date=*/*.json",
+      None, SourceLoader.CorruptCol, chunkBytes = 4096)
+    val monoData = mono.schema.fields
+      .filterNot(f => f.name == SourceLoader.CorruptCol || f.name.startsWith("_"))
+    val splitData = split.schema.fields
+      .filterNot(f => f.name == SourceLoader.CorruptCol || f.name.startsWith("_"))
+    assert(monoData.map(f => (f.name, f.dataType)).toSeq ==
+      splitData.map(f => (f.name, f.dataType)).toSeq,
+      s"inferred schemas differ:\n  mono: ${monoData.mkString(", ")}\n" +
+        s"  split: ${splitData.mkString(", ")}")
+  }
+
+  test("SourceLoader json branch gated onto the split route == multiLine route, golden counts") {
+    // the route must be REACHABLE from the medallion ingest path, not
+    // only via q163 (the SplitCsv precedent, round-17 verdict #5):
+    // force the gate both ways in-process and require identical
+    // loadCountry output — lineage columns and surrogate keys included.
+    val cc = CountryConfig("FR")
+    def withSplitMin[A](v: String)(body: => A): A = {
+      sys.props("graft.json.split.min.bytes") = v
+      try body finally sys.props.remove("graft.json.split.min.bytes")
+    }
+    val viaSplit = withSplitMin("0") {
+      assert(SourceLoader.readRaw(spark, refDataDir, cc)
+        .columns.contains("_rec_offset"), "gate did not pick the split route")
+      SourceLoader.loadCountry(spark, refDataDir, cc)
+    }
+    val viaMono = withSplitMin(Long.MaxValue.toString) {
+      SourceLoader.loadCountry(spark, refDataDir, cc)
+    }
+    assert(viaSplit._2.loaded == 1517L, "split-route golden count")
+    assert(viaSplit._2.skipped == viaMono._2.skipped, "skip counts differ")
+    val (a, b) = (viaSplit._1, viaMono._1)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "gated split route and multiLine route disagree on loadCountry output")
+  }
+
+  test("driver holds O(#files) not O(#chunks); parallelism scales with chunk count") {
+    val dir = Files.createTempDirectory("graft_splitjson_files")
+    def body(tag: String) = (0 until 150).map { i =>
+      s"""{"id": "$tag$i", "txt": "multi\\nline $i", "n": $i}"""
+    }.mkString("[\n", ",\n", "\n]\n")
+    Files.writeString(dir.resolve("a.json"), body("a"))
+    Files.writeString(dir.resolve("b.json"), body("b"))
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("txt", StringType), StructField("n", LongType),
+      StructField("_bad", StringType)))
+    val split = SplitJson.read(spark, s"$dir/*.json", Some(schema), "_bad", 16L)
+    assert(split.count() == 300L)
+    assert(SplitJson.lastDriverHeld.get() == 2L,
+      s"driver materialized ${SplitJson.lastDriverHeld.get()} tuples for a " +
+        "2-file corpus — a per-chunk driver collection appeared")
+    assert(split.rdd.getNumPartitions > 100,
+      s"only ${split.rdd.getNumPartitions} partitions — the distributed " +
+        "combine lost the chunk-scaled parallelism")
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+
+  test("structurally broken files fail fast instead of silently approximating") {
+    val dir = Files.createTempDirectory("graft_splitjson_bad")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("_bad", StringType)))
+    // unbalanced bracket: the multiLine reader degrades the whole file
+    // to one corrupt row; a splittable route cannot reproduce that and
+    // must say so loudly (the SplitCsv unbalanced-quote contract)
+    Files.writeString(dir.resolve("broken.json"), """[{"id": "x"}""")
+    val e = intercept[Exception] {
+      SplitJson.read(spark, s"$dir/*.json", Some(schema), "_bad", 16L).count()
+    }
+    assert(e.getMessage.contains("outer-array JSON"),
+      s"expected a structural fail-fast, got: ${e.getMessage}")
+    // a top-level object (JSON-lines shape, not the FR array shape)
+    Files.writeString(dir.resolve("broken.json"), """{"id": "x"}""")
+    val e2 = intercept[Exception] {
+      SplitJson.read(spark, s"$dir/*.json", Some(schema), "_bad", 16L).count()
+    }
+    assert(e2.getMessage.contains("top-level JSON array"),
+      s"expected the array-shape fail-fast, got: ${e2.getMessage}")
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+}

@@ -100,6 +100,44 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("drain probe: staged delta partitioning reused, every index side Exchange-free") {
+    // round-18 verdict #6, the q107/q134 drain shape: the batch's bands
+    // are staged REPARTITIONED into the index's HashPartitioning(
+    // band_key, 16) before the localCheckpoint, so (a) the probe's
+    // merge-join delta side must reuse that partitioning — NO Exchange
+    // between the checkpoint scan and the candidate joins — and (b)
+    // with the standing and stream-grown indexes probed as SEPARATE
+    // bucketed relations (not their union, which has no partitioning
+    // and used to re-Exchange the corpus-sized standing bands every
+    // micro-batch), no index side may add an Exchange either.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val deltaSh = DedupQueries.shingle(docs.filter(col("doc_id") % 10 === 7))
+      .localCheckpoint()
+    val batchBands = DedupQueries.stageBucketed(DedupQueries.sigBands(deltaSh))
+    val standing = DedupQueries.bandIndexTable(spark, sfDir)
+    // two DISTINCT bucketed views stand in for (standing, stream-grown)
+    // — a filter preserves the bucket layout, and distinct subtrees
+    // keep AQE from collapsing the two probes into one reused stage
+    val probe = DedupQueries.matchesAgainstIndex(spark, sfDir, deltaSh,
+      standing.filter(col("band_idx") < 6), forceLarge = Some(true),
+      deltaBandsOpt = Some(batchBands),
+      extraIndexes = Seq(standing.filter(col("band_idx") >= 6)))
+    val plan = finalPlan(probe)
+    val candJoins = flatten(plan).collect {
+      case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "band_key")) => j
+    }
+    assert(candJoins.size == 2,
+      s"expected two band_key candidate merge-joins (standing + grown), " +
+        s"got ${candJoins.size}")
+    candJoins.foreach { j =>
+      assert(!flatten(j).drop(1).exists(_.isInstanceOf[Exchange]),
+        "Exchange under a candidate join — either the staged delta " +
+          "partitioning was not reused or an index side re-shuffled")
+    }
+  }
+
   test("q93 reads the persisted band index broadcast-joined with zero corpus-side shuffle") {
     val plan = finalPlan(SparkEntry.queries("q93_incremental_dedup")(spark, sfDir))
     def isBandScan(p: SparkPlan): Boolean = p match {
