@@ -189,7 +189,10 @@ object SplitCsv {
       starts.zip(starts.drop(1) :+ len).map { case (a, b) =>
         RecRange(f, a, b, dropHeader = a == 0L, mtime = fileMtime)
       }
-    }
+    }.localCheckpoint() // metadata-sized (O(#chunks) descriptors):
+    // without this every caller ACTION re-runs pass 1, which reads
+    // every corpus byte; checkpointed, pass 1 runs once per read()
+    // call (blocks are cleaned with the RDD)
 
     // ---- pass 2: boundary-aligned ranges -> complete record strings ----
     import spark.implicits._

@@ -68,10 +68,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Every emitted row carries `_src_file`, `_rec_offset` (the element's
   * absolute byte offset — a deterministic total order within a file)
   * and `_src_mtime`, so SourceLoader can synthesize the `_metadata`
-  * lineage shape. Cost: pass 1 reads the bytes once, pass 2 once more
-  * (plus one more inference pass when no schema is given — pass an
-  * explicit schema at scale); 2x I/O for unbounded parallelism, the
-  * same trade SplitCsv makes.
+  * lineage shape. Cost: pass 1 reads the bytes once (the boundary
+  * ranges are checkpointed, so it never re-runs per action), pass 2
+  * once per consuming job — 2x I/O for unbounded parallelism, the
+  * same trade SplitCsv makes; the no-schema path pays one extra
+  * pass-2 job for inference (pass an explicit schema at scale).
   *
   * Ref behavior matched: SourceLoader.readRaw's json branch
   * (multiLine, PERMISSIVE, corrupt capture, inferred schema);
@@ -228,7 +229,11 @@ object SplitJson {
       starts.zip(starts.drop(1) :+ len).map { case (a, b) =>
         ElemRange(f, a, b, isFirst = a == 0L, mtime = fileMtime)
       }
-    }
+    }.localCheckpoint() // metadata-sized (O(#chunks) descriptors):
+    // without this every caller ACTION — and the inference path's
+    // extra job — re-runs pass 1, which reads every corpus byte;
+    // checkpointed, pass 1 runs once per read() call (blocks are
+    // cleaned with the RDD)
 
     // ---- pass 2: boundary-aligned ranges -> complete element texts ----
     import spark.implicits._

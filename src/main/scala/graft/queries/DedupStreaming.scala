@@ -91,26 +91,6 @@ trait DedupStreaming { self: DedupQueries.type =>
   private[graft] def rmQuietly(dirs: String*): Unit = dirs.foreach(d =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)): Unit)
 
-  /** Stage a batch's bands INTO the band index's HashPartitioning(
-    * band_key, 16) and localCheckpoint the result so the partitioning
-    * is carried by the LogicalRDD — every consumer (the probe's
-    * merge-join delta side, the bucketized partition append) then
-    * reuses ONE shuffle instead of re-Exchanging per consumer
-    * (round-18 verdict #6). Under AQE the checkpoint would capture
-    * UnknownPartitioning (the adaptive wrapper hides the final
-    * shuffle's layout — probed empirically, PlanAuditSpec pins the
-    * fixed shape), so the one staging job runs with AQE off; the
-    * micro-batch confs already pin its shuffle widths, and the session
-    * flag is restored before any consumer plans. */
-  private[graft] def stageBucketed(bands: DataFrame): DataFrame = {
-    val s = bands.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val old = s.conf.get(key)
-    s.conf.set(key, "false")
-    try bands.repartition(16, col("band_key")).localCheckpoint()
-    finally s.conf.set(key, old)
-  }
-
   /** Stage the n-drop source files of a streaming drain, CACHED per
     * (family, source content fingerprint): the drop contents are a
     * pure function of the source table, but every drain invocation —
@@ -506,23 +486,17 @@ trait DedupStreaming { self: DedupQueries.type =>
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
             // the batch's bands feed THREE consumers (cross probe,
-            // within-batch self-join, index append): staged once, and
-            // staged ALREADY in the index's HashPartitioning(band_key,
-            // 16) — localCheckpoint preserves the partitioning, so the
-            // probe's merge-join delta side and the bucketized append
-            // both reuse ONE shuffle instead of re-Exchanging per
-            // consumer (round-18 verdict #6). The delta-side in-task
-            // SORT is deliberately left to the join: round 18 showed
-            // pre-join sorts double as spill barriers at the contract
-            // heap.
-            val batchBands = stageBucketed(sigBands(batchSh))
+            // within-batch self-join, index append): staged once
+            val batchBands = sigBands(batchSh).localCheckpoint()
             val soFar = ss.table(idxTable)
               .filter(col("batch_id") =!= batchId)
               .select("doc_id", "band_idx", "band_key")
             // standing index and stream-grown index probed as SEPARATE
-            // bucketed relations — their union has no partitioning and
-            // used to re-Exchange the corpus-sized standing bands every
-            // batch (see matchesAgainstIndex.extraIndexes)
+            // bucketed relations: their union has no partitioning, so
+            // EnsureRequirements re-Exchanged the corpus-sized standing
+            // bands every micro-batch — free on local[32] (no network),
+            // a corpus-sized network shuffle per batch on a real
+            // cluster (see matchesAgainstIndex.extraIndexes)
             val cross = matchesAgainstIndex(ss, dir, batchSh,
                 bandIndexTable(ss, dir),
                 deltaBandsOpt = Some(batchBands),
@@ -534,10 +508,11 @@ trait DedupStreaming { self: DedupQueries.type =>
             within.unionByName(cross)
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(outTable)
-            // the staged bands already sit in the bucket hash (16
-            // partitions, one per bucket), so the partition lands 16
-            // files, not one per (task x bucket), with no re-shuffle
-            batchBands
+            // shuffle the batch's bands into the bucket hash so the
+            // partition lands 16 files (one per bucket), not one per
+            // (task x bucket) — the batch is drop-sized, the shuffle
+            // trivial, and the commit fans out 4x fewer files
+            batchBands.repartition(16, col("band_key"))
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(idxTable)
             chaos(batchId)
@@ -615,14 +590,8 @@ trait DedupStreaming { self: DedupQueries.type =>
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
             // the batch's bands feed BOTH the probe and the index
-            // append: staged once per batch, not re-signed per
-            // consumer, and staged ALREADY in the index's
-            // HashPartitioning(band_key, 16) — localCheckpoint
-            // preserves the partitioning, so the probe's merge-join
-            // delta side and the bucketized append reuse ONE shuffle
-            // (round-18 verdict #6; the delta-side in-task sort stays
-            // with the join — round 18's spill-barrier lesson)
-            val batchBands = stageBucketed(sigBands(batchSh))
+            // append: staged once per batch, not re-signed per consumer
+            val batchBands = sigBands(batchSh).localCheckpoint()
             // match FIRST, against the index so far MINUS this batch's
             // own partition (empty on first delivery; populated — and
             // self-matching if probed — on a replay)...
@@ -636,10 +605,9 @@ trait DedupStreaming { self: DedupQueries.type =>
             // ...THEN index this batch: a dynamic overwrite of its own
             // batch_id partition, bucketized per the catalog spec —
             // replay rewrites the partition, never double-inserts; the
-            // staged bands already sit in the bucket hash, so the
-            // partition lands 16 files (one per bucket), not one per
-            // (task x bucket), with no re-shuffle
-            batchBands
+            // repartition into the bucket hash lands 16 files (one per
+            // bucket), not one per (task x bucket)
+            batchBands.repartition(16, col("band_key"))
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").insertInto(idxTable)
             chaos(batchId)

@@ -186,7 +186,7 @@ object IngestQueries {
         staged.schema.fieldNames.map(StructField(_, StringType)) :+
           StructField(SourceLoader.CorruptCol, StringType))
       graft.ingest.SplitJson.read(s, s"$tmp/json/*", Some(stringly),
-          SourceLoader.CorruptCol, chunkBytes = 2048)
+          SourceLoader.CorruptCol, chunkBytes = 16384)
         .filter(col(SourceLoader.CorruptCol).isNull)
         .select(
           col("c_custkey").try_cast("long").as("c_custkey"),

@@ -100,21 +100,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("drain probe: staged delta partitioning reused, every index side Exchange-free") {
-    // round-18 verdict #6, the q107/q134 drain shape: the batch's bands
-    // are staged REPARTITIONED into the index's HashPartitioning(
-    // band_key, 16) before the localCheckpoint, so (a) the probe's
-    // merge-join delta side must reuse that partitioning — NO Exchange
-    // between the checkpoint scan and the candidate joins — and (b)
-    // with the standing and stream-grown indexes probed as SEPARATE
-    // bucketed relations (not their union, which has no partitioning
-    // and used to re-Exchange the corpus-sized standing bands every
-    // micro-batch), no index side may add an Exchange either.
+  test("drain probe: standing + stream-grown indexes probed Exchange-free as separate relations") {
+    // round-18 verdict #6, the q134 drain shape: the standing and
+    // stream-grown band indexes are probed as SEPARATE bucketed
+    // relations (matchesAgainstIndex.extraIndexes) — their union has
+    // no partitioning, so EnsureRequirements used to re-Exchange the
+    // corpus-sized standing bands every micro-batch (invisible on
+    // local[32] where an Exchange costs no network, a corpus-sized
+    // shuffle per batch on a real cluster). Both candidate merge-joins
+    // must read their bucketed index side with ZERO Exchange; the
+    // delta side pays its one shuffle into the bucket layout.
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val deltaSh = DedupQueries.shingle(docs.filter(col("doc_id") % 10 === 7))
       .localCheckpoint()
-    val batchBands = DedupQueries.stageBucketed(DedupQueries.sigBands(deltaSh))
+    val batchBands = DedupQueries.sigBands(deltaSh).localCheckpoint()
     val standing = DedupQueries.bandIndexTable(spark, sfDir)
     // two DISTINCT bucketed views stand in for (standing, stream-grown)
     // — a filter preserves the bucket layout, and distinct subtrees
@@ -124,6 +124,12 @@ class PlanAuditSpec extends SparkSpec {
       deltaBandsOpt = Some(batchBands),
       extraIndexes = Seq(standing.filter(col("band_idx") >= 6)))
     val plan = finalPlan(probe)
+    def isBandScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("band_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("band_index"))
+      case _ => false
+    }
     val candJoins = flatten(plan).collect {
       case j: SortMergeJoinExec
           if j.leftKeys.exists(_.references.exists(_.name == "band_key")) => j
@@ -132,9 +138,11 @@ class PlanAuditSpec extends SparkSpec {
       s"expected two band_key candidate merge-joins (standing + grown), " +
         s"got ${candJoins.size}")
     candJoins.foreach { j =>
-      assert(!flatten(j).drop(1).exists(_.isInstanceOf[Exchange]),
-        "Exchange under a candidate join — either the staged delta " +
-          "partitioning was not reused or an index side re-shuffled")
+      val path = pathTo(j, isBandScan).getOrElse(
+        fail("candidate join has no bucketed band-index scan beneath it"))
+      assert(!path.drop(1).exists(_.isInstanceOf[Exchange]),
+        "Exchange between a bucketed band-index scan and its candidate " +
+          "join — the separate-relations probe lost the bucket property")
     }
   }
 
