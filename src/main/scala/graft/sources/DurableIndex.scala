@@ -159,34 +159,111 @@ private[graft] object DurableIndex {
     if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
   }
 
+  /** Name of the publisher-identity marker every build carries: an
+    * underscore-prefixed file (hidden to Spark/Hadoop input listings,
+    * like `_SUCCESS`) holding the publishing session's one-shot UUID.
+    * Every artifact-listing helper in this file filters by `.parquet`
+    * suffix or exact name patterns, so the marker is invisible to
+    * fingerprinting, attach, GC and compaction. */
+  private[graft] val PublisherMarker = "_PUBLISHER"
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** The atomic publish primitive every durable build goes through:
-    * rename the fully-written `tmp` build dir onto the live `loc` via
-    * `FileContext.rename(Rename.NONE)` — a rename that THROWS when the
-    * destination exists, so of N concurrent publishers exactly ONE
-    * wins and every loser learns it lost (a plain `FileSystem.rename`
-    * would nest the loser's build dir inside the winner's live table
-    * and silently double every row). Returns whether THIS publisher
-    * won; a loser must discard its copy and read the winner's.
-    * Atomicity is the rename's: a reader never observes a partial
-    * generation at `loc` — either the path is absent or it holds the
-    * complete build some publisher finished before renaming.
-    * ConcurrentPublishSpec races this primitive directly (the
-    * `attachOrBuildFp` caller is JVM-serialized by `synchronized`, so
-    * the cross-session race is only reachable here). */
-  private[graft] def publishAtomic(s: SparkSession, tmp: Path, loc: Path): Boolean =
-    try {
-      FileContext.getFileContext(loc.toUri, s.sparkContext.hadoopConfiguration)
-        .rename(tmp, loc)
-      true
-    } catch {
-      case _: FileAlreadyExistsException => false
-      case _: ParentNotDirectoryException => false
-      case e: java.io.IOException =>
-        // a racing winner can land between the caller's exists-check
-        // and the rename on FS flavors that report it generically
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc) && fs.exists(tmp)) false else throw e
+    * move the fully-written `tmp` build dir onto the live `loc` with a
+    * move that FAILS when the destination exists, so of N concurrent
+    * publishers exactly ONE wins and every loser learns it lost.
+    * Returns whether THIS publisher won; a loser must discard its copy
+    * and read the winner's. Atomicity is the rename's: a reader never
+    * observes a partial generation at `loc` — either the path is
+    * absent or it holds the complete build some publisher finished
+    * before renaming.
+    *
+    * The election is TWO layers (round-19 verdict #1 — the full-suite
+    * run caught 3 of 8 racing publishers "winning"):
+    *
+    *   1. an FS-appropriate exclusive move. For the local FS that is
+    *      `java.nio.file.Files.move(ATOMIC_MOVE)` — a direct rename(2),
+    *      which fails EEXIST/ENOTEMPTY atomically in the kernel.
+    *      Hadoop's own local rename is NOT usable here: `FileContext
+    *      .rename(Rename.NONE)` stats the destination and then calls
+    *      `RawLocalFileSystem.rename`, and when two racers both pass
+    *      the stat, the loser's `File.renameTo` fails and Hadoop FALLS
+    *      BACK to `FileUtil.copy(deleteSource=true)` — which, because
+    *      the destination now exists as a directory, copies the
+    *      loser's build INTO the winner's live table as a nested child
+    *      and reports success: a false winner with polluted data. For
+    *      non-local FS the `FileContext.rename(Rename.NONE)` path is
+    *      kept (on HDFS the exclusivity check is server-side atomic).
+    *   2. a post-claim identity check: the build is stamped with a
+    *      one-shot publisher UUID (`_PUBLISHER` marker) BEFORE the
+    *      move, and a claimed win only counts if the marker at `loc`
+    *      is OURS afterwards. Any FS flavor that lies about rename
+    *      exclusivity (object stores have no atomic directory rename
+    *      at all) is caught here: the false winner excises the nested
+    *      copy it may have left under `loc` and reports the loss.
+    *
+    * ConcurrentPublishSpec races this primitive directly, 20 rounds
+    * per run (the `attachOrBuildFp` caller is JVM-serialized by
+    * `synchronized`, so the cross-session race is only reachable
+    * here); RaceProbe/CrossProcessPublishSpec re-prove it across real
+    * process boundaries. */
+  private[graft] def publishAtomic(s: SparkSession, tmp: Path, loc: Path): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = loc.getFileSystem(conf)
+    val token = java.util.UUID.randomUUID().toString
+    val out = fs.create(new Path(tmp, PublisherMarker), true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val isLocal = "file" == fs.getUri.getScheme
+    val claimed =
+      if (isLocal)
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
+            java.nio.file.Paths.get(fs.makeQualified(loc).toUri),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false // EEXIST
+          case _: java.nio.file.DirectoryNotEmptyException => false // ENOTEMPTY
+          case e: java.nio.file.FileSystemException =>
+            // rename(2) refusal in FS-specific dress: only a loss when
+            // both sides still exist; a vanished tmp or any other fault
+            // must surface, not masquerade as losing the race
+            if (fs.exists(loc) && fs.exists(tmp)) false else throw e
+        }
+      else
+        try {
+          FileContext.getFileContext(loc.toUri, conf).rename(tmp, loc)
+          true
+        } catch {
+          case _: FileAlreadyExistsException => false
+          case _: ParentNotDirectoryException => false
+          case e: java.io.IOException =>
+            // a racing winner can land between the exists-check and the
+            // rename on FS flavors that report it generically
+            if (fs.exists(loc) && fs.exists(tmp)) false else throw e
+        }
+    claimed && {
+      val live =
+        try readSmall(fs, new Path(loc, PublisherMarker))
+        catch { case _: java.io.IOException => null }
+      live == token || {
+        // false winner: the FS lied about rename exclusivity. The copy
+        // fallback leaves OUR build nested under the real winner's live
+        // dir (and has deleted tmp, so the caller's loser-cleanup is a
+        // no-op) — excise the pollution, then report the loss.
+        val nested = new Path(loc, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+        false
+      }
     }
+  }
 
   /** Whether a live generation of `family` with version `fp` exists on
     * disk for `dir` — the zero-job mode-resolution probe the retraction

@@ -62,6 +62,35 @@ object RaceProbe {
       println(s"RACE_RESULT ${if (won) "WIN" else "LOSE"} $idx")
       spark.stop()
 
+    case "attachLoop" =>
+      // N rounds of the FULL attachOrBuildFp layer raced cross-process
+      // (round-19 verdict #2: the primitive-level race says nothing
+      // about false-winner fallout ABOVE it — catalog-free plain
+      // publish here, bucketed attach is JVM-serialized the same way).
+      // Per round: signal ready_<r>_<idx>, spin on barrier_<r>, then
+      // attach-or-build a FRESH fingerprint with this publisher's
+      // distinct row count; print `ATTACH_RESULT <r> <idx> count=<n>
+      // built=<b>` — the spec asserts every racer of a round agrees on
+      // ONE count (losers must read the winner's build, never their
+      // own discarded one, never a nested-polluted union).
+      val Array(_, warehouse, dir, family, idx, rows, rounds, sync) = args.take(8)
+      val spark = session(warehouse)
+      import org.apache.spark.sql.functions.col
+      (0 until rounds.toInt).foreach { r =>
+        val fp = f"feed$r%04x"
+        Files.writeString(Paths.get(sync, s"ready_${r}_$idx"), "ready")
+        val barrier = Paths.get(sync, s"barrier_$r")
+        while (!Files.exists(barrier)) Thread.sleep(2)
+        var built = false
+        val df = graft.sources.DurableIndex.attachOrBuildFp(
+          spark, dir, family, fp, None) {
+          built = true
+          spark.range(rows.toLong).select(col("id"))
+        }
+        println(s"ATTACH_RESULT $r $idx count=${df.count()} built=$built")
+      }
+      spark.stop()
+
     case "read" =>
       val Array(_, warehouse, destName, stopFile, legalCounts) = args.take(5)
       val legal = legalCounts.split(",").map(_.trim.toLong).toSet

@@ -35,23 +35,47 @@ class ConcurrentPublishSpec extends SparkSpec {
   private def fs = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  test("N racing publishers: one winner, losers told, destination never torn") {
+  test("N racing publishers, 20 rounds: one winner, losers told, destination never torn") {
     val base = new Path(spark.conf.get("spark.sql.warehouse.dir"), "graft_race_probe")
     fs.delete(base, true)
     fs.mkdirs(base)
-    val loc = new Path(base, "race_probe_t_deadbeef")
 
-    // each publisher writes a complete single-file build of a DISTINCT
-    // row count, so any torn/mixed read is detectable as a count
-    // outside the legal set
+    // each publisher publishes a complete single-file build of a
+    // DISTINCT row count, so any torn/mixed read is detectable as a
+    // count outside the legal set. The builds are staged ONCE and
+    // FS-copied per round: the race window is microseconds wide (the
+    // round-19 full-suite run caught it roughly 1-in-N runs on the
+    // single-shot version of this test), so the election is looped 20
+    // rounds to make the window deterministic enough to trust
+    // (round-19 verdict #1); the Spark reader leg — which pins
+    // torn-read atomicity, an orthogonal invariant — runs on the first
+    // round only.
     val nPub = 8
     val counts = (0 until nPub).map(i => 100L + 10L * i)
-    val tmps = (0 until nPub).map { i =>
-      val t = new Path(base, s"race_probe_t_deadbeef.build_race$i")
+    val templates = (0 until nPub).map { i =>
+      val t = new Path(base, s"template_$i")
       spark.range(counts(i)).coalesce(1).write.mode("overwrite").parquet(t.toString)
       t
     }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for (round <- 0 until 20) {
+      val loc = new Path(base, s"race_probe_t_deadbeef$round")
+      val tmps = (0 until nPub).map { i =>
+        val t = new Path(base, s"race_probe_t_deadbeef$round.build_race$i")
+        org.apache.hadoop.fs.FileUtil.copy(fs, templates(i), fs, t, false, hconf)
+        t
+      }
+      raceOnce(loc, tmps, counts, withReader = round == 0)
+    }
+    fs.delete(base, true): Unit
+  }
 
+  /** One 8-publisher race against a fresh destination; asserts the
+    * one-winner election, loser cleanup and destination integrity.
+    * `withReader` adds the concurrent attach-and-count loop (claim 2). */
+  private def raceOnce(loc: Path, tmps: Seq[Path], counts: Seq[Long],
+      withReader: Boolean): Unit = {
+    val nPub = tmps.length
     val start = new CountDownLatch(1)
     val wins = new AtomicInteger(0)
     val winnerIdx = new AtomicInteger(-1)
@@ -64,7 +88,7 @@ class ConcurrentPublishSpec extends SparkSpec {
     // the attach-and-count reader loop (claim 2): every successful read
     // must land on a complete publisher's count; a missing path is the
     // legal pre-publish state, any other outcome is a torn generation
-    pool.submit(new Runnable { def run(): Unit = {
+    if (withReader) pool.submit(new Runnable { def run(): Unit = {
       start.await()
       while (!stopReader.get()) {
         try {
@@ -106,13 +130,15 @@ class ConcurrentPublishSpec extends SparkSpec {
     }
     start.countDown()
     futures.foreach(_.get(600, TimeUnit.SECONDS))
-    // the race is over and the winner is live: keep the reader running
-    // until it completes at least one LEGAL read of the published
-    // generation, so the reader leg cannot pass by swallowing every
-    // probe as an FNF-shaped miss (round-16 advice)
-    val readDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (readerSawRows.get() == 0 && readerIllegal.get() == 0
-        && System.nanoTime() < readDeadline) Thread.sleep(10)
+    if (withReader) {
+      // the race is over and the winner is live: keep the reader running
+      // until it completes at least one LEGAL read of the published
+      // generation, so the reader leg cannot pass by swallowing every
+      // probe as an FNF-shaped miss (round-16 advice)
+      val readDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (readerSawRows.get() == 0 && readerIllegal.get() == 0
+          && System.nanoTime() < readDeadline) Thread.sleep(10)
+    }
     stopReader.set(true)
     pool.shutdown()
     assert(pool.awaitTermination(600, TimeUnit.SECONDS))
@@ -120,18 +146,17 @@ class ConcurrentPublishSpec extends SparkSpec {
     assert(wins.get() == 1, s"expected exactly one winning publisher, got ${wins.get()}")
     assert(readerIllegal.get() == 0,
       s"reader observed ${readerIllegal.get()} torn generations (row counts outside the legal set)")
-    assert(readerSawRows.get() > 0,
+    if (withReader) assert(readerSawRows.get() > 0,
       s"reader never completed one legal read (${readerMisses.get()} probes swallowed as pre-publish misses) — the reader leg was vacuous")
     // destination holds exactly the winner's complete build
     assert(spark.read.parquet(loc.toString).count() == counts(winnerIdx.get()),
       "live path does not hold the winner's build")
     // every loser discarded its copy; nothing nested under the live dir
-    val leftovers = fs.listStatus(base).map(_.getPath.getName)
-      .filter(_.contains(".build_race")).toSeq
+    val leftovers = fs.listStatus(loc.getParent).map(_.getPath.getName)
+      .filter(_.startsWith(s"${loc.getName}.build_race")).toSeq
     assert(leftovers.isEmpty, s"loser build dirs survived: $leftovers")
     assert(!fs.listStatus(loc).exists(_.getPath.getName.contains(".build")),
       "a loser's build dir nested inside the winner's live table")
-    fs.delete(base, true): Unit
   }
 
   test("cumulative sidecar race: successor derives from live, newest wins, one live survives") {

@@ -3,8 +3,6 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.TimeUnit
 
-import scala.jdk.CollectionConverters._
-
 import graft.SparkSpec
 
 /** The TRUE two-process publisher race (round-16 verdict #4):
@@ -27,20 +25,6 @@ import graft.SparkSpec
   */
 class CrossProcessPublishSpec extends SparkSpec {
 
-  /** Child-JVM command: same classpath as this forked test JVM, the
-    * JDK17 add-opens Spark needs (inherited from this JVM's own args so
-    * the list can't drift from build.sbt), and a bounded heap. */
-  private def childCmd(args: Seq[String]): java.util.List[String] = {
-    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-      .sliding(2).collect { case Seq("--add-opens", v) => Seq("--add-opens", v) }
-      .flatten.toSeq
-    (Seq(javaBin) ++ addOpens ++ Seq("-Xmx1500m",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.RaceProbe") ++ args).asJava
-  }
-
   test("two real JVMs race one publishAtomic destination; a third reads across it") {
     val work = Files.createTempDirectory("graft_race2").toString
     val destName = "race2_t_deadbeef"
@@ -51,15 +35,11 @@ class CrossProcessPublishSpec extends SparkSpec {
     // either build doubled is illegal by membership, not divisibility
     val counts = Seq(100L, 1000L)
 
-    def start(args: Seq[String]): Process = {
-      val pb = new ProcessBuilder(childCmd(args))
-      pb.redirectErrorStream(true)
-      pb.start()
-    }
-    val readerP = start(Seq("read", work, destName, stopFile,
+    val readerP = ForkedProbe.start(Seq("read", work, destName, stopFile,
       counts.mkString(",")))
     val pubs = counts.zipWithIndex.map { case (n, i) =>
-      start(Seq("publish", work, destName, i.toString, n.toString, barrier))
+      ForkedProbe.start(
+        Seq("publish", work, destName, i.toString, n.toString, barrier))
     }
 
     // both publishers staged and waiting -> drop the barrier
