@@ -118,11 +118,15 @@ object SourceLoader {
       case "json" =>
         if (SplitFiles.globBytes(spark, path) >= jsonSplitMinBytes)
           // the splittable route (round-18 verdict #1): task count
-          // scales with bytes, not files; element schema inferred by
-          // the route itself; lineage synthesized to the multiLine
-          // reader's `_metadata` shape, plus `_rec_offset` for
-          // deterministic row numbering
-          SplitJson.read(spark, path, None, CorruptCol)
+          // scales with bytes, not files; the DECLARED stringly FR
+          // element schema is passed through (round-19 verdict #4 —
+          // schema inference would add a third full pass over the
+          // corpus bytes; with it the route reads each byte exactly
+          // twice), loadCountry casts from string regardless; lineage
+          // synthesized to the multiLine reader's `_metadata` shape,
+          // plus `_rec_offset` for deterministic row numbering
+          SplitJson.read(spark, path,
+            Some(Schemas.frJsonSchema(CorruptCol)), CorruptCol)
             .withColumn("_metadata", struct(
               element_at(split(col("_src_file"), "/"), -1).as("file_name"),
               col("_src_mtime").as("file_modification_time")))

@@ -189,10 +189,17 @@ object SplitCsv {
       starts.zip(starts.drop(1) :+ len).map { case (a, b) =>
         RecRange(f, a, b, dropHeader = a == 0L, mtime = fileMtime)
       }
-    }.localCheckpoint() // metadata-sized (O(#chunks) descriptors):
-    // without this every caller ACTION re-runs pass 1, which reads
-    // every corpus byte; checkpointed, pass 1 runs once per read()
-    // call (blocks are cleaned with the RDD)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+    // metadata-sized (O(#chunks) descriptors): without this every
+    // caller ACTION re-runs pass 1, which reads every corpus byte.
+    // REPLICATED persist, not localCheckpoint: checkpoint blocks are
+    // executor-local and non-replicated, so one lost executor
+    // (routine at the 100 TB target under dynamic allocation) would
+    // fail every later pass-2 job permanently; persist keeps the
+    // lineage — a lost replica recomputes pass 1 instead of dying —
+    // and the second replica makes that recompute rare. On local[32]
+    // (one block manager) the replica degrades to 1 harmlessly.
+    // Blocks are cleaned with the RDD.
 
     // ---- pass 2: boundary-aligned ranges -> complete record strings ----
     import spark.implicits._

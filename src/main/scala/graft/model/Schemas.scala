@@ -36,6 +36,23 @@ object Schemas {
       "Payment Method", "Payment Provider", "Mobile", "Delivery Address")
       .map(StructField(_, StringType)) :+ StructField(corruptCol, StringType))
 
+  /** All-string FR JSON element schema for the GATED splittable route
+    * (round-19 verdict #4): the multiLine reader infers its schema,
+    * which the split route can replicate only by paying one EXTRA full
+    * pass over the sliced elements — at 100 TB a whole additional
+    * corpus read (3x total vs the route's documented 2x). The FR
+    * contract shape is fixed (16 fields — ref: step_3_load_from_stage
+    * _to_source.py:88-106, order-20200102.json), and loadCountry casts
+    * every field from string anyway, so declaring it stringly keeps
+    * the gate route at 2x byte passes with identical loadCountry
+    * output (SplitJsonSpec's gate leg proves it). */
+  def frJsonSchema(corruptCol: String): StructType = StructType(
+    Seq("Order ID", "Customer Name", "Mobile Model", "Quantity",
+      "Price per Unit", "Total Price", "Promotion Code", "Order Amount",
+      "Tax", "Order Date", "Payment Status", "Shipping Status",
+      "Payment Method", "Payment Provider", "Phone", "Delivery Address")
+      .map(StructField(_, StringType)) :+ StructField(corruptCol, StringType))
+
   /** Common source-layer table schema (ref: 3. Source Tables.sql:29-98):
     * surrogate key + 16 business columns + 3 lineage columns. */
   val sourceSchema: StructType = StructType(Seq(

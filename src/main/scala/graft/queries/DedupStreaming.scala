@@ -452,7 +452,8 @@ trait DedupStreaming { self: DedupQueries.type =>
       chaos: Long => Unit = _ => (),
       scratch: Option[(String, String)] = None,
       resume: Boolean = false,
-      compact: Boolean = true): DataFrame = {
+      compact: Boolean = true,
+      forceLarge: Option[Boolean] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val docs = Tables.documents(s, dir)
@@ -498,7 +499,7 @@ trait DedupStreaming { self: DedupQueries.type =>
             // a corpus-sized network shuffle per batch on a real
             // cluster (see matchesAgainstIndex.extraIndexes)
             val cross = matchesAgainstIndex(ss, dir, batchSh,
-                bandIndexTable(ss, dir),
+                bandIndexTable(ss, dir), forceLarge,
                 deltaBandsOpt = Some(batchBands),
                 extraIndexes = Seq(soFar))
               .select(least(col("delta_id"), col("corpus_id")).as("doc_a"),

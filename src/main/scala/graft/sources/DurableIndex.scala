@@ -142,9 +142,7 @@ private[graft] object DurableIndex {
             fs.delete(st.getPath, true)
           else if (n != tableName && suffix.matches("[0-9a-f]+")) {
             if (bucketSpec.isDefined) s.sql(s"DROP TABLE IF EXISTS $IndexDb.$n")
-            val parked = new Path(base, s"$n.retired")
-            if (fs.exists(parked)) fs.delete(parked, true)
-            fs.rename(st.getPath, parked)
+            parkQuietly(fs, st.getPath, new Path(base, s"$n.retired"))
           }
         }
       }
@@ -158,6 +156,25 @@ private[graft] object DurableIndex {
     }
     if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
   }
+
+  /** Park a superseded generation as `parked`, tolerating a CONCURRENT
+    * publisher winning the same parking race (found by AttachRaceSpec's
+    * 20-round cross-process loop, round 20): between this publisher's
+    * base-dir listing and its rename, the racing publisher's own
+    * staleness sweep can park or purge the very same generation —
+    * Hadoop's local rename then falls back to a copy whose source stat
+    * THROWS FileNotFoundException, crashing a publisher that did
+    * nothing wrong. A vanished source means the sibling already did
+    * this exact work, so it is a no-op, not an error; any other
+    * IOException still surfaces. */
+  private def parkQuietly(fs: org.apache.hadoop.fs.FileSystem,
+      live: Path, parked: Path): Unit =
+    try {
+      if (fs.exists(parked)) fs.delete(parked, true)
+      fs.rename(live, parked): Unit
+    } catch {
+      case _: java.io.FileNotFoundException => ()
+    }
 
   /** Name of the publisher-identity marker every build carries: an
     * underscore-prefixed file (hidden to Spark/Hadoop input listings,
@@ -299,9 +316,7 @@ private[graft] object DurableIndex {
     val live = new Path(base, tableName)
     if (fs.exists(live)) {
       s.sql(s"DROP TABLE IF EXISTS $IndexDb.$tableName")
-      val parked = new Path(base, s"$tableName.retired")
-      if (fs.exists(parked)) fs.delete(parked, true)
-      fs.rename(live, parked): Unit
+      parkQuietly(fs, live, new Path(base, s"$tableName.retired"))
     }
   }
 

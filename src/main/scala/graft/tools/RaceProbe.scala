@@ -80,7 +80,14 @@ object RaceProbe {
         val fp = f"feed$r%04x"
         Files.writeString(Paths.get(sync, s"ready_${r}_$idx"), "ready")
         val barrier = Paths.get(sync, s"barrier_$r")
-        while (!Files.exists(barrier)) Thread.sleep(2)
+        // bounded wait: if the parent (or a crashed sibling) never
+        // drops the barrier, exit loudly instead of spinning forever
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (!Files.exists(barrier)) {
+          if (System.nanoTime() > deadline)
+            sys.error(s"attachLoop $idx: barrier_$r never dropped")
+          Thread.sleep(2)
+        }
         var built = false
         val df = graft.sources.DurableIndex.attachOrBuildFp(
           spark, dir, family, fp, None) {

@@ -72,34 +72,49 @@ import scala.util.control.NonFatal
 object ScaleGate {
 
   /** (family, sf1 reference wall s, sf10 reference wall s) — the
-    * round-18 recorded curve (SCALE_r18.json, post the sorted-bucket
-    * layout fix). Re-baselined from the round-16 walls because the
-    * layout fix dropped several families 20-35%: gating against the
-    * stale refs would let a 2x regression from TODAY's walls pass
-    * (band = ratio*2+2 or wall*1.75). */
+    * round-19 recorded curve (SCALE_r19.json, the final-tree full
+    * gate). Re-baselined each round per the standing r18 practice:
+    * gating against stale refs would let a 2x regression from TODAY's
+    * walls pass (band = ratio*2+2 or wall*1.75). q134's 167.2 was the
+    * round's drawn sample from a 160-222s single-sample spread — the
+    * drain families now gate on median-of-3 (see [[DrainFamilies]])
+    * precisely so one draw neither sets nor trips the band. */
   val Curve: Seq[(String, Double, Double)] = Seq(
-    ("q93_incremental_dedup", 20.7, 37.1),
-    ("q105_stream_incremental_dedup", 13.1, 40.8),
-    ("q107_stream_index_bootstrap", 20.2, 129.7),
-    ("q117_heavy_hitters", 2.9, 6.4),
-    ("q125_ann_index_serve_large", 4.9, 59.3),
-    ("q126_stream_ann_serve", 4.9, 75.4),
-    ("q134_stream_components", 17.9, 111.8),
-    ("q142_incremental_ngram", 23.0, 132.7),
-    ("q147_ann_retraction", 2.8, 72.8),
-    ("q154_retraction_publish", 2.7, 5.3),
-    ("q159_retraction_publish_rebuild", 3.6, 8.1),
-    ("q161_bench_retirement", 6.5, 24.5))
+    ("q93_incremental_dedup", 19.3, 42.9),
+    ("q105_stream_incremental_dedup", 10.7, 43.0),
+    ("q107_stream_index_bootstrap", 19.3, 144.3),
+    ("q117_heavy_hitters", 3.8, 7.1),
+    ("q125_ann_index_serve_large", 6.5, 65.0),
+    ("q126_stream_ann_serve", 6.1, 82.3),
+    ("q134_stream_components", 18.9, 167.2),
+    ("q142_incremental_ngram", 29.6, 146.2),
+    ("q147_ann_retraction", 3.4, 76.4),
+    ("q154_retraction_publish", 3.1, 5.7),
+    ("q159_retraction_publish_rebuild", 3.9, 6.8),
+    ("q161_bench_retirement", 7.9, 18.5))
 
-  /** (query, sf10-skew reference wall s) — round-18 recorded
-    * (SCALE_r18.json), re-baselined with the curve. */
+  /** (query, sf10-skew reference wall s) — round-19 recorded
+    * (SCALE_r19.json), re-baselined with the curve. */
   val SkewLeg: Seq[(String, Double)] = Seq(
-    ("q23_dedup_exact", 7.8),
-    ("q26_ngram_jaccard", 102.9),
-    ("q117_heavy_hitters", 10.9),
-    ("q142_incremental_ngram", 153.1),
-    ("q145_incremental_ngram_large", 104.3),
-    ("q150_ngram_retraction", 70.6))
+    ("q23_dedup_exact", 6.2),
+    ("q26_ngram_jaccard", 101.3),
+    ("q117_heavy_hitters", 12.8),
+    ("q142_incremental_ngram", 141.8),
+    ("q145_incremental_ngram_large", 97.2),
+    ("q150_ngram_retraction", 69.8))
+
+  /** Streaming-drain families whose sf10 walls are MULTI-SAMPLE
+    * (round-19 verdict #3): single-sample drain walls on this box
+    * swing ±25%+ — round 19's own A/B measured q107 at 140.1s and
+    * 177.7s on identical code an hour apart, and q134 spanned
+    * 160-222s across all three candidate plan shapes with rows exact
+    * every time. A band verdict for these families must not hinge on
+    * one draw: the gate takes median-of-3 within the leg's fresh JVM
+    * and records the per-sample walls in the verdict JSON. */
+  val DrainFamilies: Set[String] = Set(
+    "q107_stream_index_bootstrap",
+    "q134_stream_components",
+    "q142_incremental_ngram")
 
   /** sf10/sf1 past this is quadratic-shaped whatever the reference
     * says (10x data; quadratic would read ~100x). */
@@ -343,6 +358,18 @@ object ScaleGate {
               s"(${msg.take(120)}) — one retry")
             sample()
           }
+        // drain families: median-of-3, per-sample walls recorded (see
+        // [[DrainFamilies]] — a single draw must neither set nor trip
+        // the band). The two extra samples rerun the full maintenance
+        // contract against the standing artifacts, the same shape the
+        // round-19 A/B campaigns compared.
+        val samples: Seq[Double] =
+          if (DrainFamilies(name)) {
+            val extra = Seq(sample()._1, sample()._1)
+            val all = wall +: extra
+            wall = all.sorted.apply(all.size / 2)
+            all
+          } else Seq(wall)
         def ratio(w: Double): Double =
           sf1Walls.get(name).filterNot(_.isNaN).map(w / _).getOrElse(Double.NaN)
         val refRatio = refSf10 / refSf1
@@ -364,8 +391,11 @@ object ScaleGate {
           else ((r <= refRatio * 2 + 2) || wallOk) && r <= HardRatioCap
         }
         var retried = false
-        if (!inBand(wall)) {
-          val (w2, _) = sample() // one stall-mitigation retry
+        if (!inBand(wall) && !DrainFamilies(name)) {
+          // single-sample families keep the one stall-mitigation
+          // retry; a drain family's median-of-3 IS its mitigation —
+          // a median outside the band is a real verdict, not a stall
+          val (w2, _) = sample()
           wall = math.min(wall, w2); retried = true
         }
         val ok = inBand(wall) && rows > 0
@@ -374,12 +404,14 @@ object ScaleGate {
           f"$name@sf10: wall ${f(wall)}s ratio ${f(ratio(wall))} outside band (ref ${f(refSf10)}s / ${f(refRatio)}x)"
         println(s"[scalegate] sf10 $name ${f(wall)}s rows=$rows " +
           s"ratio=${f(ratio(wall))} ${if (ok) "OK" else "FAIL"}" +
-          (if (retried) " (retried)" else ""))
-        (name, wall, rows, ratio(wall), ok, retried)
+          (if (retried) " (retried)" else "") +
+          (if (samples.size > 1)
+            s" (median of ${samples.map(f).mkString("/")})" else ""))
+        (name, wall, rows, ratio(wall), ok, retried, samples)
       } catch { case NonFatal(e) =>
         val tag = if (oomShaped(e)) "[OOM-shaped] " else ""
         failures += s"$name@sf10: $tag${e.getMessage}"
-        (name, Double.NaN, 0L, Double.NaN, false, false)
+        (name, Double.NaN, 0L, Double.NaN, false, false, Seq.empty[Double])
       }
     }
     // the CC-trio oracle inputs: the dumps above + the oracle SQL
@@ -437,7 +469,10 @@ object ScaleGate {
         "sf10" -> jm(results.map(r => r._1 -> jm(Seq(
           "wall" -> jnum(r._2), "rows" -> r._3.toString,
           "ratio" -> jnum(r._4), "ok" -> r._5.toString,
-          "retried" -> r._6.toString)))))
+          "retried" -> r._6.toString) ++
+          (if (r._7.size > 1)
+            Seq("samples" -> r._7.map(jnum).mkString("[", ",", "]"))
+          else Seq.empty)))))
     val json = jm(Seq("ok" -> ok.toString) ++ legEntries ++ Seq(
       "failures" -> failures.map(s =>
           "\"" + s.replace("\\", "/").replace("\"", "'")

@@ -212,26 +212,130 @@ class SplitJsonSpec extends SparkSpec {
     graft.queries.DedupQueries.rmQuietly(dir.toString)
   }
 
-  test("structurally broken files fail fast instead of silently approximating") {
+  test("structurally broken files degrade to ONE corrupt marker row, not a job abort") {
+    // round-19 advice: the old combine require() meant one damaged
+    // file among thousands aborted a whole 100 TB load exactly when
+    // the split route is gated on. Now the broken file collapses to a
+    // single corrupt-marker row naming it (ON_ERROR=CONTINUE counts it
+    // skipped) while its neighbors parse fully. The multiLine reader
+    // degrades the same file to one corrupt row carrying the whole
+    // FILE text; the marker carries name + reason instead — a
+    // documented divergence (a 100 TB route must not build huge rows).
     val dir = Files.createTempDirectory("graft_splitjson_bad")
     val schema = StructType(Seq(StructField("id", StringType),
       StructField("_bad", StringType)))
-    // unbalanced bracket: the multiLine reader degrades the whole file
-    // to one corrupt row; a splittable route cannot reproduce that and
-    // must say so loudly (the SplitCsv unbalanced-quote contract)
+    Files.writeString(dir.resolve("good1.json"), """[{"id": "g1"}, {"id": "g2"}]""")
     Files.writeString(dir.resolve("broken.json"), """[{"id": "x"}""")
-    val e = intercept[Exception] {
-      SplitJson.read(spark, s"$dir/*.json", Some(schema), "_bad", 16L).count()
+    Files.writeString(dir.resolve("good2.json"), """[{"id": "g3"}]""")
+    val df = SplitJson.read(spark, s"$dir/*.json", Some(schema), "_bad", 16L).cache()
+    assert(df.count() == 4L, "3 good rows + 1 whole-file corrupt marker")
+    val bad = df.filter(col("_bad").isNotNull).select("_bad").collect()
+    assert(bad.length == 1, "exactly one corrupt marker for the broken file")
+    val marker = bad.head.getString(0)
+    assert(marker.startsWith(SplitJson.CorruptFilePrefix)
+        && marker.contains("broken.json")
+        && marker.contains("outer-array JSON"),
+      s"marker must name the file and the reason: $marker")
+    assert(df.filter(col("_bad").isNull).select("id").collect()
+      .map(_.getString(0)).toSet == Set("g1", "g2", "g3"),
+      "neighbor files must parse fully despite the broken one")
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+
+  test("structural validation: wrong shapes and trailing garbage each yield a reasoned marker") {
+    val dir = Files.createTempDirectory("graft_splitjson_shapes")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("_bad", StringType)))
+    def markerOf(name: String, body: String, chunk: Long): String = {
+      Files.writeString(dir.resolve(name), body)
+      val df = SplitJson.read(spark, dir.resolve(name).toString,
+        Some(schema), "_bad", chunk)
+      val bad = df.filter(col("_bad").isNotNull
+        && col("_bad").startsWith(SplitJson.CorruptFilePrefix))
+        .select("_bad").collect()
+      assert(bad.length == 1,
+        s"$name at chunk=$chunk: expected one whole-file marker, got " +
+          s"${bad.length} (rows=${df.count()})")
+      assert(df.count() == 1L,
+        s"$name at chunk=$chunk: a corrupt file must yield ONLY its marker")
+      bad.head.getString(0)
     }
-    assert(e.getMessage.contains("outer-array JSON"),
-      s"expected a structural fail-fast, got: ${e.getMessage}")
-    // a top-level object (JSON-lines shape, not the FR array shape)
-    Files.writeString(dir.resolve("broken.json"), """{"id": "x"}""")
-    val e2 = intercept[Exception] {
-      SplitJson.read(spark, s"$dir/*.json", Some(schema), "_bad", 16L).count()
+    // top-level object (JSON-lines shape, not the FR array shape)
+    assert(markerOf("obj.json", """{"id": "x"}""", 16L)
+      .contains("top-level JSON array"))
+    // trailing garbage after the outer `]` — round-19 advice: the
+    // split route used to parse this silently while the multiLine
+    // reader corrupt-flags the file. Same chunk as the close AND in a
+    // later chunk (the two detection paths).
+    assert(markerOf("trail1.json", """[{"id": "a"}] xyz""", 1L << 20)
+      .contains("after the outer array closes"))
+    // close chunk is `]` + spaces only; the garbage byte is in a LATER
+    // chunk (the first-non-whitespace detection path)
+    assert(markerOf("trail2.json", "[{\"id\": \"a\"}]   z", 16L)
+      .contains("after the outer array closes"))
+    // a SECOND outer array after the close (balanced, so end-state
+    // balance alone cannot catch it) — both chunk alignments
+    assert(markerOf("twoarr1.json", """[{"id": "a"}][{"id": "b"}]""", 1L << 20)
+      .contains("after the outer array closes"))
+    assert(markerOf("twoarr2.json", """[{"id": "a"}] [{"id": "b"}]""", 16L)
+      .contains("after the outer array closes"))
+    // brackets dipping below the top level but balanced at EOF
+    assert(markerOf("dip.json", """[{"id": "a"}]]{"x": 1}""", 16L)
+      .nonEmpty)
+    // garbage before the array opens
+    assert(markerOf("lead.json", """xyz [{"id": "a"}]""", 16L)
+      .contains("top-level JSON array"))
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+
+  test("array-typed top-level elements split on ] closes and slice exactly") {
+    // round-19 advice: boundaries were only recorded at `}` closes, so
+    // an all-array-element file collapsed to ONE pass-2 range. A `]`
+    // close at absolute depth-after 1 is always a top-level element's
+    // end (the outer close lands at 0), so it is a boundary now; this
+    // leg proves pass 2 slices correctly from ranges that START right
+    // after an array element, across adversarial chunk alignments
+    // (with `}]` decoys inside strings).
+    val dir = Files.createTempDirectory("graft_splitjson_arr")
+    val elems = Seq("""[1, 2, 3]""", """["a}]", [4, {"k": "]"}]]""",
+      """[5]""", """["x", null]""")
+    Files.writeString(dir.resolve("arr.json"), elems.mkString("[", ", ", "]"))
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("_bad", StringType)))
+    for (chunk <- Seq(16L, 17L, 23L, 64L)) {
+      val df = SplitJson.read(spark, dir.resolve("arr.json").toString,
+        Some(schema), "_bad", chunk)
+      // with an object schema every array element is a corrupt ROW
+      // (per-element capture) whose corrupt text is the element —
+      // which is exactly how we observe the slicing
+      val texts = df.select("_bad").collect().map(_.getString(0)).toSet
+      assert(texts == elems.toSet,
+        s"chunk=$chunk: sliced elements differ: $texts")
     }
-    assert(e2.getMessage.contains("top-level JSON array"),
-      s"expected the array-shape fail-fast, got: ${e2.getMessage}")
+    graft.queries.DedupQueries.rmQuietly(dir.toString)
+  }
+
+  test("a long }-run inside a string overflows only the wrong-state scan; the file still parses") {
+    // round-19 advice: the new-minimum-closes cap used to fail the
+    // whole read from the WRONG-state scan of a valid file whose
+    // string literal contains a >1M net-descending close run. The cap
+    // is now a soft overflow flag, consulted only for the TRUE start
+    // state. 2.5M of '}' inside a string, 2 MiB chunks (> the 1M
+    // cap): the leading chunk's WRONG StOut-start scan sees ~2M net
+    // closes and overflows — but its true state keeps them in-string.
+    val dir = Files.createTempDirectory("graft_splitjson_ovf")
+    val braces = "}" * 2_500_000
+    Files.writeString(dir.resolve("ovf.json"),
+      s"""[{"id": "$braces"}, {"id": "tail"}]""")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("_bad", StringType)))
+    val df = SplitJson.read(spark, dir.resolve("ovf.json").toString,
+      Some(schema), "_bad", 1L << 20).cache()
+    assert(df.count() == 2L, "both elements must parse")
+    assert(df.filter(col("_bad").isNotNull).count() == 0L,
+      "a valid file must not be marked corrupt by a wrong-state overflow")
+    assert(df.filter(col("id") === "tail").count() == 1L)
+    assert(df.filter(length(col("id")) === 2_500_000).count() == 1L)
     graft.queries.DedupQueries.rmQuietly(dir.toString)
   }
 }

@@ -146,6 +146,102 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q134 DRAIN per-batch probe, as executed inside foreachBatch: Exchange-free, sort-as-spill-barrier") {
+    // round-19 verdict #6: the reconstruction test above pins the
+    // probe's BATCH plan; this pins what actually runs per micro-batch
+    // inside the q134 drain's foreachBatch (the two can diverge — conf
+    // binds at action time). A QueryExecutionListener registered
+    // before the stream starts is copied into the stream's cloned
+    // session and records every action's executed plan during a real
+    // drain with the merge-join route pinned on. The per-batch
+    // edge-shard write must read BOTH index relations (standing and
+    // stream-grown) with zero Exchange — a corpus-sized network
+    // shuffle per micro-batch on a real cluster otherwise.
+    //
+    // The in-task Sort over the standing scan is PRESENT AND PINNED:
+    // the single-sorted-file-per-bucket layout could feed the merge
+    // join sort-free via spark.sql.legacy.bucketedTableScan
+    // .outputOrdering, but round 18 measured that flag dying at
+    // sf10-SKEW on the contract heap (q142 dead 2/2 samples — the sort
+    // is also a SPILL BARRIER between the bucket-wide pair explosion
+    // and the shuffle writers), and the conf cannot be scoped to the
+    // probe alone because it binds at action time and the dangerous
+    // job IS the probe job (round-19 verdict, recorded negative). See
+    // GraftSession's DELIBERATELY-NOT-SET note. If this pin fails
+    // because the Sort disappeared, someone flipped that conf —
+    // re-prove the skew leg before keeping it.
+    import org.apache.spark.sql.execution.{QueryExecution, SortExec}
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[SparkPlan]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan); () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def isStandingScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.startsWith("band_index")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("band_index"))
+      case _ => false
+    }
+    def isGrownScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table.contains("stream_cc_bands")) ||
+          f.relation.location.rootPaths.exists(_.toString.contains("stream_cc_bands"))
+      case _ => false
+    }
+    def bandKeySmjs(nodes: Seq[SparkPlan]): Seq[SortMergeJoinExec] =
+      nodes.collect {
+        case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "band_key")) => j
+      }
+    spark.listenerManager.register(listener)
+    try {
+      DedupQueries.streamComponents(spark, sfDir, forceLarge = Some(true))
+        .collect()
+      // the listener bus is async: poll until the per-batch writes land
+      def probePlans: Seq[SparkPlan] = {
+        import scala.jdk.CollectionConverters._
+        plans.synchronized(plans.asScala.toList).filter { p =>
+          val nodes = flatten(p)
+          nodes.exists(isStandingScan) && bandKeySmjs(nodes).nonEmpty
+        }
+      }
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (probePlans.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val captured = probePlans
+      assert(captured.size >= 2,
+        s"expected at least 2 per-batch probe plans captured from the " +
+          s"drain (batches past the first), got ${captured.size}")
+      var grownJoins = 0
+      captured.foreach { p =>
+        bandKeySmjs(flatten(p)).foreach { j =>
+          pathTo(j, isStandingScan).foreach { path =>
+            assert(!path.drop(1).exists(_.isInstanceOf[Exchange]),
+              "DRAIN plan: Exchange over the standing band-index scan — " +
+                "a corpus-sized shuffle per micro-batch on a cluster")
+            assert(path.drop(1).exists(_.isInstanceOf[SortExec]),
+              "DRAIN plan: the standing-scan Sort disappeared — the " +
+                "legacy sorted-bucket-scan conf was flipped on; it OOMed " +
+                "the sf10-skew leg in round 18 (see GraftSession) and " +
+                "must not return without a fresh skew-leg proof")
+          }
+          pathTo(j, isGrownScan).foreach { path =>
+            grownJoins += 1
+            assert(!path.drop(1).exists(_.isInstanceOf[Exchange]),
+              "DRAIN plan: Exchange over the stream-grown band index — " +
+                "the bucket layout was lost through the appends")
+          }
+        }
+      }
+      assert(grownJoins >= 1,
+        "no captured batch probed the stream-grown index — the " +
+          "separate-relations leg of the drain plan went unexercised")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q93 reads the persisted band index broadcast-joined with zero corpus-side shuffle") {
     val plan = finalPlan(SparkEntry.queries("q93_incremental_dedup")(spark, sfDir))
     def isBandScan(p: SparkPlan): Boolean = p match {

@@ -39,23 +39,32 @@ class AttachRaceSpec extends SparkSpec {
       ForkedProbe.startToFile(Seq("attachLoop", work, dir, family,
         i.toString, n.toString, rounds.toString, sync), outFiles(i))
     }
-    // lockstep barrier per round: both children staged at round r
-    // before the round's barrier drops — the builds then overlap and
-    // the publish election fires for real
-    val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-    for (r <- 0 until rounds) {
-      while (counts.indices.exists(i =>
-          !Files.exists(Paths.get(sync, s"ready_${r}_$i")))
-          && System.nanoTime() < deadline) Thread.sleep(5)
-      assert(counts.indices.forall(i =>
-        Files.exists(Paths.get(sync, s"ready_${r}_$i"))),
-        s"round $r: children never reached the barrier")
-      Files.writeString(Paths.get(sync, s"barrier_$r"), "go")
-    }
-    val outs = children.zip(outFiles).map { case (p, f) =>
-      assert(p.waitFor(600, TimeUnit.SECONDS), "attachLoop JVM hung")
-      Files.readString(f.toPath)
-    }
+    val outs =
+      try {
+        // lockstep barrier per round: both children staged at round r
+        // before the round's barrier drops — the builds then overlap
+        // and the publish election fires for real. A child dying
+        // mid-loop (the very bug class this spec hunts) must fail the
+        // round promptly, not stall the barrier wait to its deadline.
+        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+        for (r <- 0 until rounds) {
+          while (counts.indices.exists(i =>
+              !Files.exists(Paths.get(sync, s"ready_${r}_$i")))
+              && children.forall(_.isAlive)
+              && System.nanoTime() < deadline) Thread.sleep(5)
+          assert(children.forall(_.isAlive),
+            s"round $r: a child JVM died mid-race:\n" +
+              outFiles.map(f => Files.readString(f.toPath)).mkString("\n---\n"))
+          assert(counts.indices.forall(i =>
+            Files.exists(Paths.get(sync, s"ready_${r}_$i"))),
+            s"round $r: children never reached the barrier")
+          Files.writeString(Paths.get(sync, s"barrier_$r"), "go")
+        }
+        children.zip(outFiles).map { case (p, f) =>
+          assert(p.waitFor(600, TimeUnit.SECONDS), "attachLoop JVM hung")
+          Files.readString(f.toPath)
+        }
+      } finally children.foreach(_.destroyForcibly())
 
     val Result = "ATTACH_RESULT (\\d+) (\\d+) count=(\\d+) built=(\\w+)".r
     val parsed = outs.flatMap(_.linesIterator.collect {
