@@ -113,7 +113,7 @@ object SplitJson {
     * degrades to: never valid JSON, so `from_json` routes the whole
     * marker text — file name and reason — into the corrupt column and
     * ON_ERROR=CONTINUE accounting counts the file as skipped. */
-  private[ingest] val CorruptFilePrefix = "__graft_corrupt_file__"
+  private[graft] val CorruptFilePrefix = "__graft_corrupt_file__"
 
   // string start/end states a chunk boundary can land in
   private final val StOut = 0    // outside any string

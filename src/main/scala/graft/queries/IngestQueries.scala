@@ -194,5 +194,75 @@ object IngestQueries {
           col("c_nationkey").try_cast("int").as("c_nationkey"),
           col("c_acctbal").try_cast("double").as("c_acctbal"),
           col("c_mktsegment"))
+    },
+
+    // ------------------------------------------------------------------
+    // The WHOLE-FILE ON_ERROR=CONTINUE contract of the splittable JSON
+    // route (round-19 advice, landed round 20): one structurally broken
+    // file among thousands must not abort a 100 TB load — the route
+    // collapses it to ONE corrupt-marker row naming the file (counted
+    // as skipped) while every neighbor file parses fully. This stages
+    // the corpus as clean outer-array files PLUS two broken ones — a
+    // document truncated mid-string (unbalanced) and one with trailing
+    // bytes after the outer `]` (the balance-PRESERVING failure shape
+    // an end-state check alone cannot catch) — reads through the split
+    // route, and emits the surviving rows UNION one summary row
+    // carrying the skipped-file count. The oracle certifies BOTH
+    // directions: no broken file's rows leak (the trailing-garbage
+    // file contains a well-formed decoy element that must NOT survive)
+    // and exactly two files are skipped.
+    QueryDef(
+      "q164_split_json_skip",
+      "whole-file ON_ERROR=CONTINUE through the splittable JSON route: clean outer-array files + a truncated file + a trailing-garbage file (with a well-formed decoy element); broken files collapse to one corrupt-marker row each, neighbors parse fully; output = surviving rows + a skipped-file-count summary row; oracle restates the parquet original plus the constant summary",
+      """SELECT c_custkey, c_name || chr(10) || 'Q"\T' AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), '__skipped_files__',
+        |  CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_splitjson_skip").toString
+      val staged = Tables.customer(s, dir).withColumn("c_name",
+        concat(col("c_name"), lit("\nQ\"\\T")))
+      import s.implicits._
+      staged
+        .withColumn("c_custkey", col("c_custkey").cast("string"))
+        .withColumn("c_nationkey", col("c_nationkey").cast("string"))
+        .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+        .coalesce(2)
+        .toJSON
+        .mapPartitions(it => Iterator.single(it.mkString("[\n", ",\n", "\n]")))
+        .write.mode("overwrite").text(s"$tmp/json")
+      // broken file 1: truncated mid-string — unbalanced at EOF
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "json", "zz_truncated.json"),
+        """[{"c_custkey": "1", "c_name": "half""")
+      // broken file 2: balanced outer array, then trailing garbage —
+      // its well-formed decoy element must NOT leak into the output
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "json", "zz_trailing.json"),
+        """[{"c_custkey": "999999999", "c_name": "decoy", "c_nationkey": "0",""" +
+          """ "c_acctbal": "0", "c_mktsegment": "m"}] trailing-garbage""")
+      val stringly = StructType(
+        staged.schema.fieldNames.map(StructField(_, StringType)) :+
+          StructField(SourceLoader.CorruptCol, StringType))
+      val read = graft.ingest.SplitJson.read(s, s"$tmp/json/*", Some(stringly),
+        SourceLoader.CorruptCol, chunkBytes = 16384)
+      val good = read.filter(col(SourceLoader.CorruptCol).isNull)
+        .select(
+          col("c_custkey").try_cast("long").as("c_custkey"),
+          col("c_name"),
+          col("c_nationkey").try_cast("int").as("c_nationkey"),
+          col("c_acctbal").try_cast("double").as("c_acctbal"),
+          col("c_mktsegment"))
+      val skipped = read
+        .filter(col(SourceLoader.CorruptCol)
+          .startsWith(graft.ingest.SplitJson.CorruptFilePrefix))
+        .agg(count(lit(1)).cast("long").as("c_custkey"))
+        .select(col("c_custkey"),
+          lit("__skipped_files__").as("c_name"),
+          lit(null).cast("int").as("c_nationkey"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      good.unionByName(skipped)
     })
 }
