@@ -50,11 +50,16 @@ import org.apache.spark.sql.types.StructType
   *
   * Record separators: `\n` and `\r\n` (the multiLine reader's
   * defaults). A LONE `\r` acting as a record separator — i.e. a CR
-  * outside quotes not followed by LF — is REJECTED fail-fast with a
-  * clear error instead of silently gluing records together (the
-  * round-17 ADVICE data-loss shape: from_csv would keep the first
-  * record of a glued run and drop the rest without corrupt capture).
-  * Lone CRs INSIDE quotes are data and pass through untouched.
+  * outside quotes not followed by LF — must not silently glue records
+  * together (the round-17 ADVICE data-loss shape: from_csv would keep
+  * the first record of a glued run and drop the rest without corrupt
+  * capture); like unbalanced quotes, it marks the WHOLE FILE corrupt:
+  * the file degrades to ONE corrupt-marker row (file name + reason,
+  * flagged out-of-band so it is corrupt under ANY schema) that COPY
+  * accounting counts as skipped, while neighbor files parse fully —
+  * the SplitJson round-20 ON_ERROR=CONTINUE contract, because one
+  * damaged file among thousands must not abort a 100 TB load. Lone
+  * CRs INSIDE quotes are data and pass through untouched.
   *
   * Ref behavior matched: SourceLoader.readRaw's csv branch
   * (header=true, quote=escape='"', PERMISSIVE + corrupt column);
@@ -87,9 +92,11 @@ object SplitCsv {
       loneCrOut: Boolean, loneCrIn: Boolean, endCr: Int, startsNl: Boolean)
 
   /** Boundary-aligned read range; `dropHeader` marks the file-leading
-    * range whose first record is the header line. */
+    * range whose first record is the header line. A `corrupt` range is
+    * a whole structurally-broken file collapsed to its one marker row
+    * (no bytes are read for it). */
   private case class RecRange(file: String, start: Long, end: Long,
-      dropHeader: Boolean, mtime: Long)
+      dropHeader: Boolean, mtime: Long, corrupt: Option[String] = None)
 
   /** Read every file matching `pattern` (a Hadoop glob) as quoted
     * multiline CSV with header, schema-typed, PERMISSIVE with
@@ -164,30 +171,45 @@ object SplitCsv {
       val len = cs.head.fileLen
       val fileMtime = cs.head.mtime
       var parity = 0
+      var corrupt: Option[String] = None
       val bounds = Seq.newBuilder[Long]
       val ordered = cs.sortBy(_.idx)
       ordered.zipWithIndex.foreach { case (c, k) =>
-        // fail fast on a lone-CR record separator (CR outside quotes
-        // with no following LF): silently gluing records loses data
-        require(if (parity == 0) !c.loneCrOut else !c.loneCrIn,
-          s"$f: lone \\r record separator (CR not followed by LF outside " +
-            s"quotes, chunk ${c.idx}) — only \\n and \\r\\n are supported")
-        if (c.endCr >= 0 && (c.endCr ^ parity) == 0) {
-          val nextStartsNl =
-            k + 1 < ordered.length && ordered(k + 1).startsNl
-          require(nextStartsNl,
-            s"$f: lone \\r record separator (CR at chunk ${c.idx} boundary " +
-              s"or EOF outside quotes) — only \\n and \\r\\n are supported")
+        if (corrupt.isEmpty) {
+          // a lone-CR record separator (CR outside quotes with no
+          // following LF) would silently glue records and lose data;
+          // like every structural failure, it marks the WHOLE FILE
+          // corrupt — one marker row, counted as skipped — instead of
+          // aborting the load (the SplitJson round-20 contract: one
+          // damaged file among thousands must not kill a 100 TB
+          // ingest)
+          if (if (parity == 0) c.loneCrOut else c.loneCrIn)
+            corrupt = Some(s"lone \\r record separator (CR not followed " +
+              s"by LF outside quotes, chunk ${c.idx}) — only \\n and " +
+              "\\r\\n are supported")
+          else if (c.endCr >= 0 && (c.endCr ^ parity) == 0 &&
+              !(k + 1 < ordered.length && ordered(k + 1).startsNl))
+            corrupt = Some(s"lone \\r record separator (CR at chunk " +
+              s"${c.idx} boundary or EOF outside quotes) — only \\n " +
+              "and \\r\\n are supported")
+          else {
+            val nl = if (parity == 0) c.firstNlOutside else c.firstNlInside
+            if (nl >= 0) bounds += nl + 1 // a record starts after the newline
+            parity ^= c.parity
+          }
         }
-        val nl = if (parity == 0) c.firstNlOutside else c.firstNlInside
-        if (nl >= 0) bounds += nl + 1 // a record starts after the newline
-        parity ^= c.parity
       }
-      require(parity == 0,
-        s"$f: unbalanced quotes (parity ${parity}) — not RFC4180")
-      val starts = (0L +: bounds.result()).distinct.filter(_ < len)
-      starts.zip(starts.drop(1) :+ len).map { case (a, b) =>
-        RecRange(f, a, b, dropHeader = a == 0L, mtime = fileMtime)
+      if (corrupt.isEmpty && parity != 0)
+        corrupt = Some(s"unbalanced quotes (parity $parity) — not RFC4180")
+      corrupt match {
+        case Some(reason) =>
+          Seq(RecRange(f, 0L, 0L, dropHeader = false, mtime = fileMtime,
+            corrupt = Some(reason)))
+        case None =>
+          val starts = (0L +: bounds.result()).distinct.filter(_ < len)
+          starts.zip(starts.drop(1) :+ len).map { case (a, b) =>
+            RecRange(f, a, b, dropHeader = a == 0L, mtime = fileMtime)
+          }
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
     // metadata-sized (O(#chunks) descriptors): without this every
@@ -201,56 +223,85 @@ object SplitCsv {
     // (one block manager) the replica degrades to 1 harmlessly.
     // Blocks are cleaned with the RDD.
 
-    // ---- pass 2: boundary-aligned ranges -> complete record strings ----
+    // ---- pass 2: boundary-aligned ranges -> complete record strings.
+    // A corrupt range contributes its ONE marker row, flagged
+    // OUT-OF-BAND (`_file_corrupt`) rather than through the parser:
+    // unlike JSON — where a non-JSON marker string is corrupt by
+    // construction — a CSV marker would PARSE under an all-string
+    // schema, so the corrupt classification cannot ride from_csv. ----
     import spark.implicits._
     val records = ranges
       .repartition(nTasks) // ~one range per task (ranges <= chunks)
       .flatMap { r =>
-        // a merged range (record > chunk) can exceed the array bound —
-        // fail with the real cause, not a negative-size allocation
-        require(r.end - r.start <= Int.MaxValue - 8,
-          s"${r.file}: a single record spans ${r.end - r.start} bytes " +
-            s"(range ${r.start}..${r.end}) — larger than the 2 GiB " +
-            "single-record limit of the splittable route")
-        val in = new Path(r.file).getFileSystem(conf.value).open(new Path(r.file))
-        val buf = new Array[Byte]((r.end - r.start).toInt)
-        try { in.seek(r.start); in.readFully(buf) } finally in.close()
-        val out = Seq.newBuilder[(String, String, Long, Long)]
-        var parity = 0
-        var recStart = 0
-        var j = 0
-        def emit(endIdx: Int): Unit = { // [recStart, endIdx) minus trailing \r
-          val e = if (endIdx > recStart && buf(endIdx - 1) == '\r') endIdx - 1
-                  else endIdx
-          if (e > recStart) {
-            // univocity (the multiLine reader's parser) normalizes line
-            // separators WITHIN quoted values to '\n'; after record
-            // splitting the only surviving CRLFs are inside quotes, so
-            // a whole-record replace reproduces that normalization and
-            // keeps the two routes row-identical (SplitCsvSpec)
-            val rec = new String(buf, recStart, e - recStart, "UTF-8")
-              .replace("\r\n", "\n")
-            out += ((r.file, rec, r.start + recStart, r.mtime))
-          }
+        r.corrupt match {
+          case Some(reason) =>
+            Iterator.single((r.file,
+              s"${SplitJson.CorruptFilePrefix} ${r.file}: $reason",
+              0L, r.mtime, true))
+          case None => sliceRecords(r, conf)
         }
-        while (j < buf.length) {
-          val b = buf(j)
-          if (b == '"') parity ^= 1
-          else if (b == '\n' && parity == 0) { emit(j); recStart = j + 1 }
-          j += 1
-        }
-        emit(buf.length) // final record without trailing newline
-        val all = out.result()
-        if (r.dropHeader) all.drop(1) else all
       }
-      .toDF("_src_file", "_rec", "_rec_offset", "_src_mtime")
+      .toDF("_src_file", "_rec", "_rec_offset", "_src_mtime", "_file_corrupt")
 
-    // ---- parse: one whole record per from_csv call ----
+    // ---- parse: one whole record per from_csv call; marker rows are
+    // all-null with the marker text in the corrupt column ----
     val opts = Map("quote" -> "\"", "escape" -> "\"", "mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> corruptCol)
-    records
-      .withColumn("_parsed", from_csv(col("_rec"), schema, opts))
-      .select(col("_parsed.*"), col("_src_file"), col("_rec_offset"),
-        timestamp_millis(col("_src_mtime")).as("_src_mtime"))
+    val parsed = records.withColumn("_parsed", from_csv(col("_rec"), schema, opts))
+    val fields = schema.fields.map { f =>
+      if (f.name == corruptCol)
+        when(col("_file_corrupt"), col("_rec"))
+          .otherwise(col("_parsed").getField(f.name)).as(f.name)
+      else
+        when(col("_file_corrupt"), lit(null).cast(f.dataType))
+          .otherwise(col("_parsed").getField(f.name)).as(f.name)
+    }
+    parsed.select(fields.toIndexedSeq ++ Seq(col("_src_file"),
+      col("_rec_offset"),
+      timestamp_millis(col("_src_mtime")).as("_src_mtime")): _*)
+  }
+
+  /** Pass-2 slicing of one boundary-aligned range into complete record
+    * strings. The range starts exactly after a record boundary, so a
+    * fresh quote scan is exact. */
+  private def sliceRecords(r: RecRange,
+      conf: org.apache.spark.util.SerializableConfiguration)
+      : Iterator[(String, String, Long, Long, Boolean)] = {
+    // a merged range (record > chunk) can exceed the array bound —
+    // fail with the real cause, not a negative-size allocation
+    require(r.end - r.start <= Int.MaxValue - 8,
+      s"${r.file}: a single record spans ${r.end - r.start} bytes " +
+        s"(range ${r.start}..${r.end}) — larger than the 2 GiB " +
+        "single-record limit of the splittable route")
+    val in = new Path(r.file).getFileSystem(conf.value).open(new Path(r.file))
+    val buf = new Array[Byte]((r.end - r.start).toInt)
+    try { in.seek(r.start); in.readFully(buf) } finally in.close()
+    val out = Seq.newBuilder[(String, String, Long, Long, Boolean)]
+    var parity = 0
+    var recStart = 0
+    var j = 0
+    def emit(endIdx: Int): Unit = { // [recStart, endIdx) minus trailing \r
+      val e = if (endIdx > recStart && buf(endIdx - 1) == '\r') endIdx - 1
+              else endIdx
+      if (e > recStart) {
+        // univocity (the multiLine reader's parser) normalizes line
+        // separators WITHIN quoted values to '\n'; after record
+        // splitting the only surviving CRLFs are inside quotes, so
+        // a whole-record replace reproduces that normalization and
+        // keeps the two routes row-identical (SplitCsvSpec)
+        val rec = new String(buf, recStart, e - recStart, "UTF-8")
+          .replace("\r\n", "\n")
+        out += ((r.file, rec, r.start + recStart, r.mtime, false))
+      }
+    }
+    while (j < buf.length) {
+      val b = buf(j)
+      if (b == '"') parity ^= 1
+      else if (b == '\n' && parity == 0) { emit(j); recStart = j + 1 }
+      j += 1
+    }
+    emit(buf.length) // final record without trailing newline
+    val all = out.result()
+    (if (r.dropHeader) all.drop(1) else all).iterator
   }
 }

@@ -264,5 +264,60 @@ object IngestQueries {
           lit(null).cast("double").as("c_acctbal"),
           lit(null).cast("string").as("c_mktsegment"))
       good.unionByName(skipped)
+    },
+
+    // ------------------------------------------------------------------
+    // q164's whole-file ON_ERROR=CONTINUE contract, CSV side (the
+    // symmetric round-20 closing): a lone-CR-separated file — the
+    // shape that would silently GLUE records and lose data — and an
+    // unbalanced-quote file each collapse to one corrupt-marker row
+    // (flagged out-of-band, so the classification holds under any
+    // schema) while the clean multiline-quoted files parse fully.
+    // Output and oracle shape as q164: surviving rows + a skipped-
+    // file-count summary row, certifying no leak AND exactly two
+    // files skipped.
+    QueryDef(
+      "q165_split_csv_skip",
+      "whole-file ON_ERROR=CONTINUE through the splittable CSV route: clean quoted-multiline files + a lone-CR file (the silent record-gluing shape) + an unbalanced-quote file; broken files collapse to one corrupt-marker row each, neighbors parse fully; output = surviving rows + a skipped-file-count summary row; oracle restates the parquet original plus the constant summary",
+      """SELECT c_custkey, c_name || chr(10) || 'Q"T' AS c_name,
+        |  c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), '__skipped_files__',
+        |  CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_splitcsv_skip").toString
+      val staged = Tables.customer(s, dir).withColumn("c_name",
+        concat(col("c_name"), lit("\nQ\"T")))
+      val cols = staged.schema.fieldNames.map(col)
+      staged.coalesce(2).write.mode("overwrite")
+        .option("header", true).option("quote", "\"").option("escape", "\"")
+        .csv(s"$tmp/csv")
+      // broken file 1: lone-CR record separators — its decoy rows must
+      // NOT leak (gluing would surface the first and drop the rest)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "csv", "zz_lonecr.csv"),
+        "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\r" +
+          "999999999,decoy,0,0.0,m\r")
+      // broken file 2: an unbalanced quote poisons everything after it
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "csv", "zz_unbalanced.csv"),
+        "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\n" +
+          "999999998,\"never closed,0,0.0,m\n")
+      val read = graft.ingest.SplitCsv.read(s, s"$tmp/csv/*.csv",
+        StructType(staged.schema.fields :+
+          StructField(SourceLoader.CorruptCol, StringType)),
+        SourceLoader.CorruptCol, chunkBytes = 4096)
+      val good = read.filter(col(SourceLoader.CorruptCol).isNull)
+        .select(cols.toIndexedSeq: _*)
+      val skipped = read
+        .filter(col(SourceLoader.CorruptCol)
+          .startsWith(graft.ingest.SplitJson.CorruptFilePrefix))
+        .agg(count(lit(1)).cast("long").as("c_custkey"))
+        .select(col("c_custkey"),
+          lit("__skipped_files__").as("c_name"),
+          lit(null).cast("int").as("c_nationkey"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      good.unionByName(skipped)
     })
 }

@@ -168,22 +168,38 @@ class SplitCsvSpec extends SparkSpec {
     graft.queries.DedupQueries.rmQuietly(dir.toString)
   }
 
-  test("lone-CR record separators fail fast instead of silently gluing records") {
+  test("structurally broken files degrade to ONE corrupt marker row, not a job abort") {
+    // the SplitJson round-20 ON_ERROR=CONTINUE contract, applied to
+    // CSV: a lone-CR-separated file (round-17 ADVICE: gluing +
+    // from_csv drops all but the first record — data loss with no
+    // corrupt capture) and an unbalanced-quote file each collapse to
+    // ONE corrupt-marker row naming the file — flagged OUT-OF-BAND,
+    // so the classification holds even under this all-string schema,
+    // which would happily parse any in-band marker text — while
+    // neighbor files parse fully and a 100 TB load never aborts.
     val dir = Files.createTempDirectory("graft_splitcsv_cr")
-    // CR-only line endings: the multiLine reader treats them as record
-    // separators; the split route cannot, and must say so loudly
-    // (round-17 ADVICE: gluing + from_csv drops all but the first
-    // record — data loss with no corrupt capture)
-    Files.writeString(dir.resolve("cr.csv"),
-      "id,address,tag\rr1,a,b\rr2,c,d\r")
     val schema = StructType(Seq(StructField("id", StringType),
       StructField("address", StringType), StructField("tag", StringType),
       StructField("_bad", StringType)))
-    val e = intercept[Exception] {
-      SplitCsv.read(spark, s"$dir/*.csv", schema, "_bad", 16L).count()
-    }
-    assert(e.getMessage.contains("lone \\r"),
-      s"expected a lone-CR fail-fast, got: ${e.getMessage}")
+    Files.writeString(dir.resolve("cr.csv"),
+      "id,address,tag\rr1,a,b\rr2,c,d\r")
+    Files.writeString(dir.resolve("unbalanced.csv"),
+      "id,address,tag\nu1,\"never closed,t\n")
+    Files.writeString(dir.resolve("good.csv"),
+      "id,address,tag\ng1,\"multi\nline\",t\ng2,plain,u\n")
+    val df = SplitCsv.read(spark, s"$dir/*.csv", schema, "_bad", 16L).cache()
+    assert(df.count() == 4L, "2 good rows + 2 whole-file corrupt markers")
+    val markers = df.filter(col("_bad").isNotNull).select("_bad").collect()
+      .map(_.getString(0)).sorted
+    assert(markers.length == 2, s"expected two markers, got ${markers.toSeq}")
+    assert(markers.exists(m => m.contains("cr.csv") && m.contains("lone \\r")),
+      s"lone-CR file must yield a reasoned marker: ${markers.toSeq}")
+    assert(markers.exists(m =>
+        m.contains("unbalanced.csv") && m.contains("unbalanced quotes")),
+      s"unbalanced-quote file must yield a reasoned marker: ${markers.toSeq}")
+    assert(df.filter(col("_bad").isNull).select("id").collect()
+      .map(_.getString(0)).toSet == Set("g1", "g2"),
+      "the good neighbor file must parse fully")
     // lone CRs INSIDE quotes are data, not separators — must still read
     Files.writeString(dir.resolve("ok.csv"),
       "id,address,tag\nq1,\"with\rcarriage\",t\nq2,plain,u\n")
