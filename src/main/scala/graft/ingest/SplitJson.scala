@@ -81,6 +81,17 @@ import org.apache.spark.storage.StorageLevel
   * clean array-of-objects corpora (the FR contract shape) the routes
   * are row-identical, corrupt flags included.
   *
+  * One documented LENIENCY (spec-pinned): elements juxtaposed without
+  * a separating comma (`[{..} {..}]`) parse as their individual
+  * elements — each complete and correctly valued — where Jackson
+  * rejects the file. Detecting the missing comma exactly would need
+  * per-level separator-discipline state in the chunk scan (the legal
+  * byte set between elements depends on the ABSOLUTE depth the chunk
+  * cannot know); the failure admits no data loss or corruption, only
+  * acceptance of a malformed separator, so the scan stays simple. The
+  * outer close's TYPE is checked (`[{...}}` is corrupt — a top level
+  * ending in `}` is not an array even when the depth balances).
+  *
   * Every emitted row carries `_src_file`, `_rec_offset` (the element's
   * absolute byte offset — a deterministic total order within a file)
   * and `_src_mtime`, so SourceLoader can synthesize the `_metadata`
@@ -136,12 +147,17 @@ object SplitJson {
     * seen while the depth sat at `minVals(i)` — legal at interior
     * levels (commas and scalars between elements), garbage when that
     * level is absolute depth 0 after the outer array closed; the
-    * combine only ever consults the absolute-0 level. `firstNonWs` is
-    * the first non-whitespace byte seen outside a string (post-BOM),
-    * for the combine's before-open / after-close top-level checks. */
+    * combine only ever consults the absolute-0 level. `minBrace(i)`
+    * records whether the close was a `}` — consulted only at the
+    * absolute-0 level, where the outer close must be `]` (a top level
+    * ending in `}`, e.g. `[{...}}`, is malformed even when the depth
+    * balances; element-level closes accept both brace kinds).
+    * `firstNonWs` is the first non-whitespace byte seen outside a
+    * string (post-BOM), for the combine's before-open / after-close
+    * top-level checks. */
   private case class StateScan(endState: Int, depthDelta: Int,
       minVals: Array[Int], minOffs: Array[Long], minGarbage: Array[Boolean],
-      overflow: Boolean, firstNonWs: Int)
+      minBrace: Array[Boolean], overflow: Boolean, firstNonWs: Int)
 
   /** One pass-1 result: chunk identity (+ its file's length and mtime,
     * carried so the per-file combine needs no driver-built maps) and
@@ -167,6 +183,7 @@ object SplitJson {
     var minSoFar = Int.MaxValue
     val vals = Array.newBuilder[Int]
     val offs = Array.newBuilder[Long]
+    val brace = Array.newBuilder[Boolean]
     val garb = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     var n = 0
     var overflow = false
@@ -198,6 +215,7 @@ object SplitJson {
             minSoFar = depth
             if (n < MaxCloses) {
               vals += depth; offs += absStart + j; garb += false
+              brace += (b == '}')
               n += 1
             } else overflow = true
           }
@@ -216,10 +234,10 @@ object SplitJson {
     // through the per-file combine shuffle
     if (overflow)
       StateScan(st, depth, Array.empty, Array.empty, Array.empty,
-        overflow = true, firstNonWs)
+        Array.empty, overflow = true, firstNonWs)
     else
       StateScan(st, depth, vals.result(), offs.result(), garb.toArray,
-        overflow = false, firstNonWs)
+        brace.result(), overflow = false, firstNonWs)
   }
 
   /** Read every file matching `pattern` (a Hadoop glob) as outer-array
@@ -313,7 +331,14 @@ object SplitJson {
                   target0 <= s.minVals(0) &&
                   target0 >= s.minVals(s.minVals.length - 1)) {
                 closed = true
-                if (s.minGarbage((s.minVals(0) - target0).toInt))
+                val k0 = (s.minVals(0) - target0).toInt
+                if (s.minBrace(k0))
+                  // a `}` landing at the top level (e.g. `[{...}}`) is
+                  // malformed even though the depth balances — the
+                  // outer ARRAY must close with `]`
+                  corrupt = Some("the top level closes with '}' — not " +
+                    "a well-formed outer array")
+                else if (s.minGarbage(k0))
                   corrupt = Some("non-whitespace bytes after the outer " +
                     "array closes")
               }

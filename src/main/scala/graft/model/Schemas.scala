@@ -25,16 +25,26 @@ object Schemas {
     "Tax", "Order Date", "Payment Status", "Shipping Status",
     "Payment Method", "Payment Provider", "Contact", "Delivery Address")
 
-  /** All-string CSV read schema (casts applied after read, mirroring the
-    * reference's positional $n::type casts — ref: step_3:28-46). The
-    * trailing corrupt-record column backs PERMISSIVE-mode accounting
-    * (ON_ERROR=CONTINUE, ref: step_3:51). */
-  def inCsvSchema(corruptCol: String): StructType = StructType(
-    Seq("Order ID", "Customer Name", "Mobile Model", "Quantity",
-      "Price per Unit", "Total Price", "Promotion Code", "Order Amount",
-      "GST", "Order Date", "Payment Status", "Shipping Status",
-      "Payment Method", "Payment Provider", "Mobile", "Delivery Address")
-      .map(StructField(_, StringType)) :+ StructField(corruptCol, StringType))
+  /** All-string read schema for the text-format sources: the 16 raw
+    * business fields with the per-country tax/contact column names
+    * substituted in place ([[rawFieldNames]] uses the US/FR names as
+    * the canonical spelling), plus the trailing corrupt-record column
+    * backing PERMISSIVE-mode accounting (ON_ERROR=CONTINUE, ref:
+    * step_3:51). One definition for both text formats so a field
+    * rename cannot silently desynchronize them (a wrong name yields
+    * all-null columns, not an error). */
+  private def stringlySchema(tax: String, contact: String,
+      corruptCol: String): StructType = StructType(
+    rawFieldNames.map {
+      case "Tax" => tax
+      case "Contact" => contact
+      case n => n
+    }.map(StructField(_, StringType)) :+ StructField(corruptCol, StringType))
+
+  /** IN CSV read schema (casts applied after read, mirroring the
+    * reference's positional $n::type casts — ref: step_3:28-46). */
+  def inCsvSchema(corruptCol: String): StructType =
+    stringlySchema("GST", "Mobile", corruptCol)
 
   /** All-string FR JSON element schema for the GATED splittable route
     * (round-19 verdict #4): the multiLine reader infers its schema,
@@ -46,12 +56,8 @@ object Schemas {
     * every field from string anyway, so declaring it stringly keeps
     * the gate route at 2x byte passes with identical loadCountry
     * output (SplitJsonSpec's gate leg proves it). */
-  def frJsonSchema(corruptCol: String): StructType = StructType(
-    Seq("Order ID", "Customer Name", "Mobile Model", "Quantity",
-      "Price per Unit", "Total Price", "Promotion Code", "Order Amount",
-      "Tax", "Order Date", "Payment Status", "Shipping Status",
-      "Payment Method", "Payment Provider", "Phone", "Delivery Address")
-      .map(StructField(_, StringType)) :+ StructField(corruptCol, StringType))
+  def frJsonSchema(corruptCol: String): StructType =
+    stringlySchema("Tax", "Phone", corruptCol)
 
   /** Common source-layer table schema (ref: 3. Source Tables.sql:29-98):
     * surrogate key + 16 business columns + 3 lineage columns. */

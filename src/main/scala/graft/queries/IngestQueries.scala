@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -27,6 +28,20 @@ import graft.sources.Tables
   * numeric round-trip, array framing — breaks the exact hash compare.
   */
 object IngestQueries {
+
+  /** The skipped-file-count summary row the whole-file-skip queries
+    * (q164/q165) append: the corrupt-MARKER rows counted into one row
+    * of the customer column shape, so the DuckDB oracle can restate it
+    * as a constant and the hash compare certifies the count. */
+  private def skippedFileSummary(read: DataFrame): DataFrame = read
+    .filter(col(SourceLoader.CorruptCol)
+      .startsWith(graft.ingest.SplitJson.CorruptFilePrefix))
+    .agg(count(lit(1)).cast("long").as("c_custkey"))
+    .select(col("c_custkey"),
+      lit("__skipped_files__").as("c_name"),
+      lit(null).cast("int").as("c_nationkey"),
+      lit(null).cast("double").as("c_acctbal"),
+      lit(null).cast("string").as("c_mktsegment"))
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(
@@ -254,16 +269,7 @@ object IngestQueries {
           col("c_nationkey").try_cast("int").as("c_nationkey"),
           col("c_acctbal").try_cast("double").as("c_acctbal"),
           col("c_mktsegment"))
-      val skipped = read
-        .filter(col(SourceLoader.CorruptCol)
-          .startsWith(graft.ingest.SplitJson.CorruptFilePrefix))
-        .agg(count(lit(1)).cast("long").as("c_custkey"))
-        .select(col("c_custkey"),
-          lit("__skipped_files__").as("c_name"),
-          lit(null).cast("int").as("c_nationkey"),
-          lit(null).cast("double").as("c_acctbal"),
-          lit(null).cast("string").as("c_mktsegment"))
-      good.unionByName(skipped)
+      good.unionByName(skippedFileSummary(read))
     },
 
     // ------------------------------------------------------------------
@@ -309,15 +315,6 @@ object IngestQueries {
         SourceLoader.CorruptCol, chunkBytes = 4096)
       val good = read.filter(col(SourceLoader.CorruptCol).isNull)
         .select(cols.toIndexedSeq: _*)
-      val skipped = read
-        .filter(col(SourceLoader.CorruptCol)
-          .startsWith(graft.ingest.SplitJson.CorruptFilePrefix))
-        .agg(count(lit(1)).cast("long").as("c_custkey"))
-        .select(col("c_custkey"),
-          lit("__skipped_files__").as("c_name"),
-          lit(null).cast("int").as("c_nationkey"),
-          lit(null).cast("double").as("c_acctbal"),
-          lit(null).cast("string").as("c_mktsegment"))
-      good.unionByName(skipped)
+      good.unionByName(skippedFileSummary(read))
     })
 }

@@ -285,6 +285,41 @@ class SplitJsonSpec extends SparkSpec {
     // garbage before the array opens
     assert(markerOf("lead.json", """xyz [{"id": "a"}]""", 16L)
       .contains("top-level JSON array"))
+    // a `}` closing the top level balances the depth but is not an
+    // outer ARRAY close — malformed (Jackson rejects it); both chunk
+    // alignments (close in the leading chunk / in a later chunk)
+    assert(markerOf("objclose1.json", """[{"id": "a"}}""", 1L << 20)
+      .contains("closes with '}'"))
+    assert(markerOf("objclose2.json", """[{"id": "a"}}""", 16L)
+      .contains("closes with '}'"))
+    // degenerate close-run OUTSIDE any string: the TRUE-state scan
+    // overflows the cap and the file is corrupt, not OOM or accepted
+    // (the counterpart of the wrong-state-overflow tolerance below).
+    // The chunk must EXCEED the 1M cap in bytes — a chunk of cap-many
+    // bytes can never record more than cap closes — and the middle
+    // chunk must be close-dominated: 2.5M nesting levels, 2 MiB chunks
+    // put ~1.5M closes in one chunk
+    val k = 2_500_000
+    Files.writeString(dir.resolve("degenerate.json"),
+      "[" * k + "]" * k)
+    val deg = SplitJson.read(spark, dir.resolve("degenerate.json").toString,
+      Some(schema), "_bad", 2L << 20)
+    val degBad = deg.select("_bad").collect()
+    assert(degBad.length == 1 &&
+        degBad.head.getString(0).contains("top-level closes in one chunk"),
+      s"degenerate bracket run must yield the overflow marker: " +
+        s"${degBad.map(_.getString(0)).toSeq.take(1)}")
+    // PINNED LENIENCY: elements juxtaposed without a comma parse as
+    // their individual elements (Jackson rejects the file; detecting
+    // the missing separator needs absolute-depth knowledge the chunk
+    // scan cannot have — no data is lost or misvalued, see scaladoc)
+    Files.writeString(dir.resolve("nocomma.json"),
+      """[{"id": "a"} {"id": "b"}]""")
+    val lenient = SplitJson.read(spark, dir.resolve("nocomma.json").toString,
+      Some(schema), "_bad", 16L)
+    assert(lenient.filter(col("_bad").isNull).select("id").collect()
+      .map(_.getString(0)).toSet == Set("a", "b"),
+      "juxtaposed elements must parse individually (the pinned leniency)")
     graft.queries.DedupQueries.rmQuietly(dir.toString)
   }
 
@@ -330,7 +365,7 @@ class SplitJsonSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("id", StringType),
       StructField("_bad", StringType)))
     val df = SplitJson.read(spark, dir.resolve("ovf.json").toString,
-      Some(schema), "_bad", 1L << 20).cache()
+      Some(schema), "_bad", 2L << 20).cache()
     assert(df.count() == 2L, "both elements must parse")
     assert(df.filter(col("_bad").isNotNull).count() == 0L,
       "a valid file must not be marked corrupt by a wrong-state overflow")
