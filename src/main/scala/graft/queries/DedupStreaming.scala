@@ -122,12 +122,7 @@ trait DedupStreaming { self: DedupQueries.type =>
     * mid-copy) is tolerated: the reader rebuilds once and re-copies. */
   private[queries] def stageDropsCached(s: SparkSession, dir: String,
       family: String, srcFile: String, srcDir: String, n: Int)
-      (slice: Int => DataFrame): Unit = synchronized {
-    // synchronized: two same-JVM threads would otherwise share the
-    // pid-keyed build tmp dir; cross-JVM racers are handled by the
-    // atomic-move publish below
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+      (slice: Int => DataFrame): Unit = {
     val fp = graft.sources.DurableIndex.fingerprint(s, dir, srcFile)
     val sliceFp = {
       val planText = (0 until n)
@@ -137,16 +132,81 @@ trait DedupStreaming { self: DedupQueries.type =>
         .digest(planText.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8)
     }
+    cachedStage(s, family, dir, s"$fp$sliceFp") { tmp =>
+      (0 until n).foreach { i =>
+        val t2 = java.nio.file.Files.createTempDirectory(s"graft_${family}_drop$i")
+        try {
+          slice(i).coalesce(1).write.mode("overwrite").parquet(t2.toString)
+          val part = cacheListDir(t2)
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part, tmp.resolve(s"drop_$i.parquet"))
+        } finally rmQuietly(t2.toString)
+      }
+    } { root =>
+      (0 until n).foreach { i =>
+        val dst = java.nio.file.Paths.get(srcDir, s"drop_$i.parquet")
+        java.nio.file.Files.copy(root.resolve(s"drop_$i.parquet"), dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+    }
+  }
+
+  /** Stage a deterministically-BUILT input corpus (the text files the
+    * split-route ingest queries read), cached per (family, dir tag,
+    * source content fingerprint, content fp) — the round-13
+    * [[stageDropsCached]] discipline applied to the q53/q162-q165
+    * staging writes: the staged files are a pure function of the source
+    * table, but every invocation re-derived them through Spark write
+    * jobs before the reader under test even started. `contentFp` must
+    * hash everything the staged bytes depend on (the staging plan, any
+    * injected corrupt payloads) so a slicing change mints a new key.
+    * Returns a FRESH scratch dir (never the cache entry itself — the
+    * global idle sweep may purge entries, so readers get a copy) holding
+    * every staged file, names preserved. */
+  private[queries] def stageInputCached(s: SparkSession, dir: String,
+      family: String, srcFile: String, contentFp: String)
+      (buildInto: java.nio.file.Path => Unit): String = {
+    val fp = graft.sources.DurableIndex.fingerprint(s, dir, srcFile)
+    val out = streamScratch(s"graft_${family}_in")
+    cachedStage(s, family, dir, s"$fp$contentFp")(buildInto) { root =>
+      cacheListDir(root).foreach { f =>
+        java.nio.file.Files.copy(f,
+          java.nio.file.Paths.get(out, f.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    out
+  }
+
+  private[queries] def cacheListDir(
+      p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(p)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
+  /** The shared cache core of [[stageDropsCached]]/[[stageInputCached]]:
+    * build-once-per-fingerprint under `<cacheBase>/<family>_<tag>_<fp>`
+    * with atomic-rename publish, same-(family, tag) stale-fingerprint
+    * purge, the global idle sweep, mtime-bump-on-read liveness, and the
+    * purged-mid-read rebuild-once retry. `fullFp` must be lowercase hex
+    * (the purge filter matches exactly that shape). */
+  private def cachedStage(s: SparkSession, family: String, dir: String,
+      fullFp: String)(buildInto: java.nio.file.Path => Unit)
+      (readOut: java.nio.file.Path => Unit): Unit = synchronized {
+    // synchronized: two same-JVM threads would otherwise share the
+    // pid-keyed build tmp dir; cross-JVM racers are handled by the
+    // atomic-move publish below
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val shm = Paths.get("/dev/shm")
     val cacheBase = (if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
       else Paths.get(System.getProperty("java.io.tmpdir")))
       .resolve("graft_drop_cache")
-    val root = cacheBase.resolve(s"${family}_${tag}_$fp$sliceFp")
-    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val st = Files.list(p)
-      try st.iterator().asScala.toList finally st.close()
-    }
+    val root = cacheBase.resolve(s"${family}_${tag}_$fullFp")
+    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = cacheListDir(p)
     def build(): Unit = {
       Files.createDirectories(cacheBase)
       // purge stale FINGERPRINTS of this (family, dir) — a regenerated
@@ -176,32 +236,18 @@ trait DedupStreaming { self: DedupQueries.type =>
         }
         .foreach(p => rmQuietly(p.toString))
       val tmp = cacheBase.resolve(
-        s"${family}_${tag}_$fp$sliceFp.build${ProcessHandle.current().pid()}")
+        s"${family}_${tag}_$fullFp.build${ProcessHandle.current().pid()}")
       rmQuietly(tmp.toString)
       Files.createDirectories(tmp)
-      (0 until n).foreach { i =>
-        val t2 = Files.createTempDirectory(s"graft_${family}_drop$i")
-        try {
-          slice(i).coalesce(1).write.mode("overwrite").parquet(t2.toString)
-          val part = listDir(t2)
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          Files.copy(part, tmp.resolve(s"drop_$i.parquet"))
-        } finally rmQuietly(t2.toString)
-      }
+      buildInto(tmp)
       try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
       catch { // a concurrent builder won the publish: read its copy
         case _: java.nio.file.FileAlreadyExistsException => rmQuietly(tmp.toString)
         case _: java.nio.file.DirectoryNotEmptyException => rmQuietly(tmp.toString)
       }
     }
-    def readOut(): Unit = {
-      (0 until n).foreach { i =>
-        val dst = Paths.get(srcDir, s"drop_$i.parquet")
-        Files.copy(root.resolve(s"drop_$i.parquet"), dst,
-          StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-      }
+    def read(): Unit = {
+      readOut(root)
       // a read IS liveness: bump the entry so the global sweep only
       // ever collects idle tags
       try Files.setLastModifiedTime(root,
@@ -209,14 +255,14 @@ trait DedupStreaming { self: DedupQueries.type =>
       catch { case _: java.io.IOException => () }
     }
     if (!Files.isDirectory(root)) build()
-    try readOut()
+    try read()
     catch {
       // a concurrent sweep purged the entry between publish and copy:
       // clear whatever half-deleted shell remains (the atomic republish
       // cannot land on a surviving dir), rebuild once, re-read — a
       // second consecutive race is a loud failure, not silent corruption
       case _: java.nio.file.NoSuchFileException =>
-        rmQuietly(root.toString); build(); readOut()
+        rmQuietly(root.toString); build(); read()
     }
   }
 
