@@ -467,12 +467,20 @@ private[graft] object DurableIndex {
     val counts = bucketFileCounts(s, qualified)
     if (!counts.values.exists(_ > maxFilesPerBucket)) false
     else {
-      // staged so the repartition below lands EXACTLY one bucket per
-      // write task (a raw-scan input lets the planned-write path
-      // satisfy the bucket ordering with a per-task sort instead,
-      // scattering buckets across tasks — one file per (task x
-      // bucket), the very fragmentation being repaired)
-      val rows = s.table(qualified).select(cols.map(col): _*).localCheckpoint()
+      // read the table's files as RAW parquet, NOT via the catalog and
+      // NOT staged (round-20 verdict #2): the catalog scan reports the
+      // bucket HashPartitioning, which lets the planner elide the
+      // repartition below — buckets then scatter across scan tasks and
+      // the write emits one file per (task x bucket), the very
+      // fragmentation being repaired. The raw read drops the bucket
+      // metadata (unknown partitioning -> the repartition is a real
+      // Exchange, one bucket per write task) WITHOUT materializing the
+      // whole index into executor-local non-replicated blocks the way
+      // the previous localCheckpoint staging did — at 100 TB that
+      // staging copied the full corpus once per compaction and an
+      // executor loss mid-compaction failed the job.
+      val rows = s.read.parquet(tableLocation(s, qualified).toString)
+        .select(cols.map(col): _*)
       publishCompacted(s, qualified) { next =>
         // a bucketed write is only reachable through the catalog, so
         // the generation builds via a dropped-after external table —

@@ -305,6 +305,54 @@ class DurableArtifactsSpec extends SparkSpec {
     assert(bandRe == bandContent, "compaction changed the cc band index")
   }
 
+  test("bucketed compaction streams a raw scan: no staged-RDD input, still one file per bucket") {
+    // round-20 verdict #2 (landed round 21): compactBucketed used to
+    // localCheckpoint the WHOLE index before the rewrite — at 100 TB a
+    // full-corpus copy into non-replicated executor-local blocks once
+    // per compaction, and an executor loss mid-compaction failed the
+    // job. The rewrite must now read the table's files as raw parquet
+    // (the explicit repartition into the bucket hash stays a real
+    // Exchange because the raw scan reports no bucket partitioning), so
+    // the executed write plan carries a parquet FileScan and NO staged
+    // RDD scan — while the one-file-per-bucket outcome is unchanged.
+    import org.apache.spark.sql.functions.col
+    DedupQueries.streamComponents(spark, sfDir, compact = false).collect()
+    val bands = JvmScratch.tableName("stream_cc_bands")
+    assert(DedupQueries.bucketFileCounts(spark, bands).values.exists(_ > 2),
+      "expected a fragmented grown band index — test is vacuous")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    import scala.jdk.CollectionConverters._
+    def writes = plans.asScala.map(_.toString)
+      .filter(t => t.contains(bands.split('.').last) && t.contains("WriteFiles"))
+      .toList
+    spark.listenerManager.register(listener)
+    try {
+      assert(DedupQueries.compactBandIndex(spark, bands),
+        "band-index compaction did not run")
+      // the listener bus is async: poll until the rewrite plan lands
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (writes.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    assert(writes.nonEmpty, "listener captured no compaction write plan")
+    writes.foreach { txt =>
+      assert(!txt.contains("Scan ExistingRDD") && !txt.contains("RDDScanExec"),
+        s"compaction rewrite still reads a staged RDD:\n$txt")
+      assert(txt.contains("Scan parquet") || txt.contains("FileScan"),
+        s"compaction rewrite input is not a raw parquet scan:\n$txt")
+    }
+    assert(DedupQueries.bucketFileCounts(spark, bands).values.forall(_ <= 1),
+      "raw-scan compaction left a fragmented bucket")
+  }
+
   test("q121 register shards: compaction preserves the batch grain, shard-drop retraction survives it") {
     // the HLL sink gets the BATCH-PRESERVING compaction form (round-12
     // advice): max-merge is not invertible, so the only supported HLL
