@@ -21,7 +21,19 @@ object JvmScratch {
   val dbName = s"graft_scratch_$pid"
 
   private lazy val location: String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft_scratch_$pid")
+    // RAM-backed scratch when present (the streamScratch placement
+    // rule): every micro-batch sink commit, stage-table write and
+    // compaction rewrite pays file-create + rename + fsync here, which
+    // tmpfs makes free. This database is LOCAL bench/test scratch by
+    // contract — a production pipeline's sinks are real tables on
+    // durable shared storage — and the shutdown hook bounds the
+    // footprint to the JVM's lifetime either way.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val d =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, s"graft_scratch_$pid")
+      else java.nio.file.Files.createTempDirectory(s"graft_scratch_$pid")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
     d.toString
