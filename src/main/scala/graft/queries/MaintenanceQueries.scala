@@ -23,7 +23,11 @@ object MaintenanceQueries {
     * fresh directory per invocation leaks a table copy every bench
     * iteration. Per-JVM + overwrite mode is the bounded middle. */
   private lazy val compactionDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_q89_compaction")
+    // RAM-backed when present (the streamScratch placement rule): the
+    // fragment/compact rewrite is 68 file creates + renames per
+    // invocation, pure local scratch
+    val d = java.nio.file.Paths.get(
+      DedupQueries.streamScratch("graft_q89_compaction"))
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
     d.toString

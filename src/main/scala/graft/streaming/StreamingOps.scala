@@ -39,8 +39,14 @@ object StreamingOps {
     *    one-off batch read, then [[Tables.normalizeEventTs]] the stream. */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val stageDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
+    // RAM-backed when present (the streamScratch placement rule); the
+    // stamp check below re-stages after a reboot clears tmpfs
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val stageBase =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val stageDir = stageBase.resolve(
       s"graft_stream_src_${Integer.toHexString(dir.hashCode)}")
     java.nio.file.Files.createDirectories(stageDir)
     // freshness check on a per-file (name, size, mtime) stamp of the
@@ -136,7 +142,9 @@ object StreamingOps {
     * valid for both single-file and part-directory sources; at read time
     * it holds only the copy, never a sentinel. */
   private def stageEventsFresh(dir: String, tag: String): (String, String) = {
-    val stageDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
+    // RAM-backed when present (the streamScratch placement rule)
+    val stageDir = java.nio.file.Paths.get(
+      graft.queries.DedupQueries.streamScratch(s"graft_${tag}_src"))
     copyEventsInto(dir, stageDir)
     (stageDir.toString, stageDir.toString)
   }
