@@ -533,8 +533,12 @@ trait DedupStreaming { self: DedupQueries.type =>
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
             // the batch's bands feed THREE consumers (cross probe,
-            // within-batch self-join, index append): staged once
-            val batchBands = sigBands(batchSh).localCheckpoint()
+            // within-batch self-join, index append): staged once.
+            // LAZY (the q158 rule): the first consuming job
+            // materializes the blocks — consumers inside one job share
+            // the RDD (one stage), so laziness saves the dedicated
+            // staging job per micro-batch without recompute
+            val batchBands = sigBands(batchSh).localCheckpoint(eager = false)
             val soFar = ss.table(idxTable)
               .filter(col("batch_id") =!= batchId)
               .select("doc_id", "band_idx", "band_key")
@@ -637,8 +641,11 @@ trait DedupStreaming { self: DedupQueries.type =>
             ss.catalog.refreshTable(idxTable)
             val batchSh = shingle(batch).localCheckpoint()
             // the batch's bands feed BOTH the probe and the index
-            // append: staged once per batch, not re-signed per consumer
-            val batchBands = sigBands(batchSh).localCheckpoint()
+            // append: staged once per batch, not re-signed per
+            // consumer. LAZY (the q158 rule): the probe's broadcast
+            // materializes the blocks, the append reuses them — no
+            // dedicated staging job per micro-batch
+            val batchBands = sigBands(batchSh).localCheckpoint(eager = false)
             // match FIRST, against the index so far MINUS this batch's
             // own partition (empty on first delivery; populated — and
             // self-matching if probed — on a replay)...
