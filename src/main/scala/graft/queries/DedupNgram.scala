@@ -155,9 +155,12 @@ trait DedupNgram { self: DedupQueries.type =>
     // cut-crossing shingles from the df SIDECAR, not the postings:
     // df is per-sg constant, so the sidecar join gives the identical
     // set without a postings-wide distinct
+    // crossing has exactly ONE consumer (the dx semi-join below), so a
+    // dedicated staging job buys no reuse — the broadcast/merge join
+    // computes the delta-bounded subtree once either way
     val crossing = ddf.join(sdf, Seq("sg"))
       .filter(col("df") <= DfCut && col("df") + col("ddf") > DfCut)
-      .select("sg").localCheckpoint()
+      .select("sg")
     val dx = post.join(bc(crossing), Seq("sg"), "left_semi")
       .select("doc_id").distinct()
     val rIds = dx.unionByName(deltaSh.select("doc_id").distinct())
@@ -172,8 +175,10 @@ trait DedupNgram { self: DedupQueries.type =>
       Seq("sg"), "left_semi")
     def allFsh = standingFsh.unionByName(deltaFsh)
     // pairs touching R: R's shingles probed against the whole index;
-    // (lo, hi, sg)-distinct counts a both-in-R pair once
-    val rFsh = st(allFsh.join(bc(rIds), Seq("doc_id"), "left_semi"))
+    // (lo, hi, sg)-distinct counts a both-in-R pair once. rFsh has
+    // exactly ONE consumer (the ra side of c's build), so it streams —
+    // a dedicated staging job bought no reuse
+    def rFsh = allFsh.join(bc(rIds), Seq("doc_id"), "left_semi")
     val c = st(rFsh.select(col("doc_id").as("ra"), col("sg"))
       .join(allFsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
         col("sg") === col("bsg") && col("ra") =!= col("rb"))
@@ -248,14 +253,16 @@ trait DedupNgram { self: DedupQueries.type =>
       .select(col("doc_id"), col("sg"), col("df"),
         (col("df") - coalesce(col("rdf"), lit(0L))).as("dfl"))
     // un-crossed rows have dfl <= DfCut, so the distinct runs over a
-    // <= DfCut-per-shingle row set — delta-bounded, staged
+    // <= DfCut-per-shingle row set — delta-bounded; single consumer
+    // (the rIds semi-join), so it streams rather than staging
     val uncrossed = postLive
       .filter(col("df") > DfCut && col("dfl") <= DfCut)
-      .select("sg").distinct().localCheckpoint()
+      .select("sg").distinct()
     val rIds = postLive.join(broadcast(uncrossed), Seq("sg"), "left_semi")
       .select("doc_id").distinct().localCheckpoint()
     def fsh = postLive.filter(col("dfl") <= DfCut).select("doc_id", "sg")
-    val rFsh = st(fsh.join(broadcast(rIds), Seq("doc_id"), "left_semi"))
+    // rFsh: one consumer (c's ra side) — streams, no staging job
+    def rFsh = fsh.join(broadcast(rIds), Seq("doc_id"), "left_semi")
     val c = st(rFsh.select(col("doc_id").as("ra"), col("sg"))
       .join(fsh.select(col("doc_id").as("rb"), col("sg").as("bsg")),
         col("sg") === col("bsg") && col("ra") =!= col("rb"))
