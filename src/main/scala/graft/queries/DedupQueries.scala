@@ -838,20 +838,27 @@ object DedupQueries
         // checkpoint — the first consumer materializes it, the others
         // reuse the blocks without an extra blocking job
         val deltaBands = sigBands(deltaSh).localCheckpoint(eager = false)
+        // every chain staging below is LAZY: the driver runs the
+        // lifecycle steps sequentially, so the first consuming job
+        // materializes each staged state and later steps reuse the
+        // blocks — while a state the chain never reads again (pairs
+        // and bands after the second append) never materializes at
+        // all, instead of paying a dead eager staging job
         val fresh = minhashPairsOf(deltaSh, Some(deltaBands))
           .unionByName(crossPairsAgainstSh(s, dir, deltaSh, bands,
             Some(deltaBands)))
-          .localCheckpoint()
-        pairs = pairs.unionByName(fresh).localCheckpoint()
-        bands = bands.unionByName(deltaBands).localCheckpoint()
+          .localCheckpoint(eager = false)
+        pairs = pairs.unionByName(fresh).localCheckpoint(eager = false)
+        bands = bands.unionByName(deltaBands).localCheckpoint(eager = false)
         labels = connectedComponents(
           star(labels).unionByName(fresh.select("doc_a", "doc_b")))._1
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       append(a1)
       val (b2, p2, l2) = retractMaintain(bands, pairs, labels, del)
-      bands = b2.localCheckpoint(); pairs = p2.localCheckpoint()
-      labels = l2.localCheckpoint()
+      bands = b2.localCheckpoint(eager = false)
+      pairs = p2.localCheckpoint(eager = false)
+      labels = l2.localCheckpoint(eager = false)
       append(a2)
       labelCorpus(docs.filter(col("doc_id") % 10 =!= 3), labels)
     },

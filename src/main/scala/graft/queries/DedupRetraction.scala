@@ -57,11 +57,14 @@ trait DedupRetraction { self: DedupQueries.type =>
       : (DataFrame, DataFrame, DataFrame) = {
     val del = deleteIds.select("doc_id").distinct().localCheckpoint()
     val bands1 = bands0.join(broadcast(del), Seq("doc_id"), "left_anti")
+    // lazy: the relabeling fixpoint's edge staging is the first (and
+    // often only) consumer — it materializes the blocks; a caller that
+    // never reads the returned pair state skips the job entirely
     val pairs1 = pairs0
       .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
       .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
       .select(pairs0.columns.map(col).toIndexedSeq: _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val (affected, relabeled) = retractRelabel(pairs1, labels0, del)
     val carried = labels0.join(broadcast(affected), Seq("label"), "left_anti")
       .select("doc_id", "label")
