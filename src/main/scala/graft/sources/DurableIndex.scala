@@ -138,7 +138,7 @@ private[graft] object DurableIndex {
         fs.listStatus(base).foreach { st =>
           val n = st.getPath.getName
           val suffix = if (n.startsWith(prefix)) n.substring(prefix.length) else ""
-          if (suffix.matches("[0-9a-f]+\\.retired"))
+          if (suffix.matches("[0-9a-f]+\\.retired(\\.[0-9a-f]+)?"))
             fs.delete(st.getPath, true)
           else if (n != tableName && suffix.matches("[0-9a-f]+")) {
             if (bucketSpec.isDefined) s.sql(s"DROP TABLE IF EXISTS $IndexDb.$n")
@@ -157,24 +157,35 @@ private[graft] object DurableIndex {
     if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
   }
 
-  /** Park a superseded generation as `parked`, tolerating a CONCURRENT
-    * publisher winning the same parking race (found by AttachRaceSpec's
-    * 20-round cross-process loop, round 20): between this publisher's
-    * base-dir listing and its rename, the racing publisher's own
-    * staleness sweep can park or purge the very same generation —
-    * Hadoop's local rename then falls back to a copy whose source stat
-    * THROWS FileNotFoundException, crashing a publisher that did
-    * nothing wrong. A vanished source means the sibling already did
-    * this exact work, so it is a no-op, not an error; any other
-    * IOException still surfaces. */
+  /** Park a superseded generation under a UNIQUE `.retired.<nonce>`
+    * name, tolerating a CONCURRENT publisher winning the same parking
+    * race (found by AttachRaceSpec's 20-round cross-process loop,
+    * round 20): between this publisher's base-dir listing and its
+    * rename, the racing publisher's own staleness sweep can park or
+    * purge the very same generation. The previous delete-then-rename
+    * onto a SHARED `.retired` name had a second race (round-20
+    * ADVICE): sweeping siblings could delete each other's
+    * freshly-parked dir, purging the grace window readers rely on.
+    * A nonce-suffixed destination never collides, so no pre-delete is
+    * needed and every successful park survives its full grace cycle.
+    * A vanished source means the sibling already did this exact work
+    * (no-op); a rename that fails with BOTH paths in their original
+    * state is a real fault and surfaces loudly instead of leaving the
+    * stale generation live silently. */
   private def parkQuietly(fs: org.apache.hadoop.fs.FileSystem,
-      live: Path, parked: Path): Unit =
+      live: Path, parked: Path): Unit = {
+    val unique = new Path(parked.getParent,
+      s"${parked.getName}.${java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xFFFFFFFFL)}")
     try {
-      if (fs.exists(parked)) fs.delete(parked, true)
-      fs.rename(live, parked): Unit
+      val renamed = fs.rename(live, unique)
+      if (!renamed && fs.exists(live))
+        throw new java.io.IOException(
+          s"parking rename $live -> $unique failed with the source still live")
     } catch {
       case _: java.io.FileNotFoundException => ()
     }
+  }
 
   /** Name of the publisher-identity marker every build carries: an
     * underscore-prefixed file (hidden to Spark/Hadoop input listings,
@@ -267,9 +278,22 @@ private[graft] object DurableIndex {
             if (fs.exists(loc) && fs.exists(tmp)) false else throw e
         }
     claimed && {
-      val live =
+      // one bounded retry on a TRANSIENT read fault (round-20 ADVICE):
+      // the exclusive move already reported success, so mapping a
+      // transient IOException to "lost" would demote a genuine winner —
+      // the caller would skip winner-only follow-up while its build is
+      // actually live. FileNotFound is NOT retried into a win: a
+      // missing marker at the live path means some other publisher's
+      // build is live, which is exactly a loss.
+      def readMarker(): String =
         try readSmall(fs, new Path(loc, PublisherMarker))
-        catch { case _: java.io.IOException => null }
+        catch {
+          case _: java.io.FileNotFoundException => null
+          case _: java.io.IOException =>
+            try readSmall(fs, new Path(loc, PublisherMarker))
+            catch { case _: java.io.IOException => null }
+        }
+      val live = readMarker()
       live == token || {
         // false winner: the FS lied about rename exclusivity. The copy
         // fallback leaves OUR build nested under the real winner's live

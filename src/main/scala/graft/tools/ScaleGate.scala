@@ -363,9 +363,23 @@ object ScaleGate {
         // the band). The two extra samples rerun the full maintenance
         // contract against the standing artifacts, the same shape the
         // round-19 A/B campaigns compared.
+        // each extra sample gets the SAME transient-retry mitigation as
+        // the first (round-20 ADVICE: a bare sample() here let one
+        // transient hiccup during sample 2 or 3 fail the whole family
+        // as NaN); the OOM-shaped-loudness rule applies identically
+        def sampleRetried(): Double =
+          try sample()._1 catch { case NonFatal(e)
+              if !spark.sparkContext.isStopped =>
+            val msg = String.valueOf(e.getMessage)
+            if (oomShaped(e)) failures +=
+              s"$name@sf10: OOM-shaped extra sample (${msg.take(200)})"
+            System.err.println(s"[scalegate] $name@sf10 extra sample threw " +
+              s"(${msg.take(120)}) — one retry")
+            sample()._1
+          }
         val samples: Seq[Double] =
           if (DrainFamilies(name)) {
-            val extra = Seq(sample()._1, sample()._1)
+            val extra = Seq(sampleRetried(), sampleRetried())
             val all = wall +: extra
             wall = all.sorted.apply(all.size / 2)
             all

@@ -45,7 +45,7 @@ class BandIndexSpec extends SparkSpec {
     val all = fs.listStatus(base).map(_.getPath)
       .filter(_.getName.startsWith(prefix)).toSeq
     (all.filter(_.getName.substring(prefix.length).matches("[0-9a-f]+")),
-      all.filter(_.getName.endsWith(".retired")))
+      all.filter(_.getName.contains(".retired")))
   }
 
   /** (name -> (length, mtime)) of every parquet part under the single

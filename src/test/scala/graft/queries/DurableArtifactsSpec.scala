@@ -92,7 +92,7 @@ class DurableArtifactsSpec extends SparkSpec {
       val mine = fsw.listStatus(base).map(_.getPath)
         .filter(_.getName.startsWith(prefix)).toSeq
       val live = mine.filter(_.getName.substring(prefix.length).matches("[0-9a-f]+"))
-      val retired = mine.filter(_.getName.endsWith(".retired"))
+      val retired = mine.filter(_.getName.contains(".retired"))
       (live.map(_.getName), retired.map(_.getName),
         live.map(bytes).sum, mine.map(bytes).sum)
     }

@@ -512,9 +512,13 @@ class RetractionSpec extends SparkSpec {
     // warehouse.dir is a file: URI — strip the scheme for NIO paths
     val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
-      s"$warehouse/graft_band_index_r/band_index_r_${tag}_$fp.retired")),
-      "orphan band partial was deleted instead of parked")
+    assert({
+      val d = java.nio.file.Paths.get(s"$warehouse/graft_band_index_r")
+      val st = java.nio.file.Files.list(d)
+      try st.anyMatch(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"band_index_r_${tag}_$fp.retired"))
+      finally st.close()
+    }, "orphan band partial was deleted instead of parked")
 
     // and the patch-composed read is still exact
     val corpus = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 40 =!= 23)

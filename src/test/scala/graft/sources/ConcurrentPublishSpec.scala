@@ -231,7 +231,7 @@ class ConcurrentPublishSpec extends SparkSpec {
     val live = names.filter(n => n.startsWith(prefix)
       && n.substring(prefix.length).matches("[0-9a-f]+"))
     assert(live == Seq(s"$prefix$fpB"), s"expected only the successor live, got $names")
-    assert(names.contains(s"$prefix$fpA.retired"),
+    assert(names.exists(_.startsWith(s"$prefix$fpA.retired")),
       "superseded generation was purged immediately — no reader grace window")
     val resolved = DurableIndex.attachLatest(spark, dirTag, family).get
       .select("doc_id").collect().map(_.getLong(0)).toSet
