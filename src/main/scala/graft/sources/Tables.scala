@@ -19,8 +19,49 @@ object Tables {
   val dataOps: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = starSchema ++ dataOps
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, path) memo of the RESOLVED base-table DataFrame —
+    * driver-side plan-construction work only (file listing + footer
+    * schema inference + relation resolution), never data: every action
+    * on the returned frame still scans the parquet from disk. The
+    * round-21 PlanCost audit put ~0.1 s of per-query bench wall in
+    * exactly this resolution (repeated for every `spark.read.parquet`
+    * of the same static file), the largest uniform slice of the
+    * 94-query small-query bucket (guide §5: the driver should do
+    * almost no work; §7.3: resolution/listing is single-threaded
+    * driver time). Keyed WEAKLY on the session (foreachBatch clones
+    * sessions per micro-batch — strong keys would pin them) and on
+    * (path, root length+mtime): a REGENERATED corpus at the same path
+    * (the BandIndex/SemIndex/DurableArtifacts regen flows: overwrite
+    * rewrites the table dir, bumping its mtime) mints a new key
+    * instead of serving the stale file listing. The one root
+    * getFileStatus per call is the same driver-side metadata read
+    * DurableIndex.fingerprint makes, microseconds against the ~100 ms
+    * resolution it saves. Contract: corpora are flat single-file-or-
+    * flat-dir tables (a nested-partition in-place overwrite that
+    * leaves the root mtime untouched is not a supported flow). */
+  private val resolved =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val ver =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+        s"${st.getLen}:${st.getModificationTime}"
+      } catch { case _: java.io.IOException => "absent" }
+    val per = resolved.synchronized {
+      var m = resolved.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        resolved.put(spark, m)
+      }
+      m
+    }
+    per.computeIfAbsent(s"$path@$ver", _ => spark.read.parquet(path))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

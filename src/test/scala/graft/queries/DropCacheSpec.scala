@@ -16,11 +16,17 @@ class DropCacheSpec extends SparkSpec {
 
   private def docs = graft.sources.Tables.documents(spark, sfDir)
 
-  private def cacheBase = {
-    val shm = Paths.get("/dev/shm")
-    (if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-     else Paths.get(System.getProperty("java.io.tmpdir")))
-      .resolve("graft_drop_cache")
+  // the per-JVM cache base (round-21 verdict #2: fixture staging is
+  // memoized within a JVM only, never across processes)
+  private def cacheBase = DedupQueries.dropCacheBase
+
+  test("the cache base is scoped to this JVM (no cross-process reuse)") {
+    // round-21 verdict #2: a cache surviving the JVM lets one run's
+    // staging pre-compute another run's declared work. The base dir
+    // must be pid-keyed so a fresh process can never find a warm entry.
+    assert(cacheBase.getFileName.toString ==
+      s"graft_drop_cache_pid${ProcessHandle.current().pid()}",
+      s"cache base ${cacheBase} is not scoped to this JVM")
   }
 
   test("a slice-logic change invalidates the cache instead of serving stale drops") {

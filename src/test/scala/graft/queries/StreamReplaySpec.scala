@@ -349,9 +349,17 @@ class StreamReplaySpec extends SparkSpec {
       }
       assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
 
+      // PARTIAL-COMMIT leg (the overlapped per-batch writes make either
+      // commit order reachable): the crash committed BOTH of batch 1's
+      // partitions; dropping the SINK's reconstructs the state where the
+      // index append won the race and the match write did not commit
+      spark.sql(s"ALTER TABLE ${JvmScratch.tableName("stream_bootstrap_out")} " +
+        "DROP IF EXISTS PARTITION (batch_id=1)")
+
       // on replay, batch 1's bands are ALREADY in the index — the probe
-      // must skip its own partition (else the batch self-matches) and
-      // the band insert must rewrite, not append
+      // must skip its own partition (else the batch self-matches), the
+      // band insert must rewrite, not append, and the dropped match
+      // partition must be rewritten whole
       val replayedOut = DedupQueries
         .streamIndexBootstrap(spark, sfDir, scratch = Some(scratch), resume = true)
         .orderBy("doc_id", "dup_of").collect().toSeq
@@ -402,6 +410,12 @@ class StreamReplaySpec extends SparkSpec {
         DedupQueries.streamSemIndexBootstrap(spark, sfDir, chaos.hook, Some(scratch))
       }
       assert(chaos.crashed, "chaos hook never fired — batch 1 was not delivered")
+
+      // PARTIAL-COMMIT leg, the OTHER order (see the q107 test): drop
+      // the crashed batch's INDEX partition, reconstructing the state
+      // where the match write won the overlapped race and the index
+      // append did not commit — the replay must rewrite both
+      spark.sql(s"ALTER TABLE $idx DROP IF EXISTS PARTITION (batch_id=1)")
 
       val replayedOut = DedupQueries
         .streamSemIndexBootstrap(spark, sfDir, scratch = Some(scratch), resume = true)
