@@ -95,14 +95,19 @@ trait DedupGraph { self: DedupQueries.type =>
     * and `forceDistributed` pins it for the convergence specs. */
   private[queries] def connectedComponents(pairs: DataFrame,
       forceDistributed: Boolean = false): (DataFrame, Int) = {
-    // undirected: both directions, materialized once so the loop never
-    // re-runs the upstream candidate pipeline
-    val edges = pairs.toDF("doc_a", "doc_b")
-      .unionByName(pairs.toDF("doc_a", "doc_b")
-        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v")
-      .localCheckpoint()
-    if (!forceDistributed && stagedBytes(edges).exists(_ <= CcDriverMaxBytes)) {
+    // The staged relation is the UNDOUBLED pair list (round-22, guide
+    // §2.3 shuffle/stage fewer bytes): union-find is symmetric and the
+    // distributed fixpoint derives the doubled edges from the staged
+    // blocks with one lazy union — so the one eager staging job (which
+    // also feeds the size gate its block metadata) writes HALF the
+    // bytes the doubled staging did, and the driver path collects half
+    // the rows for the same graph.
+    val staged = pairs.toDF("u", "v").localCheckpoint()
+    // gate compare halved so admission semantics are unchanged: the
+    // same graphs whose DOUBLED edge list sat under CcDriverMaxBytes
+    // take the driver path (and now move half the bytes to do it)
+    if (!forceDistributed &&
+        stagedBytes(staged).exists(_ <= CcDriverMaxBytes / 2)) {
       val sess = pairs.sparkSession
       import sess.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -115,26 +120,31 @@ trait DedupGraph { self: DedupQueries.type =>
         }
         r
       }
-      // every vertex appears on the u side of the DOUBLED edges, so
-      // collecting distinct u's enumerates the vertex set
+      // both endpoints enumerate the vertex set (union is symmetric,
+      // so the undoubled list carries the same information)
       val verts = scala.collection.mutable.LinkedHashSet.empty[Long]
-      edges.select(col("u").cast("long"), col("v").cast("long"))
+      staged.select(col("u").cast("long"), col("v").cast("long"))
         .collect().foreach { row =>
           val u = row.getLong(0); val v = row.getLong(1)
-          verts += u
+          verts += u; verts += v
           if (!parent.contains(u)) parent(u) = u
           if (!parent.contains(v)) parent(v) = v
           val ru = find(u); val rv = find(v)
           if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
         }
       val labels = verts.toSeq.map(v => (v, find(v))).toDF("doc_id", "label")
-      edges.queryExecution.analyzed match {
+      staged.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(blocking = false): Unit
         case _ => ()
       }
       return (labels, 0)
     }
+    // the fixpoint needs both directions; derived LAZILY over the
+    // staged blocks — each per-round consumer re-reads the blocks
+    // (cheap local reads), never the upstream candidate pipeline
+    val edges = staged.unionByName(
+      staged.select(col("v").as("u"), col("u").as("v")))
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
@@ -210,7 +220,7 @@ trait DedupGraph { self: DedupQueries.type =>
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
     }
-    unpersistBlocks(edges)
+    unpersistBlocks(staged)
     (labels, rounds)
   }
 

@@ -935,11 +935,14 @@ trait DedupStreaming { self: DedupQueries.type =>
     sys.env.getOrElse("SPARK_GRAFT_DELTA_BROADCAST_MAX_BYTES",
       (32L << 20).toString).toLong
 
-  /** Below this many staged bytes of (doubled) edges, the
+  /** Below this many DOUBLED-edge-equivalent staged bytes, the
     * connected-components labeling runs as a driver union-find instead
     * of the distributed fixpoint — 64 MB is ~2M pairs, far beyond any
     * per-batch near-dup graph and trivially driver-sized, while a
-    * corpus-scale graph blows past it and keeps the join fixpoint. */
+    * corpus-scale graph blows past it and keeps the join fixpoint.
+    * (The staging is the UNDOUBLED pair list since round 22, so the
+    * gate compares staged bytes against HALF this constant — same
+    * admission set, half the staged/collected volume.) */
   private[queries] lazy val CcDriverMaxBytes =
     sys.env.getOrElse("SPARK_GRAFT_CC_DRIVER_MAX_BYTES",
       (64L << 20).toString).toLong

@@ -443,7 +443,7 @@ object WarehouseQueries {
     // shape. supplier is data-scaled: NOT force-broadcast (AQE decides).
     QueryDef(
       "q84_tpch21",
-      "TPC-H-Q21-shape waiting suppliers: the EXISTS/NOT-EXISTS pair collapsed into one per-order aggregate (>=2 suppliers, exactly 1 late) joined back to the late lines; per-supplier waits, top-20",
+      "TPC-H-Q21-shape waiting suppliers: late line survives a left-semi (other supplier on order) then left-anti (no other late supplier) self-join; per-supplier waits, top-20",
       """WITH l1 AS (
         |  SELECT l_orderkey, l_suppkey,
         |    l_shipdate > o_orderdate + INTERVAL 100 DAY AS late
@@ -458,37 +458,37 @@ object WarehouseQueries {
         |      AND c.late)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, dir) =>
-      // l1 is consumed twice (candidate filter + the per-order
-      // aggregate); staged once so the lineitem-orders join runs once —
-      // at 100 TB this is the staged work table the two passes share
+      // l1 is consumed three times (candidate filter + both self-join
+      // sides); staged once so the lineitem-orders join runs once — at
+      // 100 TB this is the staged work table the three passes share.
+      // This is the ROUND-20 semi+anti shape, restored in round 22: the
+      // round-21 "fold the EXISTS/NOT-EXISTS pair into one per-order
+      // aggregate" rewrite looked strictly better on plan shape (4
+      // SortMergeJoins -> 2) but LOST on every measured scale — the
+      // same-window alternating A/B (tools/Q84Ab, min-of-k, one JVM)
+      // measured old-vs-new 1.32/1.61 s at sf0.1, 3.27/4.13 s at sf1,
+      // 14.2/21.9 s at sf10, every sample lower — because the
+      // per-(order, supplier) pre-aggregate shuffles the full
+      // lineitem-scale staging TWICE through aggregate exchanges,
+      // while the semi/anti pair's probe sides are cheap hash lookups
+      // over the same staged blocks (guide §1.1: the "ideal" plan lost
+      // to the measured one; the driver's round-21 bench agreed,
+      // q84 1.5 -> 2.2 s).
       val l1 = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAY"))
             .as("late"))
         .localCheckpoint()
-      // The EXISTS/NOT-EXISTS pair folded into ONE per-order aggregate
-      // (guide §3: the self-join multiplied the biggest relation in the
-      // plan — twice): a late line a survives iff its order has another
-      // supplier (n_supp >= 2) and no OTHER late supplier — and since
-      // a's own supplier is late, that is exactly n_late_supp == 1.
-      // One map-side-combinable groupBy + one equi-join replaces the
-      // semi and anti self-joins, dropping a full lineitem-scale
-      // shuffle (the anti side's filtered subtree defeated exchange
-      // reuse) and shrinking the joined side to (orderkey, 2 counts).
-      // two plain map-side-combinable aggregates, NOT countDistinct x2
-      // (two distinct aggregates would plan an Expand that doubles the
-      // shuffled rows): per-(order, supplier) first, then per-order
-      // over the already-tiny supplier rows
-      val perOrder = l1.groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("late")).as("slate"))
-        .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"),
-          sum(when(col("slate"), 1L).otherwise(0L)).as("n_late_supp"))
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .select(col("l_orderkey").as("ok"))
+      val others = l1.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("late").as("olate"))
       val cand = l1.filter(col("late"))
-        .join(perOrder, col("ok") === col("l_orderkey"), "left_semi")
+        .join(others,
+          col("ok") === col("l_orderkey") && col("sk") =!= col("l_suppkey"),
+          "left_semi")
+        .join(others.filter(col("olate")),
+          col("ok") === col("l_orderkey") && col("sk") =!= col("l_suppkey"),
+          "left_anti")
       cand
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
