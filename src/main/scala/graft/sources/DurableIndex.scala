@@ -154,7 +154,40 @@ private[graft] object DurableIndex {
                  |LOCATION '$loc'""".stripMargin)
       }
     }
-    if (bucketSpec.isDefined) s.table(qualified) else s.read.parquet(loc.toString)
+    if (bucketSpec.isDefined) s.table(qualified) else memoParquet(s, loc.toString)
+  }
+
+  /** Per-(session, path, root mtime/len) memo of the resolved
+    * DataFrame for NON-catalog artifact reads (sidecars, codebooks,
+    * df/pair tables) — the Tables.load discipline applied to the
+    * attach fast path: generation dirs are fp-keyed and immutable
+    * once published, so re-resolving the listing + footer on every
+    * attach is repeated driver-side work (guide §5/§7.3). A parked or
+    * republished generation changes the path's root status and mints
+    * a new key; a vanished path resolves (and throws) exactly like the
+    * direct read did. Catalog tables stay on `s.table` — Spark's own
+    * relation cache already covers them. */
+  private val parquetMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def memoParquet(s: SparkSession, path: String): DataFrame = {
+    val ver =
+      try {
+        val p = new Path(path)
+        val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getFileStatus(p)
+        s"${st.getLen}:${st.getModificationTime}"
+      } catch { case _: java.io.IOException => "absent" }
+    val per = parquetMemo.synchronized {
+      var m = parquetMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        parquetMemo.put(s, m)
+      }
+      m
+    }
+    per.computeIfAbsent(s"$path@$ver", _ => s.read.parquet(path))
   }
 
   /** Park a superseded generation under a UNIQUE `.retired.<nonce>`
@@ -399,7 +432,7 @@ private[graft] object DurableIndex {
       live.lastOption match {
         case None => return None
         case Some(st) =>
-          try return Some(s.read.parquet(st.getPath.toString))
+          try return Some(memoParquet(s, st.getPath.toString))
           catch {
             case _: org.apache.spark.sql.AnalysisException
               if attempt < 3 && !fs.exists(st.getPath) => // parked under us
