@@ -614,9 +614,13 @@ trait DedupStreaming { self: DedupQueries.type =>
       if (compact) {
         // the checkpoint barrier has passed: fold both stream-grown
         // artifacts' per-batch fragments — the grown band index through
-        // the bucket spec, the edge shards as a plain sink
-        compactBandIndex(s, idxTable): Unit
-        graft.sources.DurableIndex.compactSink(s, outTable): Unit
+        // the bucket spec, the edge shards as a plain sink. The two
+        // folds touch DIFFERENT tables and publish write-aside with a
+        // pointer flip each, so they run concurrently (overlapWrites,
+        // guide §2.6) like the per-batch writes do
+        overlapWrites { compactBandIndex(s, idxTable): Unit } {
+          graft.sources.DurableIndex.compactSink(s, outTable): Unit
+        }
       }
       val standing = ccIndexTable(s, dir)
       val starEdges = standing.filter(col("doc_id") =!= col("label"))
